@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension over the reference (SURVEY §7.0 layer 3). Two paths:
+
+- ``knn_bruteforce``: exact top-k cosine neighbors for a (small) query set —
+  broadcast the queries, one pass over the corpus, per-partition heap via
+  window top-k. The corpus is never shuffled full-width: only (query, id,
+  score) triples move.
+- ``lsh_cosine_pairs`` / ``ivf_assign``: the scale paths. Random-hyperplane
+  LSH buckets candidates for pairwise search; IVF assigns vectors to
+  centroids so queries probe only a few cells.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(v) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Project to (id, __norm_vec__): unit-length double vector."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col),
+        F.transform(dv, lambda x: x / F.greatest(_norm(dv), F.lit(1e-12))).alias("__norm_vec__"),
+    )
+
+
+def cosine_similarity(df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine") -> DataFrame:
+    """Row-wise cosine between two vector columns."""
+    a = F.transform(F.col(a_col), lambda x: x.cast("double"))
+    b = F.transform(F.col(b_col), lambda x: x.cast("double"))
+    denom = F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+    return df.withColumn(out_col, _dot(a, b) / denom)
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches by id).
+
+    Broadcast the (small) query set against the corpus — the corpus-side scan
+    is embarrassingly parallel, and the final top-k per query is a window
+    rank Spark executes with a per-partition heap below the shuffle.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by cosine DESC,
+    neighbor id ASC tie-break (deterministic).
+    """
+    qid = query_id_col or id_col
+    c = _normalized(corpus, id_col, vec_col).withColumnRenamed("__norm_vec__", "vc")
+    q = (
+        _normalized(queries, qid, vec_col)
+        .withColumnRenamed("__norm_vec__", "vq")
+        .withColumnRenamed(qid, "query_id")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            _dot("vq", "vc").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, driver-side)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector.
+
+    bucket = Σ (dot(v, plane_i) > 0) << i — vectors with high cosine land in
+    the same bucket with high probability. The planes are literals folded
+    into the plan (broadcast-free).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(_dot(v, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate all-pairs cosine ≥ threshold via multi-table sign-LSH.
+
+    Candidates = pairs sharing a bucket in ANY of ``n_tables`` independent
+    tables (equi-join per table, union, distinct), then exact cosine verify.
+    Scales as Σ bucket² instead of n².
+    """
+    norm = _normalized(df, id_col, vec_col).cache()
+    candidates = None
+    for t in range(n_tables):
+        b = lsh_bucket(
+            norm, dim, n_planes, id_col, "__norm_vec__", seed=42 + t, out_col="bucket"
+        ).select(id_col, "bucket")
+        left = b.select(F.col(id_col).alias("id_a"), "bucket")
+        right = b.select(F.col(id_col).alias("id_b"), "bucket")
+        cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    candidates = candidates.distinct()
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("__norm_vec__").alias("va"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("__norm_vec__").alias("vb"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", _dot("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (centroids are plan
+    literals; at real scale they come from a sampled k-means fit).
+
+    Downstream ANN: partition/bucket the corpus by ``cell`` and have queries
+    probe only their nearest cells — turns full scans into cell scans.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = None
+    for ci, cvec in enumerate(centroids):
+        p = F.array(*[F.lit(float(x)) for x in cvec])
+        score = _dot(v, p) / F.greatest(_norm(v) * _norm(p), F.lit(1e-12))
+        cand = F.struct(score.alias("score"), F.lit(ci).alias("cell"))
+        best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
+    return df.withColumn(out_col, best["cell"])

@@ -1,0 +1,405 @@
+"""JobBuilder: Pangool's grouped/join/rollup job declared against DataFrames.
+
+Reference lifecycle being reproduced (SURVEY §3.1; cites /root/reference/):
+declare (``P/tuplemr/TupleMRConfigBuilder.java:73-343``) → validate eagerly →
+freeze an IR → map/shuffle/reduce. Here "declare" builds DataFrame
+expressions, the IR *is* the Catalyst logical plan, and the shuffle is
+Tungsten's — so the builder's job is eager validation (same error surface as
+the reference) plus choosing between two compilation strategies:
+
+1. **Algebraic fast path** — ``aggregate(*exprs)`` compiles to native
+   ``groupBy().agg()``: Catalyst's partial aggregation replaces Pangool's
+   map-side ``SimpleCombiner`` (``P/tuplemr/mapred/SimpleCombiner.java:35-117``)
+   with whole-stage-codegen'd hash aggregates. This is the path the operator
+   library uses everywhere it can.
+
+2. **General reducer** — ``set_reducer(fn, schema)`` compiles to
+   ``groupBy().applyInPandas`` (Arrow batches, not per-row Python). Each group
+   arrives as a pandas frame sorted by the declared intra-group criteria
+   (secondary sort: ``P/tuplemr/TupleMRConfigBuilder.java:296-343``), with
+   multi-schema co-groups tagged by source (``__schema__``/``__source_order__``
+   — ref schemaId tie-break ``P/tuplemr/mapred/SortComparator.java:250-256``).
+
+Rollup (``set_rollup_from``) reproduces ``RollupReducer``'s open/close
+callback semantics (``P/tuplemr/mapred/RollupReducer.java:47-243``): the
+shuffle keys only on the rollup-base prefix (``P/tuplemr/TupleMRConfig.java:
+239-252``) so every level of the hierarchy is co-located, and one pandas pass
+over the sorted partition fires callbacks on prefix changes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Iterable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pangool_spark.orderby import Order, OrderBy, SOURCE_ORDER_FIELD, SortElement
+from pangool_spark.schema import Schema, SchemaError
+
+SCHEMA_FIELD = "__schema__"
+
+
+class PlanError(ValueError):
+    """Invalid job declaration (mirrors reference builder exceptions)."""
+
+
+def _sort_pandas(pdf: pd.DataFrame, elements: Sequence[SortElement]) -> pd.DataFrame:
+    """Stable multi-key sort honoring per-key direction AND null order.
+
+    pandas ``sort_values`` has a single global ``na_position``; composing
+    stable single-key sorts from last key to first gives per-key control.
+    Groups are small (one key's rows), so this stays cheap.
+    """
+    for el in reversed(list(elements)):
+        if el.name not in pdf.columns:
+            continue
+        ascending = el.order is Order.ASC
+        from pangool_spark.orderby import NullOrder
+
+        nulls_first = (
+            el.null_order is NullOrder.NULL_SMALLEST
+            if ascending
+            else el.null_order is NullOrder.NULL_BIGGEST
+        )
+        pdf = pdf.sort_values(
+            el.name,
+            ascending=ascending,
+            kind="stable",
+            na_position="first" if nulls_first else "last",
+        )
+    return pdf.reset_index(drop=True)
+
+
+@dataclass
+class _Input:
+    df: DataFrame
+    schema: Schema
+    order_index: int
+
+
+class Collector:
+    """Reducer-side emit surface. Ref ``P/tuplemr/TupleReducer.java:70-99``.
+
+    ``write`` appends one output row (dict keyed by output-schema field
+    names); named outputs land in per-name buckets retrievable after the run
+    via ``JobBuilder.named_output_rows`` compilation (see ``to_dataframes``).
+    """
+
+    def __init__(self) -> None:
+        self.rows: list[dict[str, Any]] = []
+        self.named: dict[str, list[dict[str, Any]]] = {}
+
+    def write(self, row: dict[str, Any], output: str | None = None) -> None:
+        if output is None:
+            self.rows.append(row)
+        else:
+            self.named.setdefault(output, []).append(row)
+
+
+class RollupReducer:
+    """Callback contract. Ref ``P/tuplemr/TupleRollupReducer.java:34-79``.
+
+    Subclass and override; ``depth`` counts fields of the group-by prefix,
+    ``field`` is the group-by field name whose value changed, ``row`` is the
+    first/last row (as a dict) of the opening/closing group.
+    """
+
+    def on_open_group(self, depth: int, field: str, row: dict, collector: Collector) -> None:
+        pass
+
+    def on_close_group(self, depth: int, field: str, row: dict, collector: Collector) -> None:
+        pass
+
+    def on_group_elements(self, group: dict, rows: pd.DataFrame, collector: Collector) -> None:
+        pass
+
+
+class JobBuilder:
+    """Declarative grouped/join/rollup job. Ref ``P/tuplemr/TupleMRBuilder.java``."""
+
+    def __init__(self, spark: SparkSession, name: str = "pangool_job"):
+        self.spark = spark
+        self.name = name
+        self._inputs: list[_Input] = []
+        self._group_by: list[str] = []
+        self._order_by: OrderBy | None = None
+        self._specific_order_by: dict[str, OrderBy] = {}
+        self._rollup_from: str | None = None
+        self._custom_partition_fields: list[str] | None = None
+        self._reducer: Callable | None = None
+        self._rollup_reducer: RollupReducer | None = None
+        self._output_schema: Schema | None = None
+        self._agg_exprs: list[Column] | None = None
+
+    # -- declaration -------------------------------------------------------
+    def add_input(self, df: DataFrame, schema: Schema | str, mapper: Callable[[DataFrame], DataFrame] | None = None) -> "JobBuilder":
+        """Register one source with its intermediate schema.
+
+        ``mapper`` is the per-input transform (ref per-input TupleMapper,
+        ``P/tuplemr/MultipleInputsInterface.java:27-56``) — a DataFrame →
+        DataFrame function applied before conforming to the schema.
+        """
+        if isinstance(schema, str):
+            schema = Schema.parse(f"schema{len(self._inputs)}", schema)
+        if any(i.schema.name == schema.name for i in self._inputs):
+            raise PlanError(f"duplicate intermediate schema {schema.name!r}")
+        if mapper is not None:
+            df = mapper(df)
+        df = schema.conform(df)
+        self._inputs.append(_Input(df=df, schema=schema, order_index=len(self._inputs)))
+        return self
+
+    def set_group_by(self, *fields: str) -> "JobBuilder":
+        """Ref ``setGroupByFields`` (``P/tuplemr/TupleMRConfigBuilder.java:114-142``):
+        each field must exist with the same type in every intermediate schema."""
+        if not fields:
+            raise PlanError("group-by needs at least one field")
+        self._group_by = list(fields)
+        return self
+
+    def set_order_by(self, order_by: OrderBy | str) -> "JobBuilder":
+        self._order_by = OrderBy.parse(order_by) if isinstance(order_by, str) else order_by
+        return self
+
+    def set_specific_order_by(self, schema_name: str, order_by: OrderBy | str) -> "JobBuilder":
+        """Per-source secondary sort inside a co-group
+        (ref ``P/tuplemr/TupleMRConfigBuilder.java:296-343``)."""
+        self._specific_order_by[schema_name] = (
+            OrderBy.parse(order_by) if isinstance(order_by, str) else order_by
+        )
+        return self
+
+    def set_rollup_from(self, field: str) -> "JobBuilder":
+        """Ref ``setRollupFrom`` (``P/tuplemr/TupleMRConfigBuilder.java:146-165``)."""
+        self._rollup_from = field
+        return self
+
+    def set_custom_partition_fields(self, *fields: str) -> "JobBuilder":
+        """Ref ``P/tuplemr/TupleMRConfigBuilder.java:169-190``."""
+        self._custom_partition_fields = list(fields)
+        return self
+
+    def set_reducer(
+        self,
+        fn: Callable[[tuple, pd.DataFrame, Collector], None],
+        output_schema: Schema | str,
+    ) -> "JobBuilder":
+        """General reducer: ``fn(group_key_tuple, sorted_rows, collector)``.
+
+        Ref ``TupleReducer.reduce`` (``P/tuplemr/TupleReducer.java:56-59``) —
+        may emit 0..N rows of the output schema via the collector.
+        """
+        self._reducer = fn
+        self._output_schema = (
+            Schema.parse("output", output_schema) if isinstance(output_schema, str) else output_schema
+        )
+        return self
+
+    def set_rollup_reducer(self, reducer: RollupReducer, output_schema: Schema | str) -> "JobBuilder":
+        self._rollup_reducer = reducer
+        self._output_schema = (
+            Schema.parse("output", output_schema) if isinstance(output_schema, str) else output_schema
+        )
+        return self
+
+    def aggregate(self, *exprs: Column) -> "JobBuilder":
+        """Algebraic fast path → native ``agg()`` (partial agg = combiner)."""
+        self._agg_exprs = list(exprs)
+        return self
+
+    # -- validation (eager, mirrors reference builder errors) --------------
+    def _validate(self) -> None:
+        if not self._inputs:
+            raise PlanError("no inputs declared")
+        if not self._group_by:
+            raise PlanError("no group-by declared")
+        for inp in self._inputs:
+            for gf in self._group_by:
+                try:
+                    canonical = inp.schema.resolve(gf)
+                except SchemaError as exc:
+                    raise PlanError(
+                        f"group-by field {gf!r} missing from schema {inp.schema.name!r}"
+                    ) from exc
+                dtype = inp.schema.field(canonical).dtype
+                ref_dtype = self._inputs[0].schema.field(
+                    self._inputs[0].schema.resolve(gf)
+                ).dtype
+                if dtype != ref_dtype:
+                    raise PlanError(
+                        f"group-by field {gf!r} type mismatch across schemas: "
+                        f"{ref_dtype.simpleString()} vs {dtype.simpleString()}"
+                    )
+        if self._order_by is not None and not self._order_by.starts_with(self._group_by):
+            # ref: group-by must be a prefix of common order
+            # (P/tuplemr/TupleMRConfigBuilder.java:282-288)
+            prefix = set(self._order_by.field_names[: len(self._group_by)])
+            if prefix != set(self._group_by):
+                raise PlanError(
+                    "common order-by must start with the group-by fields "
+                    f"(group={self._group_by}, order={self._order_by.field_names})"
+                )
+        if self._rollup_from is not None:
+            if self._rollup_from not in self._group_by:
+                raise PlanError(
+                    f"rollup-from field {self._rollup_from!r} must be one of the "
+                    f"group-by fields {self._group_by}"
+                )
+        n_strategies = sum(
+            1 for s in (self._reducer, self._rollup_reducer, self._agg_exprs) if s is not None
+        )
+        if n_strategies != 1:
+            raise PlanError("declare exactly one of: reducer, rollup reducer, aggregate()")
+
+    # -- compilation -------------------------------------------------------
+    def _tagged_union(self) -> DataFrame:
+        """Union all conformed inputs with source tags.
+
+        Replaces the reference's common/specific schema split + schemaId
+        serialization (``P/tuplemr/SerializationInfo.java:268-328``): Spark's
+        columnar shuffle makes the layout optimization moot; semantically the
+        union-by-name with null-filled specific columns is identical.
+        """
+        tagged = []
+        for inp in self._inputs:
+            df = inp.df
+            # canonicalize group-by names via aliases so the union lines up
+            renames = {}
+            for gf in self._group_by:
+                canonical = inp.schema.resolve(gf)
+                if canonical != gf:
+                    renames[canonical] = gf
+            for old, new in renames.items():
+                df = df.withColumnRenamed(old, new)
+            tagged.append(
+                df.withColumn(SCHEMA_FIELD, F.lit(inp.schema.name)).withColumn(
+                    SOURCE_ORDER_FIELD, F.lit(inp.order_index)
+                )
+            )
+        out = tagged[0]
+        for df in tagged[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    def _intra_group_sort_elements(self) -> list[SortElement]:
+        """Sort keys applied inside each group (after the group prefix)."""
+        elements: list[SortElement] = []
+        if self._order_by is not None:
+            elements.extend(self._order_by.elements[len(self._group_by):])
+        for ob in self._specific_order_by.values():
+            # specific criteria apply after the source-order tie-break; a
+            # single combined stable sort keyed (common..., source, specific...)
+            # reproduces the reference ordering because specific fields are
+            # null outside their source.
+            elements.extend(ob.elements)
+        return elements
+
+    def _partition_fields(self) -> list[str]:
+        if self._custom_partition_fields:
+            return self._custom_partition_fields
+        if self._rollup_from is not None:
+            # partition on the rollup-base prefix so all levels co-locate
+            # (ref P/tuplemr/TupleMRConfig.java:239-252)
+            idx = self._group_by.index(self._rollup_from)
+            return self._group_by[: idx + 1] or self._group_by[:1]
+        return self._group_by
+
+    def to_dataframe(self) -> DataFrame:
+        self._validate()
+        if self._agg_exprs is not None:
+            df = self._tagged_union()
+            if self._rollup_from is not None:
+                # aggregate-form rollup → native rollup (one shuffle, Expand)
+                return df.rollup(*self._group_by).agg(*self._agg_exprs)
+            return df.groupBy(*self._group_by).agg(*self._agg_exprs)
+
+        union = self._tagged_union()
+        out_struct = self._output_schema.to_struct()
+        group_fields = list(self._group_by)
+        sort_elements = self._intra_group_sort_elements()
+        use_source_order = len(self._inputs) > 1
+
+        if self._rollup_reducer is not None:
+            return self._compile_rollup(union, out_struct)
+
+        reducer = self._reducer
+
+        def run_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            keys: list[SortElement] = []
+            if use_source_order:
+                keys.append(SortElement(SOURCE_ORDER_FIELD))
+            keys.extend(sort_elements)
+            pdf = _sort_pandas(pdf, keys)
+            collector = Collector()
+            reducer(key, pdf, collector)
+            return pd.DataFrame(collector.rows, columns=[f.name for f in out_struct.fields])
+
+        partition_fields = self._partition_fields()
+        if partition_fields != group_fields:
+            # custom partitioning: co-locate on the custom fields, then group
+            union = union.repartition(*[F.col(c) for c in partition_fields])
+        return union.groupBy(*group_fields).applyInPandas(run_group, schema=out_struct)
+
+    def _compile_rollup(self, union: DataFrame, out_struct: T.StructType) -> DataFrame:
+        """Callback-form rollup: one shuffle on the base prefix, then a sorted
+        pandas walk firing open/close at each level change.
+
+        Ordering contract matched against ``RollupReducer.run``
+        (``P/tuplemr/mapred/RollupReducer.java:129-202``): opens fire
+        outermost→innermost on the first tuple of each new prefix, closes fire
+        innermost→outermost on the last tuple before a prefix change, and all
+        trailing groups close after the final tuple (``:138-145``).
+        """
+        group_fields = list(self._group_by)
+        base_fields = self._partition_fields()
+        rollup_depth_start = len(base_fields)  # levels >= this open/close freely
+        sort_elements = [SortElement(g) for g in group_fields[len(base_fields):]]
+        sort_elements.extend(self._intra_group_sort_elements())
+        use_source_order = len(self._inputs) > 1
+        reducer = self._rollup_reducer
+        out_columns = [f.name for f in out_struct.fields]
+
+        def run_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            keys: list[SortElement] = list(sort_elements)
+            if use_source_order:
+                keys.insert(len(group_fields) - len(base_fields), SortElement(SOURCE_ORDER_FIELD))
+            pdf = _sort_pandas(pdf, keys)
+            collector = Collector()
+            n_levels = len(group_fields)
+            prev: dict | None = None
+            group_start = 0
+            for i in range(len(pdf)):
+                row = pdf.iloc[i].to_dict()
+                if prev is None:
+                    for depth in range(n_levels):
+                        reducer.on_open_group(depth, group_fields[depth], row, collector)
+                else:
+                    mismatch = None
+                    for depth in range(n_levels):
+                        if prev[group_fields[depth]] != row[group_fields[depth]]:
+                            mismatch = depth
+                            break
+                    if mismatch is not None:
+                        last = pdf.iloc[i - 1].to_dict()
+                        group = {g: last[g] for g in group_fields}
+                        reducer.on_group_elements(group, pdf.iloc[group_start:i], collector)
+                        for depth in range(n_levels - 1, mismatch - 1, -1):
+                            reducer.on_close_group(depth, group_fields[depth], last, collector)
+                        for depth in range(mismatch, n_levels):
+                            reducer.on_open_group(depth, group_fields[depth], row, collector)
+                        group_start = i
+                prev = row
+            if prev is not None:
+                last = pdf.iloc[len(pdf) - 1].to_dict()
+                group = {g: last[g] for g in group_fields}
+                reducer.on_group_elements(group, pdf.iloc[group_start:], collector)
+                for depth in range(n_levels - 1, -1, -1):
+                    reducer.on_close_group(depth, group_fields[depth], last, collector)
+            return pd.DataFrame(collector.rows, columns=out_columns)
+
+        return union.groupBy(*base_fields).applyInPandas(run_partition, schema=out_struct)

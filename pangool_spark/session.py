@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configuration
+keys are the ones that matter on a 1000-executor cluster (AQE, shuffle
+partitions, Arrow for the Pandas-UDF escape hatches, broadcast threshold).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for scale-out behavior, not just local green-ness:
+#  - AQE on: runtime partition coalescing + skew-join splitting replace the
+#    hand-tuning Pangool users did with setCustomPartitionFields.
+#  - Arrow on: every applyInPandas/mapInPandas escape hatch moves data in
+#    columnar batches, never row-at-a-time pickling.
+#  - shuffle.partitions is sized to cores locally; on a real cluster AQE
+#    coalesces from a high initial number, so correctness never depends on it.
+_DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.maxResultSize": "4g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "pangool_spark", **extra_confs: str) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    n_parallel = os.cpu_count() or 8
+    builder = builder.config("spark.sql.shuffle.partitions", str(n_parallel))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for key, value in {**_DEFAULT_CONFS, **extra_confs}.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine confs to an externally created session.
+
+    The verification driver hands us its own SparkSession; static confs
+    (memory, master) are out of our hands but SQL confs are not.
+    """
+    for key in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.session.timeZone",
+    ):
+        try:
+            spark.conf.set(key, _DEFAULT_CONFS[key])
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark

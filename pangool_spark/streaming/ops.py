@@ -1,0 +1,114 @@
+"""Streaming operators (extension; no reference counterpart — SURVEY §2.11).
+
+Modeled on the driver's ``events`` fixture table
+(event_id, ts, user_id, event_type, value, props). Each operator works on
+both a streaming DataFrame (from ``read_stream``) and a batch DataFrame with
+identical semantics, so the oracle checks run the batch path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-based stream source (parquet/json/csv directory).
+
+    ``maxFilesPerTrigger`` bounds per-micro-batch work — the knob that keeps
+    backfill over a 100 TB directory from becoming one giant batch.
+    """
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(schema if isinstance(schema, T.StructType) else T._parse_datatype_string(schema))
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    return reader.load(path)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling/sliding window aggregate with late-data watermark.
+
+    On a stream the watermark bounds state: windows older than it are
+    finalized and evicted. On a batch frame the same expression computes the
+    identical grouped result (watermark is a no-op), which is how the oracle
+    verifies it.
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide or window_duration)
+    grouped = df.groupBy(win.alias("window"), *[F.col(k) for k in keys])
+    return grouped.agg(*aggs).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in _agg_names(aggs)],
+    )
+
+
+def _agg_names(aggs: Sequence[Column]) -> list[str]:
+    names = []
+    for c in aggs:
+        # Column alias is the last name component of the expression
+        names.append(c._jc.toString().split(" AS ")[-1].strip("`"))
+    return names
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge.
+
+    Streaming path: native ``session_window`` (state-store backed, watermark
+    evicts closed sessions). Batch path: same expression.
+    Output: (user_id, session_start, session_end, n_events, total_value).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("s"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame, keys: Sequence[str] = ("event_id",), ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once event dedup within the watermark horizon.
+
+    ``dropDuplicates`` on a stream keeps per-key state; the watermark bounds
+    it (keys older than the horizon are forgotten — the standard trade).
+    """
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))

@@ -1,0 +1,198 @@
+"""JobBuilder end-to-end parity with the reference's example corpus
+(fixtures from FIXTURES.md; cites EX/ = examples/src/main/java/.../examples/)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.orderby import OrderBy
+from pangool_spark.plans import JobBuilder, MapOnlyJobBuilder, PlanError, RollupReducer
+from pangool_spark.schema import Fields, Schema, with_aliases
+
+
+# --- TopicalWordCount (EX/topicalwordcount/TopicalWordCount.java:52-102;
+# fixture TestTopicalWordCount.java:87-107) ---------------------------------
+def test_topical_wordcount_algebraic(spark):
+    docs = spark.createDataFrame(
+        [("foo bar bar", 1), ("foo blah bloh", 1), ("bar bar bor", 2)],
+        "text STRING, topicId INT",
+    )
+    tokens = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word"), F.col("topicId").alias("topic")
+    )
+    jb = (
+        JobBuilder(spark, "wordcount")
+        .add_input(tokens, "word:string,topic:int")
+        .set_group_by("topic", "word")
+        .aggregate(F.count(F.lit(1)).alias("count"))
+    )
+    got = {(r.topic, r.word): r["count"] for r in jb.to_dataframe().collect()}
+    assert got == {
+        (1, "foo"): 2,
+        (1, "bar"): 2,
+        (1, "blah"): 1,
+        (1, "bloh"): 1,
+        (2, "bar"): 2,
+        (2, "bor"): 1,
+    }
+
+
+# --- SecondarySort (EX/secondarysort/SecondarySort.java:45-132) ------------
+def test_secondary_sort_reducer_sees_sorted_rows(spark):
+    rows = [
+        (1, "a", 30, 3.0),
+        (1, "a", 10, 1.0),
+        (1, "a", 20, 2.0),
+        (2, "b", 5, 9.0),
+        (1, "c", 7, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "intField INT, strField STRING, longField LONG, doubleField DOUBLE"
+    )
+
+    def reduce_fn(key, pdf, collector):
+        # rows must arrive sorted by longField ASC within the group
+        assert list(pdf["longField"]) == sorted(pdf["longField"])
+        collector.write(
+            {
+                "intField": int(pdf["intField"].iloc[0]),
+                "strField": str(pdf["strField"].iloc[0]),
+                "first_long": int(pdf["longField"].iloc[0]),
+                "total": float(pdf["doubleField"].sum()),
+            }
+        )
+
+    jb = (
+        JobBuilder(spark, "secondary_sort")
+        .add_input(df, "intField:int,strField:string,longField:long,doubleField:double")
+        .set_group_by("intField", "strField")
+        .set_order_by("intField:asc,strField:asc,longField:asc")
+        .set_reducer(reduce_fn, "intField:int,strField:string,first_long:long,total:double")
+    )
+    got = {(r.intField, r.strField): (r.first_long, r.total) for r in jb.to_dataframe().collect()}
+    assert got == {(1, "a"): (10, 6.0), (2, "b"): (5, 9.0), (1, "c"): (7, 4.0)}
+
+
+# --- UrlResolution co-group join w/ aliases (EX/urlresolution/UrlResolution.java:46-119)
+def test_url_resolution_cogroup(spark):
+    url_map = spark.createDataFrame(
+        [("http://a", "http://A"), ("http://b", "http://B")],
+        "nonCanonicalUrl STRING, canonicalUrl STRING",
+    )
+    registers = spark.createDataFrame(
+        [("http://a", 20, "ip2"), ("http://a", 10, "ip1"), ("http://c", 5, "ip3")],
+        "url STRING, timestamp LONG, ip STRING",
+    )
+    map_fields = Fields.parse("url:string,canonicalUrl:string?")
+    map_schema = Schema("urlMap", [with_aliases(map_fields[0], "nonCanonicalUrl"), map_fields[1]])
+
+    def resolve(key, pdf, collector):
+        canon = None
+        maps = pdf[pdf["__schema__"] == "urlMap"]
+        if len(maps):
+            canon = maps["canonicalUrl"].iloc[0]
+        regs = pdf[pdf["__schema__"] == "urlRegister"]
+        for _, r in regs.iterrows():
+            collector.write(
+                {
+                    "url": canon if canon is not None else r["url"],
+                    "timestamp": int(r["timestamp"]),
+                    "ip": r["ip"],
+                }
+            )
+
+    jb = (
+        JobBuilder(spark, "urlresolution")
+        .add_input(url_map, map_schema)
+        .add_input(registers, Schema.parse("urlRegister", "url:string,timestamp:long?,ip:string?"))
+        .set_group_by("url")
+        .set_specific_order_by("urlRegister", "timestamp:asc")
+        .set_reducer(resolve, "url:string,timestamp:long,ip:string")
+    )
+    got = [(r.url, r.timestamp, r.ip) for r in jb.to_dataframe().orderBy("timestamp").collect()]
+    assert got == [("ip3-url" and "http://c", 5, "ip3"), ("http://A", 10, "ip1"), ("http://A", 20, "ip2")]
+
+
+# --- Rollup callbacks (TestRollup.java event-sequence parity) --------------
+class EventRecorder(RollupReducer):
+    def on_open_group(self, depth, field, row, collector):
+        collector.write({"event": f"OPEN {depth} {row[field]}"})
+
+    def on_close_group(self, depth, field, row, collector):
+        collector.write({"event": f"CLOSE {depth} {row[field]}"})
+
+    def on_group_elements(self, group, rows, collector):
+        for _, r in rows.iterrows():
+            collector.write({"event": f"ELEM {r['a']}-{r['b']}"})
+
+
+def test_rollup_open_close_sequence(spark):
+    # one base partition (a=1) with two sub-groups b=1,b=2 → the reference
+    # fires: OPEN a, OPEN b(1), elems, CLOSE b(1), OPEN b(2), elems,
+    # CLOSE b(2), CLOSE a  (RollupReducer.java:129-202, trailing closes :138-145)
+    df = spark.createDataFrame([(1, 1), (1, 1), (1, 2)], "a INT, b INT")
+    jb = (
+        JobBuilder(spark, "rollup")
+        .add_input(df, "a:int,b:int")
+        .set_group_by("a", "b")
+        .set_rollup_from("a")
+        .set_rollup_reducer(EventRecorder(), "event:string")
+    )
+    events = [r.event for r in jb.to_dataframe().collect()]
+    assert events == [
+        "OPEN 0 1",
+        "OPEN 1 1",
+        "ELEM 1-1",
+        "ELEM 1-1",
+        "CLOSE 1 1",
+        "OPEN 1 2",
+        "ELEM 1-2",
+        "CLOSE 1 2",
+        "CLOSE 0 1",
+    ]
+
+
+# --- builder validation (TestConfigBuilder layer) --------------------------
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1, "x")], "a INT, b STRING")
+    jb = JobBuilder(spark).add_input(df, "a:int,b:string")
+    with pytest.raises(PlanError):
+        jb.to_dataframe()  # no group-by
+    jb.set_group_by("zzz")
+    with pytest.raises(PlanError):
+        jb.aggregate(F.count(F.lit(1)).alias("c")).to_dataframe()  # missing field
+
+    jb2 = (
+        JobBuilder(spark)
+        .add_input(df, "a:int,b:string")
+        .set_group_by("a")
+        .set_order_by("b:asc,a:asc")  # group-by not a prefix
+        .aggregate(F.count(F.lit(1)).alias("c"))
+    )
+    with pytest.raises(PlanError):
+        jb2.to_dataframe()
+
+
+def test_group_by_type_mismatch_across_schemas(spark):
+    d1 = spark.createDataFrame([(1,)], "k INT")
+    d2 = spark.createDataFrame([("x",)], "k STRING")
+    jb = (
+        JobBuilder(spark)
+        .add_input(d1, "k:int")
+        .add_input(d2, "k:string")
+        .set_group_by("k")
+        .aggregate(F.count(F.lit(1)).alias("c"))
+    )
+    with pytest.raises(PlanError):
+        jb.to_dataframe()
+
+
+# --- map-only (EX/Grep.java:40-80) -----------------------------------------
+def test_map_only_grep(spark):
+    lines = spark.createDataFrame([("foo",), ("bar",), ("foobar",)], "value STRING")
+    job = MapOnlyJobBuilder(spark).add_input(lines, lambda df: df.filter(F.col("value").rlike("foo")))
+    got = sorted(r.value for r in job.to_dataframe().collect())
+    assert got == ["foo", "foobar"]
+    # shuffle-free: the physical plan must contain no Exchange
+    plan = job.to_dataframe()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

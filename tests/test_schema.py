@@ -1,0 +1,106 @@
+"""Schema/Fields tests — mirrors reference TestSchema/TestMutator/
+TestConfigParsing layers (SURVEY §5.1-5.2)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from pangool_spark.schema import Field, Fields, Schema, SchemaError
+
+
+def test_fields_parse_basic():
+    fields = Fields.parse("name:string,age:int?,weight:float")
+    assert [f.name for f in fields] == ["name", "age", "weight"]
+    assert fields[0].dtype == T.StringType() and not fields[0].nullable
+    assert fields[1].dtype == T.IntegerType() and fields[1].nullable
+    assert fields[2].dtype == T.FloatType()
+
+
+def test_fields_parse_extended_types():
+    fields = Fields.parse("tags:array<string>,score:double,when:timestamp,raw:bytes?")
+    assert fields[0].dtype == T.ArrayType(T.StringType())
+    assert fields[1].dtype == T.DoubleType()
+    assert fields[2].dtype == T.TimestampType()
+    assert fields[3].dtype == T.BinaryType() and fields[3].nullable
+
+
+def test_enum_field():
+    (f,) = Fields.parse("status:enum(OPEN|CLOSED)?")
+    assert f.is_enum and f.enum_domain == ("OPEN", "CLOSED") and f.nullable
+    assert f.dtype == T.StringType()
+
+
+def test_schema_duplicate_field_rejected():
+    with pytest.raises(SchemaError):
+        Schema.parse("s", "a:int,a:string")
+
+
+def test_schema_roundtrip_json():
+    s = Schema.parse("user", "name:string,age:int?,status:enum(A|B)")
+    s2 = Schema.from_json(s.to_json())
+    assert s2 == s
+    assert s2.field("status").enum_domain == ("A", "B")
+
+
+def test_schema_to_struct_and_back():
+    s = Schema.parse("user", "name:string,age:int?")
+    struct = s.to_struct()
+    assert struct == T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.IntegerType(), True),
+        ]
+    )
+    assert Schema.from_struct("user", struct) == s
+
+
+def test_mutator_algebra():
+    s = Schema.parse("s", "a:int,b:string,c:double?")
+    assert s.minus_fields("b").field_names == ["a", "c"]
+    assert s.subset_of("sub", "c", "a").field_names == ["c", "a"]
+    other = Schema.parse("t", "c:double?,d:long")
+    assert s.joint(other).field_names == ["a", "b", "c", "d"]
+
+
+def test_conform_evolution(spark):
+    # read-schema vs target-schema: missing field defaulted, extra dropped,
+    # type cast (ref SimpleTupleDeserializer.java:87-110,170-173)
+    df = spark.createDataFrame([(1, "x", 99)], "a INT, b STRING, zzz INT")
+    target = Schema(
+        "t",
+        [
+            Field("a", T.LongType()),
+            Field("b", T.StringType()),
+            Field("d", T.IntegerType(), nullable=True, default=7),
+        ],
+    )
+    out = target.conform(df)
+    assert out.columns == ["a", "b", "d"]
+    row = out.collect()[0]
+    assert row.a == 1 and row.b == "x" and row.d == 7
+    assert dict(out.dtypes)["a"] == "bigint"
+
+
+def test_conform_missing_non_nullable_raises(spark):
+    df = spark.createDataFrame([(1,)], "a INT")
+    target = Schema.parse("t", "a:int,b:string")
+    with pytest.raises(SchemaError):
+        target.conform(df)
+
+
+def test_alias_resolution(spark):
+    from pangool_spark.schema import with_aliases
+
+    base = Fields.parse("url:string,ts:long")
+    s = Schema("regs", [with_aliases(base[0], "nonCanonicalUrl"), base[1]])
+    assert s.resolve("nonCanonicalUrl") == "url"
+    df = spark.createDataFrame([("http://a", 1)], "nonCanonicalUrl STRING, ts LONG")
+    out = s.conform(df)
+    assert out.columns == ["url", "ts"]
+
+
+def test_enum_check_nulls_out_of_domain(spark):
+    s = Schema.parse("t", "k:int,status:enum(A|B)?")
+    df = spark.createDataFrame([(1, "A"), (2, "Z")], "k INT, status STRING")
+    out = s.check_enums(s.conform(df), strict=False)
+    vals = {r.k: r.status for r in out.collect()}
+    assert vals == {1: "A", 2: None}
