@@ -210,19 +210,24 @@ def simhash(
         )
         .withColumn("h", F.xxhash64("token"))
     )
+    def bitmask(b: int) -> int:
+        # bit 63 of a signed 64-bit long is the sign bit: 1<<63 overflows
+        # LongType, so use its two's-complement value.
+        return (1 << b) if b < 63 else -(1 << 63)
+
     bit_sums = tokens.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(F.lit(bitmask(b))) != 0, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(bits)
         ]
     )
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(F.col(f"b{b}") > 0, F.lit(bitmask(b))).otherwise(F.lit(0))
         fp = term if fp is None else fp.bitwiseOR(term)
-    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+    return bit_sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 def simhash_pairs(
@@ -282,13 +287,14 @@ def embedding_cosine_dups(
     join on normalized vectors. For the scale path use
     ``similarity.lsh_cosine_pairs`` (random-hyperplane buckets).
     """
-    from pangool_spark.operators.similarity import _normalized, _dot
+    from pangool_spark.operators.similarity import _dot_udf, _normalized
 
     v = _normalized(emb, id_col, vec_col)
     a = v.select(F.col(id_col).alias("id_a"), F.col("__norm_vec__").alias("va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("__norm_vec__").alias("vb"))
+    dot = _dot_udf()
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _dot("va", "vb").alias("cosine"))
+        .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

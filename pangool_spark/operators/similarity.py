@@ -27,6 +27,18 @@ def _dot(a, b) -> Column:
     )
 
 
+def _dot_udf():
+    """Vectorized (Arrow/numpy) dot product over two array columns.
+
+    Spark's higher-order-function fold is interpreted per element — fine for
+    a handful of rows, ~100× too slow for pair joins. The pandas UDF moves
+    whole Arrow batches into numpy and does one einsum per batch.
+    """
+    from pangool_spark.operators._udfs import dot_udf
+
+    return dot_udf
+
+
 def _norm(v) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -65,24 +77,55 @@ def knn_bruteforce(
     Output: (query_id, neighbor_id, rank) — rank 1..k by cosine DESC,
     neighbor id ASC tie-break (deterministic).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     qid = query_id_col or id_col
     c = _normalized(corpus, id_col, vec_col).withColumnRenamed("__norm_vec__", "vc")
-    q = (
-        _normalized(queries, qid, vec_col)
-        .withColumnRenamed("__norm_vec__", "vq")
-        .withColumnRenamed(qid, "query_id")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            _dot("vq", "vc").alias("cosine"),
+    q_local = _normalized(queries, qid, vec_col).collect()
+    if not q_local:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank INT"
         )
+    q_ids = np.array([r[0] for r in q_local], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_local])
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
     )
+
+    def score_partition(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["vc"].to_numpy())
+            # (corpus_batch × dim) @ (dim × n_queries) — one BLAS call
+            scores = c_mat @ mat.T
+            # per-query partial top-k within this batch bounds shuffle width
+            kk = min(k + 1, len(c_ids))
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j in range(len(ids)):
+                for i in top[:, j]:
+                    if c_ids[i] != ids[j]:
+                        rows["query_id"].append(ids[j])
+                        rows["neighbor_id"].append(c_ids[i])
+                        rows["cosine"].append(scores[i, j])
+            yield pd.DataFrame(rows)
+
+    partial = c.mapInPandas(score_partition, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -153,10 +196,11 @@ def lsh_cosine_pairs(
     candidates = candidates.distinct()
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__norm_vec__").alias("va"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__norm_vec__").alias("vb"))
+    dot = _dot_udf()
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", _dot("va", "vb").alias("cosine"))
+        .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -1,0 +1,908 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the training-data
+extensions) as a (spark, sf_dir) → DataFrame callable with a matching DuckDB
+oracle SQL string.
+
+Determinism contract (driver hash-compares values vs DuckDB at sf0.01):
+
+- Floating sums/averages are computed as EXACT decimal sums (order-
+  independent — a double sum depends on Spark's nondeterministic reduction
+  order) cast to double at the boundary; the oracle does the identical
+  decimal arithmetic, so values are bit-equal.
+- Every computed column is aliased identically on both sides.
+- Ranked outputs always carry an id tie-break.
+- ``events.ts`` is parquet TIMESTAMP(NANOS): ``data.load_table`` truncates to
+  microseconds exactly like DuckDB's read does.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pangool_spark.data import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _dsum(col, scale: int = 2):
+    """Order-independent sum of a double column → double (see module doc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+_NORM_SPARK = lambda col: F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))  # noqa: E731
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping & aggregation
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           {_sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           {_sql_dsum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {_sql_dsum('l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the reference's grouped-aggregate pattern
+    (EX/topicalwordcount sum-count, SURVEY §2.4) on lineitem. Filter is pushed
+    to the parquet scan; aggregation is partial+final hash agg (the map-side
+    combiner the reference hand-built, P/tuplemr/mapred/SimpleCombiner.java)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (_dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (_dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "wordcount",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+      FROM documents
+    )
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship example: tokenize + grouped count
+    (EX/topicalwordcount/TopicalWordCount.java:52-102)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-form rollup — ONE shuffle for every prefix level, the
+    reference's single-pass RollupReducer (P/tuplemr/mapred/RollupReducer.java:
+    129-202) as Spark's native Expand+HashAggregate."""
+    from pangool_spark.operators import rollup_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets cube — absent in the reference (SURVEY §2.4 'free
+    upgrade')."""
+    from pangool_spark.operators import cube_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cube_agg(orders, ["o_orderstatus", "o_orderpriority"], F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "distinct_parts_per_flag",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (reference: group-by-with-no-payload idiom,
+    SURVEY §2.4 'distinct')."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "secondary_sort_orders",
+    """
+    SELECT l_orderkey, n_lines, first_ship, last_ship, sum_qty FROM (
+      SELECT l_orderkey,
+             COUNT(*) OVER w_all AS n_lines,
+             first_value(l_shipdate) OVER w_ord AS first_ship,
+             last_value(l_shipdate) OVER (w_ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS last_ship,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w_all AS DOUBLE) AS sum_qty,
+             row_number() OVER w_ord AS rn
+      FROM lineitem
+      WINDOW w_all AS (PARTITION BY l_orderkey),
+             w_ord AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_shipdate)
+    ) WHERE rn = 1
+    """,
+)
+def secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General pandas reducer with secondary sort — the TupleReducer contract
+    (P/tuplemr/TupleReducer.java:38-99; EX/secondarysort/SecondarySort.java):
+    rows arrive sorted by (l_linenumber, l_shipdate) within each l_orderkey
+    group (shipdate tie-break: linenumber is NOT unique within an order in
+    the synthetic data)."""
+    import pandas as pd
+
+    from pangool_spark.plans import JobBuilder
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def reduce_fn(key, pdf, collector):
+        collector.write(
+            {
+                "l_orderkey": int(key[0]),
+                "n_lines": len(pdf),
+                "first_ship": pdf["l_shipdate"].iloc[0],
+                "last_ship": pdf["l_shipdate"].iloc[-1],
+                "sum_qty": float(
+                    sum(__import__("decimal").Decimal(str(round(q, 2))) for q in pdf["l_quantity"])
+                ),
+            }
+        )
+
+    jb = (
+        JobBuilder(spark, "secondary_sort_orders")
+        .add_input(
+            li,
+            "l_orderkey:long,l_linenumber:int,l_shipdate:timestamp,l_quantity:double",
+        )
+        .set_group_by("l_orderkey")
+        .set_order_by("l_orderkey:asc,l_linenumber:asc,l_shipdate:asc")
+        .set_reducer(
+            reduce_fn,
+            "l_orderkey:long,n_lines:long,first_ship:timestamp,last_ship:timestamp,sum_qty:double",
+        )
+    )
+    return jb.to_dataframe()
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+
+@query(
+    "customer_order_stats",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           COALESCE({_sql_dsum('o.o_totalprice')}, 0.0) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregate — the UrlResolution co-group shape
+    (EX/urlresolution/UrlResolution.java:46-119) compiled to a native join:
+    Catalyst broadcasts the small side automatically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join + aggregate + global top-k (TPC-H Q3 shape). Broadcast
+    dims, single shuffle on the agg key, TakeOrderedAndProject for the limit."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "cogroup_nation_region",
+    """
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def cogroup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general co-group primitive (cogroup().applyInPandas) — the
+    reference's M-schema reduce-side join engine (SURVEY §2.5,
+    P/tuplemr/mapred/SimpleReducer.java:119-126) for per-key merge logic no
+    equi-join expresses. Here the logic IS an inner join, proving parity."""
+    import pandas as pd
+
+    from pangool_spark.operators import cogroup_join
+
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed("n_regionkey", "rk")
+    r = load_table(spark, sf_dir, "region").withColumnRenamed("r_regionkey", "rk")
+
+    def merge(key, left, right):
+        if not len(left) or not len(right):
+            return pd.DataFrame({"n_name": [], "r_name": []})
+        out = left[["n_name"]].merge(right[["r_name"]], how="cross")
+        return out
+
+    return cogroup_join(n, r, ["rk"], merge, "n_name:string,r_name:string")
+
+
+@query(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join — expressible-but-absent in the reference (SURVEY §2.5)."""
+    from pangool_spark.operators import semi_join
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (SURVEY §2.5)."""
+    from pangool_spark.operators import anti_join
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@query(
+    "set_ops_custkeys",
+    """
+    SELECT * FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+      INTERSECT
+      SELECT o_custkey AS k FROM orders
+    )
+    EXCEPT
+    SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING COUNT(*) > 15
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT — absent as reference primitives (SURVEY §2.9)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 1000).select(F.col("c_custkey").alias("k"))
+    with_orders = o.select(F.col("o_custkey").alias("k"))
+    heavy = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 15)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    return rich.intersect(with_orders).subtract(heavy)
+
+
+# ---------------------------------------------------------------------------
+# §2.6/2.7 sort / top-k / windows
+
+@query(
+    "grep_parts",
+    """
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%s%e%'
+    """,
+)
+def grep_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only filter (EX/Grep.java:40-80) — narrow plan, predicate pushed
+    into the parquet scan."""
+    from pangool_spark.plans import MapOnlyJobBuilder
+
+    p = load_table(spark, sf_dir, "part")
+    job = MapOnlyJobBuilder(spark).add_input(
+        p, lambda df: df.filter(F.col("p_name").like("%s%e%")).select("p_partkey", "p_name")
+    )
+    return job.to_dataframe()
+
+
+@query(
+    "topk_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (EX/topnhashtags heap → window rank; SURVEY §2.6).
+    Spark plants a WindowGroupLimit heap below the shuffle."""
+    from pangool_spark.operators import top_k
+
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "top_words_per_lang",
+    """
+    SELECT lang, word, cnt FROM (
+      SELECT lang, word, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rn
+      FROM (
+        SELECT lang, word, COUNT(*) AS cnt FROM (
+          SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+          FROM documents
+        ) GROUP BY lang, word
+      )
+    ) WHERE rn <= 3
+    """,
+)
+def top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopicFingerprint parity (EX/topicalwordcount/TopicFingerprint.java:
+    45-127): top-n tokens per topic from the word counts."""
+    from pangool_spark.operators import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return top_k(
+        counts, ["lang"], [F.col("cnt").desc(), F.col("word").asc()], 3
+    ).select("lang", "word", "cnt")
+
+
+@query(
+    "moving_avg_events",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS mov_avg
+    FROM events
+    """,
+)
+def moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average (EX/movingaverage/MovingAverage.java:51-137) as a
+    native window frame — trailing 3 rows per user ordered by time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("mov_avg"),
+    )
+
+
+@query(
+    "normalize_user_activity",
+    f"""
+    SELECT user_id, event_type,
+           {_sql_dsum('value', 6)} AS type_total,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(SUM(CAST(value AS DECIMAL(18,6)))) OVER (PARTITION BY user_id) AS DOUBLE)
+             AS share
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def normalize_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization by group total (EX/useractivitynormalizer/
+    UserActivityNormalizer.java:46-153): per (user, event_type) share of the
+    user's total — the reference needed a double-emit + rollup sort trick;
+    here it's an agg + window division."""
+    from pangool_spark.operators import normalize_by_group_total
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("type_total_dec")
+    )
+    out = normalize_by_group_total(per_type, ["user_id"], "type_total_dec", out_col="share_dec")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("type_total_dec").cast("double").alias("type_total"),
+        # decimal/decimal division reproduced as double/double on both sides
+        (
+            F.col("type_total_dec").cast("double")
+            / F.sum("type_total_dec").over(Window.partitionBy("user_id")).cast("double")
+        ).alias("share"),
+    )
+
+
+@query(
+    "lead_lag_events",
+    """
+    SELECT event_id, user_id, value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag,
+           lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead
+    FROM events
+    """,
+)
+def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag — Spark-superset window functions (SURVEY §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("value_lag"),
+        F.lead("value", 1).over(w).alias("value_lead"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming shapes (batch-verified; SURVEY §2.11 extension)
+
+@query(
+    "windowed_agg_events",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {_sql_dsum('value', 6)} AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def windowed_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate — identical expression serves the
+    Structured-Streaming path (pangool_spark.streaming.windowed_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           {_sql_dsum('value', 6)} AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — native session_window; the
+    oracle reproduces Spark's semantics (session end = last event + gap,
+    strict-< merge) via gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", 6).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (extension layer)
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM_SQL}) AS digest,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content digest; only
+    16-byte digests shuffle, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_NORM_SPARK("text")).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
+      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE least(sa.n_sh, sb.n_sh) >= 0.2 * greatest(sa.n_sh, sb.n_sh)
+      AND CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.2 via inverted-index equi-join
+    with size-ratio pruning — never materializes O(n²)."""
+    from pangool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+@query("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
+    Jaccard ≥ 0.35. Rows-only check: the hash family (xxhash64) has no DuckDB
+    equivalent; correctness is pinned by tests/test_dedup.py against
+    planted near-duplicates."""
+    from pangool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.35)
+
+
+@query("simhash_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole block join.
+    Rows-only check (hash family not portable); semantics pinned in tests."""
+    from pangool_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3, blocks=4)
+
+
+@query(
+    "embedding_cosine_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, cosine ≥ 0.4 (brute-force verify path;
+    threshold sits below the fixture's max pair cosine ≈0.48 so the result is
+    non-empty). The reported cosine is rounded to 6 decimals on both sides —
+    numpy's vectorized accumulation and DuckDB's sequential fold differ in
+    the last ulp."""
+    from pangool_spark.operators.dedup import embedding_cosine_dups as _op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _op(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (extension layer)
+
+@query(
+    "knn_bruteforce",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for queries vec_id<10 — broadcast the
+    query set, window-rank with id tie-break."""
+    from pangool_spark.operators.similarity import knn_bruteforce as _knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return _knn(emb, queries_df, k=5)
+
+
+@query("lsh_cosine_pairs")  # no SQL oracle: hyperplane family not portable
+def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-pair search (cosine ≥ 0.4 verified exactly on
+    candidates) — the scale path for all-pairs similarity; approximate by
+    design (bucket collisions gate the candidate set), hence rows-only check;
+    recall vs brute force pinned in tests/test_similarity.py."""
+    from pangool_spark.operators.similarity import lsh_cosine_pairs as _op
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _op(emb, dim=64, threshold=0.4, n_planes=8, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (extension layer)
+
+@query(
+    "token_stats_docs",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (extension layer)."""
+    from pangool_spark.operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs)
+
+
+@query(
+    "fingerprint_docs",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    from pangool_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+def _lang_id_oracle() -> str:
+    from pangool_spark.operators.text import _LANG_MARKERS
+
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in markers)
+        scores.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> x IN ({lst}))) AS score FROM t"
+        )
+    union = " UNION ALL ".join(scores)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS ({union})
+    SELECT doc_id,
+           CASE WHEN max(score) FILTER (WHERE rn = 1) > 0
+                THEN max(lang) FILTER (WHERE rn = 1) ELSE 'und' END AS lang_pred
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang DESC) AS rn
+      FROM scored
+    ) GROUP BY doc_id
+    """
+
+
+@query("lang_id_docs", _lang_id_oracle())
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (deterministic argmax, ties → larger
+    lang code, no markers → 'und')."""
+    from pangool_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+@query(
+    "quality_scores_docs",
+    None,  # set below (long string built from the same constants)
+)
+def quality_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length/space/stopword/alpha/upper ratios."""
+    from pangool_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+def _quality_oracle() -> str:
+    from pangool_spark.operators.text import _EN_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS space_ratio,
+           CAST(len(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS upper_ratio
+    FROM t
+    """
+
+
+ORACLES["quality_scores_docs"] = _quality_oracle()
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (extension layer; rows-only — not SQL-expressible)
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column media pipeline: build (media_id, payload=utf8 bytes of
+    text) from documents, run the Arrow-batched fake decode+featurize
+    (real codecs are stubbed — see operators/multimodal.py), emit
+    (media_id, mean_intensity). Deterministic; rows-only check."""
+    from pangool_spark.operators.multimodal import decode_and_featurize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = decode_and_featurize_images(media, fake=True)
+    return out.select("media_id", "mean_intensity")
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The entry() query: Q1 pricing summary at sf0.001."""
+    return q1_pricing_summary(spark, sf_dir)

@@ -42,16 +42,17 @@ def windowed_agg(
     aggs: Sequence[Column],
     keys: Sequence[str] = (),
     slide: str | None = None,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Event-time tumbling/sliding window aggregate with late-data watermark.
 
     On a stream the watermark bounds state: windows older than it are
     finalized and evicted. On a batch frame the same expression computes the
     identical grouped result (watermark is a no-op), which is how the oracle
-    verifies it.
+    verifies it. ``watermark=None`` skips setting one (an upstream op may
+    already have).
     """
-    if df.isStreaming:
+    if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window_duration, slide or window_duration)
     grouped = df.groupBy(win.alias("window"), *[F.col(k) for k in keys])
@@ -76,15 +77,17 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap: str = "30 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
 ) -> DataFrame:
     """Session windows per user: events within ``gap`` of each other merge.
 
     Streaming path: native ``session_window`` (state-store backed, watermark
     evicts closed sessions). Batch path: same expression.
     Output: (user_id, session_start, session_end, n_events, total_value).
+    ``watermark=None`` skips setting one (required when an upstream operator
+    like ``stream_dedup`` already set it — Spark forbids redefining it).
     """
-    if df.isStreaming:
+    if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     sw = F.session_window(F.col(ts_col), gap)
     return (

@@ -1,0 +1,80 @@
+"""Dedup operator semantics on planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark engines and parquet files"),
+        (5, "THE   quick brown fox jumps over the lazy dog again and again today"),  # case/ws dup
+        (6, "short doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs):
+    out = exact_dedup(docs)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 1,2,5 collapse to 1; 3,4,6 survive
+    assert ids == [1, 3, 4, 6]
+
+
+def test_shingles_short_doc(docs):
+    sh = shingles(docs.filter(F.col("doc_id") == 6), n=3)
+    got = [r.shingle for r in sh.collect()]
+    assert got == ["short doc"]
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any({a, b} & {4} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # near dup: most shingles shared
+    assert not any({a, b} & {4} for a, b in pairs)
+
+
+def test_simhash_identical_for_dups(docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fps[1] == fps[2] == fps[5]
+
+
+def test_simhash_pairs_blocking(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+    assert (1, 4) not in pairs
+
+
+def test_embedding_cosine_dups(spark):
+    from pangool_spark.operators.dedup import embedding_cosine_dups
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_cosine_dups(emb, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,86 @@
+"""Source/sink parity tests (TupleTextInputFormat / TupleFile semantics —
+mirrors TestNullableCSVTokenizer / TestTupleInputOutputFormat layers)."""
+
+import os
+
+import pytest
+
+from pangool_spark.schema import Schema
+from pangool_spark.sources import (
+    read_csv,
+    read_fixed_width,
+    read_tuples,
+    write_csv,
+    write_tuples,
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_csv_roundtrip_with_nulls(spark, tmp):
+    path = os.path.join(tmp, "in.csv")
+    with open(path, "w") as f:
+        f.write("alice,30,1.5\nbob,\\N,2.5\n")
+    schema = Schema.parse("t", "name:string,age:int?,score:double")
+    df = read_csv(spark, path, schema)
+    rows = {r.name: (r.age, r.score) for r in df.collect()}
+    assert rows == {"alice": (30, 1.5), "bob": (None, 2.5)}
+
+    out = os.path.join(tmp, "out")
+    write_csv(df, out, header=True, null_string="\\N")
+    back = read_csv(spark, out, schema, header=True)
+    assert {r.name: (r.age, r.score) for r in back.collect()} == rows
+
+
+def test_csv_custom_sep_quote(spark, tmp):
+    path = os.path.join(tmp, "in.tsv")
+    with open(path, "w") as f:
+        f.write('x\t"a\tb"\t1\n')
+    schema = Schema.parse("t", "k:string,v:string,n:int")
+    df = read_csv(spark, path, schema, sep="\t")
+    r = df.collect()[0]
+    assert (r.k, r.v, r.n) == ("x", "a\tb", 1)
+
+
+def test_csv_field_selector(spark, tmp):
+    # FieldSelector: project columns 2 and 0 of the file onto the schema
+    path = os.path.join(tmp, "in.csv")
+    with open(path, "w") as f:
+        f.write("a,b,c,d\ne,f,g,h\n")
+    schema = Schema.parse("t", "third:string,first:string")
+    df = read_csv(spark, path, schema, field_selector=[2, 0])
+    rows = [(r.third, r.first) for r in df.collect()]
+    assert sorted(rows) == [("c", "a"), ("g", "e")]
+
+
+def test_fixed_width(spark, tmp):
+    path = os.path.join(tmp, "fw.txt")
+    with open(path, "w") as f:
+        f.write("alice 30\nbob   -1\n")
+    schema = Schema.parse("t", "name:string,age:int?")
+    df = read_fixed_width(spark, path, schema, [(0, 5), (6, 7)], null_string="-1")
+    rows = {r.name: r.age for r in df.collect()}
+    assert rows == {"alice": 30, "bob": None}
+
+
+def test_tuple_file_roundtrip_with_evolution(spark, tmp):
+    path = os.path.join(tmp, "tuples")
+    df = spark.createDataFrame([(1, "x")], "a INT, b STRING")
+    write_tuples(df, path)
+    # target schema adds nullable-with-default field (schema evolution)
+    target = Schema.parse("t", "a:int,b:string,c:long?")
+    back = read_tuples(spark, path, target_schema=target)
+    r = back.collect()[0]
+    assert (r.a, r.b, r.c) == (1, "x", None)
+
+
+def test_tuple_file_partitioned_named_outputs(spark, tmp):
+    path = os.path.join(tmp, "byflag")
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "x")], "n INT, tag STRING")
+    write_tuples(df, path, partition_by=["tag"])
+    assert {"tag=x", "tag=y"} <= set(os.listdir(path))
+    back = spark.read.parquet(path)
+    assert back.count() == 3

@@ -1,0 +1,79 @@
+"""Structured Streaming extension: the streaming path must produce the same
+results as the batch path (run a real micro-batch stream to completion)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.streaming import read_stream, sessionize, stream_dedup, windowed_agg
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    # two users; user 1 has two sessions (gap > 30 min)
+    return [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 2.0),
+        (3, "2024-01-01 11:30:00", 1, "view", 3.0),
+        (4, "2024-01-01 10:05:00", 2, "click", 4.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 2.0),  # duplicate event_id
+    ]
+
+
+@pytest.fixture(scope="module")
+def batch_df(spark, event_rows):
+    df = spark.createDataFrame(
+        event_rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@pytest.fixture(scope="module")
+def stream_source(spark, batch_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    batch_df.write.mode("overwrite").parquet(path)
+    return path, batch_df.schema
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_agg_stream_matches_batch(spark, batch_df, stream_source):
+    path, schema = stream_source
+    stream = read_stream(spark, path, schema)
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")]
+    got_stream = _run_stream_to_memory(
+        spark, windowed_agg(stream, "ts", "1 hour", aggs, keys=["user_id"]), "win_agg"
+    )
+    got_batch = windowed_agg(batch_df, "ts", "1 hour", aggs, keys=["user_id"])
+    assert sorted(map(tuple, got_stream.collect())) == sorted(map(tuple, got_batch.collect()))
+
+
+def test_sessionize_stream_matches_batch(spark, batch_df, stream_source):
+    path, schema = stream_source
+    dedup_batch = batch_df.dropDuplicates(["event_id"])
+    got_batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in sessionize(dedup_batch).collect()
+    }
+    # user 1: sessions [10:00-10:40] (2 events) and [11:30-12:00]
+    assert len(got_batch) == 3
+    stream = stream_dedup(read_stream(spark, path, schema))
+    got_stream = _run_stream_to_memory(spark, sessionize(stream, watermark=None), "sess")
+    assert {
+        (r.user_id, r.session_start, r.session_end): r.n_events for r in got_stream.collect()
+    } == got_batch
+
+
+def test_stream_dedup_batch_path(batch_df):
+    assert stream_dedup(batch_df).count() == 4

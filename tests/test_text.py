@@ -1,0 +1,59 @@
+"""Text-analysis operator semantics."""
+
+import pytest
+
+from pangool_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+    tokenize,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog in the yard"),
+        (2, "der hund und die katze sind nicht das problem"),
+        (3, "xyzzy plugh"),
+        (4, "Hello, world! 123 foo-bar"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_tokenize(docs):
+    toks = tokenize(docs.filter("doc_id = 3"))
+    assert sorted(r.word for r in toks.collect()) == ["plugh", "xyzzy"]
+
+
+def test_token_stats(docs):
+    row = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert row[3].n_tokens == 2
+    # "Hello, world! 123 foo-bar" → Hello , world ! 123 foo - bar
+    assert row[4].n_tokens == 4
+    assert row[4].n_bpe_tokens == 8
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_quality_score_ratios(docs):
+    row = {r.doc_id: r for r in quality_score(docs).collect()}
+    # "The quick brown fox and the lazy dog in the yard": 11 tokens,
+    # stopwords = the×3 + and + in = 5
+    assert row[1].stopword_ratio == pytest.approx(5 / 11)
+    assert 0 < row[1].space_ratio < 0.3
+    assert row[3].stopword_ratio == 0.0
+
+
+def test_fingerprint_stable_under_ws_case(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b\tC"), (2, "a b c"), (3, "abc")], "doc_id LONG, text STRING"
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
