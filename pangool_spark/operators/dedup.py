@@ -34,8 +34,13 @@ def shingles(
         F.sequence(F.lit(0), F.greatest(n_tokens - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
     )
+    # Spread the explode fan-out across the cluster BEFORE it happens: a
+    # compact source (few parquet files) otherwise runs the whole shingle
+    # generation in as many tasks as input splits.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -118,18 +123,52 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: array<long> of length ``num_hashes``.
 
-    Each permutation h_i(s) = xxhash64(shingle, seed=i); the signature element
-    is min over the doc's shingles — computed as a single groupBy with
-    ``num_hashes`` min() aggregates (one shuffle, map-side partials).
+    Hash family: universal hashing h_i(s) = (a_i·x + b_i) mod p over the
+    31-bit base hash x = xxhash64(shingle) & 0x7FFFFFFF, p = 2^31-1. One JVM
+    hash per shingle; all ``num_hashes`` permutations are ONE numpy
+    broadcasted matrix op per Arrow batch. The base-hash rows shuffle once
+    on the doc id (compact: two longs per shingle) so each doc's signature
+    is computed whole — no wide aggregate (whose codegen compiles
+    pathologically slowly), no 64× row blow-up.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(42)
+    p = np.int64((1 << 31) - 1)
+    a = rng.randint(1, p, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, p, size=num_hashes).astype(np.int64)
+
     sh = shingles(df, id_col, text_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    hashed = sh.select(
+        F.col(id_col), F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
     )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(batches):
+        # repartition(id) co-locates each doc's rows in one partition; the
+        # iterator may still split a doc across Arrow batches, so concat.
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        ids_out, sigs = [], []
+        for doc, grp in pdf.groupby(id_col, sort=False):
+            h = grp["h"].to_numpy(dtype=np.int64)
+            # (n_shingles × num_hashes): a*h+b fits int64 (31-bit × 31-bit)
+            perm = (h[:, None] * a[None, :] + b[None, :]) % p
+            ids_out.append(doc)
+            sigs.append(perm.min(axis=0).tolist())
+        yield pd.DataFrame({id_col: ids_out, "signature": sigs})
+
+    return hashed.repartition(n_parts, F.col(id_col)).mapInPandas(compute, schema=out_schema)
 
 
 def minhash_lsh_pairs(
@@ -155,6 +194,11 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # Materialize the signature cache eagerly: the banding join + estimate
+    # then plan against the short InMemoryRelation instead of one giant DAG
+    # (shingle explode → 64-agg → posexplode → self-join → zip_with), which
+    # Catalyst/AQE re-plans pathologically slowly in long-lived sessions.
+    sig.count()
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -173,7 +217,11 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .cache()
     )
+    # Materialize: AQE's broadcast-stage materialization re-executes uncached
+    # subtrees once per join stage otherwise.
+    candidates.count()
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.size(
@@ -201,8 +249,10 @@ def simhash(
     """
     if bits != 64:
         raise ValueError("only 64-bit simhash supported")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     tokens = (
-        df.select(
+        df.repartition(n_parts, F.col(id_col))
+        .select(
             F.col(id_col),
             F.explode(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -210,24 +260,40 @@ def simhash(
         )
         .withColumn("h", F.xxhash64("token"))
     )
-    def bitmask(b: int) -> int:
-        # bit 63 of a signed 64-bit long is the sign bit: 1<<63 overflows
-        # LongType, so use its two's-complement value.
-        return (1 << b) if b < 63 else -(1 << 63)
-
-    bit_sums = tokens.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(bitmask(b))) != 0, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+    # LONG format (one row per token-bit) for the same reason as
+    # minhash_signatures: a 64-wide aggregate generates one enormous codegen
+    # method. Bits are disjoint, so summing shiftleft(1, b) terms equals the
+    # bitwise OR — including bit 63, whose term wraps to Long.MIN_VALUE
+    # (two's complement) exactly as intended.
+    bit_sums = (
+        tokens.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            F.col("h"),
+        )
+        .select(
+            id_col,
+            "b",
+            # shiftrightunsigned with a column shift amount needs SQL form
+            F.expr(
+                "CASE WHEN (shiftrightunsigned(h, b) & 1) != 0 THEN 1 ELSE -1 END"
+            ).alias("c"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("c").alias("s"))
     )
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(bitmask(b))).otherwise(F.lit(0))
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return bit_sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return (
+        bit_sums.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+        .select(F.col(id_col), F.col("simhash").cast("long").alias("simhash"))
+    )
 
 
 def simhash_pairs(
@@ -246,6 +312,7 @@ def simhash_pairs(
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
     fp = simhash(df, id_col, text_col).cache()
+    fp.count()  # materialize before the self-join (see minhash_lsh_pairs)
     width = 64 // blocks
     chunks = fp.select(
         F.col(id_col),
@@ -287,14 +354,12 @@ def embedding_cosine_dups(
     join on normalized vectors. For the scale path use
     ``similarity.lsh_cosine_pairs`` (random-hyperplane buckets).
     """
-    from pangool_spark.operators.similarity import _dot_udf, _normalized
+    from pangool_spark.operators._udfs import cosine_udf
 
-    v = _normalized(emb, id_col, vec_col)
-    a = v.select(F.col(id_col).alias("id_a"), F.col("__norm_vec__").alias("va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("__norm_vec__").alias("vb"))
-    dot = _dot_udf()
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
+        .select("id_a", "id_b", cosine_udf("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

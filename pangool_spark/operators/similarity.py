@@ -82,8 +82,8 @@ def knn_bruteforce(
     from pyspark.sql import types as T
 
     qid = query_id_col or id_col
-    c = _normalized(corpus, id_col, vec_col).withColumnRenamed("__norm_vec__", "vc")
-    q_local = _normalized(queries, qid, vec_col).collect()
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("vc"))
+    q_local = queries.select(F.col(qid), F.col(vec_col)).collect()
     if not q_local:
         spark = corpus.sparkSession
         return spark.createDataFrame(
@@ -91,6 +91,7 @@ def knn_bruteforce(
         )
     q_ids = np.array([r[0] for r in q_local], dtype=np.int64)
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_local])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     out_schema = T.StructType(
@@ -107,7 +108,8 @@ def knn_bruteforce(
             if not len(pdf):
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            c_mat = np.stack(pdf["vc"].to_numpy())
+            c_mat = np.stack(pdf["vc"].to_numpy()).astype(np.float64)
+            c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
             # (corpus_batch × dim) @ (dim × n_queries) — one BLAS call
             scores = c_mat @ mat.T
             # per-query partial top-k within this batch bounds shuffle width
@@ -180,27 +182,66 @@ def lsh_cosine_pairs(
     """Approximate all-pairs cosine ≥ threshold via multi-table sign-LSH.
 
     Candidates = pairs sharing a bucket in ANY of ``n_tables`` independent
-    tables (equi-join per table, union, distinct), then exact cosine verify.
-    Scales as Σ bucket² instead of n².
+    tables, then exact cosine verify. One numpy pass computes every table's
+    bucket (a single (rows × dim) @ (dim × tables·planes) matmul), one
+    equi-join on (table, bucket) generates candidates — scales as Σ bucket²
+    instead of n², and the plan has one exchange regardless of n_tables.
     """
-    norm = _normalized(df, id_col, vec_col).cache()
-    candidates = None
-    for t in range(n_tables):
-        b = lsh_bucket(
-            norm, dim, n_planes, id_col, "__norm_vec__", seed=42 + t, out_col="bucket"
-        ).select(id_col, "bucket")
-        left = b.select(F.col(id_col).alias("id_a"), "bucket")
-        right = b.select(F.col(id_col).alias("id_b"), "bucket")
-        cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    candidates = candidates.distinct()
-    a = norm.select(F.col(id_col).alias("id_a"), F.col("__norm_vec__").alias("va"))
-    b = norm.select(F.col(id_col).alias("id_b"), F.col("__norm_vec__").alias("vb"))
-    dot = _dot_udf()
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    flat = np.array(
+        [p for t in range(n_tables) for p in _hyperplanes(dim, n_planes, 42 + t)]
+    )  # (tables*planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    # sign(dot) is scale-invariant: banding works on RAW vectors, no
+    # normalization pass needed.
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("__vec__"))
+    band_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("t", T.IntegerType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["__vec__"].to_numpy()).astype(np.float64)
+            bits = (mat @ flat.T) > 0  # (n, tables*planes)
+            buckets = (
+                bits.reshape(len(ids), n_tables, n_planes) * weights
+            ).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    banded = vecs.mapInPandas(assign, schema=band_schema)
+    left = banded.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    candidates = (
+        left.join(right, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from pangool_spark.operators._udfs import cosine_udf
+
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("__vec__").alias("va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("__vec__").alias("vb"))
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", dot("va", "vb").alias("cosine"))
+        .select("id_a", "id_b", cosine_udf("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

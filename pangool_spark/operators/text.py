@@ -84,20 +84,40 @@ def language_id(
     """Stopword-marker language ID.
 
     Scores each language by the count of its marker words in the (lowercased,
-    whitespace-split) token list; highest count wins, ties broken by language
-    code order, zero matches → 'und'. Pure array expressions.
+    whitespace-split) token list; highest count wins, ties → the larger
+    language code, zero matches → 'und'.
+
+    Shape: explode tokens → broadcast-join the tiny (lang, word) marker
+    table → count per (doc, lang) → window argmax — every step codegen'd,
+    no interpreted array lambdas, one shuffle on doc_id. At 100 TB the
+    marker join is a broadcast hash join against a constant-size table.
     """
-    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    scores = []
-    for lang, markers in sorted(_LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(w) for w in markers])
-        score = F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
-        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    # max_by over the struct array: sort by (score asc, lang desc) and take last
-    best = F.array_max(F.array(*scores))
-    return df.select(
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    markers = [(lang, w) for lang, ws in sorted(_LANG_MARKERS.items()) for w in ws]
+    mdf = spark.createDataFrame(markers, "lang STRING, word STRING")
+    toks = df.select(
         F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")).alias(
+            "word"
+        ),
+    )
+    scores = (
+        toks.join(F.broadcast(mdf), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang").desc())
+    best = (
+        scores.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col, "lang")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("lang"), F.lit("und")).alias(out_col))
     )
 
 

@@ -135,6 +135,7 @@ class JobBuilder:
         self._rollup_reducer: RollupReducer | None = None
         self._output_schema: Schema | None = None
         self._agg_exprs: list[Column] | None = None
+        self._named_outputs: dict[str, Schema] = {}
 
     # -- declaration -------------------------------------------------------
     def add_input(self, df: DataFrame, schema: Schema | str, mapper: Callable[[DataFrame], DataFrame] | None = None) -> "JobBuilder":
@@ -210,6 +211,27 @@ class JobBuilder:
     def aggregate(self, *exprs: Column) -> "JobBuilder":
         """Algebraic fast path → native ``agg()`` (partial agg = combiner)."""
         self._agg_exprs = list(exprs)
+        return self
+
+    def add_named_output(self, name: str, schema: Schema | str) -> "JobBuilder":
+        """Declare a named side output the reducer can write to with
+        ``collector.write(row, output=name)``.
+
+        Ref ``PangoolMultipleOutputs`` (``P/tuplemr/mapred/lib/output/
+        PangoolMultipleOutputs.java:48-70``, builder
+        ``P/tuplemr/TupleMRBuilder.java:164-206``): side outputs with their
+        own schemas from one reduce pass. Compiled as ONE job whose rows
+        carry an output tag + JSON payload; ``to_dataframes()`` derives each
+        output from the cached result — the reduce runs once, like the
+        reference.
+        """
+        if not name:
+            raise PlanError("named output needs a non-empty name")
+        if name in self._named_outputs:
+            raise PlanError(f"duplicate named output {name!r}")
+        self._named_outputs[name] = (
+            Schema.parse(name, schema) if isinstance(schema, str) else schema
+        )
         return self
 
     # -- validation (eager, mirrors reference builder errors) --------------
@@ -320,30 +342,122 @@ class JobBuilder:
 
         union = self._tagged_union()
         out_struct = self._output_schema.to_struct()
-        group_fields = list(self._group_by)
-        sort_elements = self._intra_group_sort_elements()
-        use_source_order = len(self._inputs) > 1
 
         if self._rollup_reducer is not None:
             return self._compile_rollup(union, out_struct)
+        return self._compile_general_reducer(union, out_struct)
 
+    def to_dataframes(self) -> dict[str, DataFrame]:
+        """Main output under ``""`` plus every declared named output.
+
+        The reduce runs ONCE: rows leave the reducer as (tag, json) pairs,
+        the tagged frame is cached, and each output is a filter +
+        ``from_json`` projection — N sinks, one shuffle, like the
+        reference's one-job multiple-outputs.
+        """
+        if not self._named_outputs:
+            return {"": self.to_dataframe()}
+        self._validate()
+        if self._agg_exprs is not None:
+            raise PlanError("named outputs require a reducer (aggregate() has one output)")
+        union = self._tagged_union()
+        tag_struct = T.StructType(
+            [
+                T.StructField("__output__", T.StringType(), False),
+                T.StructField("__json__", T.StringType(), False),
+            ]
+        )
+        tagged = self._compile_general_reducer(union, tag_struct, emit_tagged=True).cache()
+        outputs: dict[str, DataFrame] = {}
+        for name, schema in [("", self._output_schema), *self._named_outputs.items()]:
+            struct = schema.to_struct()
+            outputs[name] = (
+                tagged.filter(F.col("__output__") == name)
+                .select(F.from_json("__json__", struct).alias("r"))
+                .select("r.*")
+            )
+        return outputs
+
+    def _compile_general_reducer(
+        self, union: DataFrame, out_struct: T.StructType, emit_tagged: bool = False
+    ) -> DataFrame:
+        """General reducer as the MapReduce streaming-reduce pattern.
+
+        ``repartition(partition_fields)`` + ``sortWithinPartitions(group +
+        source-order + intra criteria)`` + ``mapInPandas`` that walks the
+        contiguous groups inside each Arrow batch — the exact shape of the
+        reference's shuffle→SortComparator→SimpleReducer pipeline
+        (``P/tuplemr/mapred/SimpleReducer.java:43-132``), one exchange total.
+
+        Versus ``groupBy().applyInPandas`` this amortizes the per-group
+        Arrow transfer + Python invocation (~0.5 ms/group → ~µs/group): at
+        150k small groups that is the difference between 90 s and seconds.
+        A group can span Arrow batch boundaries, so the last (possibly
+        incomplete) group of every batch is carried into the next; partition
+        boundaries are real group boundaries because the shuffle hashes on
+        the group prefix.
+        """
+        group_fields = list(self._group_by)
+        sort_elements = self._intra_group_sort_elements()
+        use_source_order = len(self._inputs) > 1
         reducer = self._reducer
-
-        def run_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            keys: list[SortElement] = []
-            if use_source_order:
-                keys.append(SortElement(SOURCE_ORDER_FIELD))
-            keys.extend(sort_elements)
-            pdf = _sort_pandas(pdf, keys)
-            collector = Collector()
-            reducer(key, pdf, collector)
-            return pd.DataFrame(collector.rows, columns=[f.name for f in out_struct.fields])
-
+        out_columns = [f.name for f in out_struct.fields]
         partition_fields = self._partition_fields()
-        if partition_fields != group_fields:
-            # custom partitioning: co-locate on the custom fields, then group
-            union = union.repartition(*[F.col(c) for c in partition_fields])
-        return union.groupBy(*group_fields).applyInPandas(run_group, schema=out_struct)
+
+        sort_cols = [F.col(g).asc_nulls_first() for g in group_fields]
+        if use_source_order:
+            sort_cols.append(F.col(SOURCE_ORDER_FIELD).asc())
+        sort_cols.extend(e.to_column() for e in sort_elements)
+
+        arranged = union.repartition(*[F.col(c) for c in partition_fields]).sortWithinPartitions(
+            *sort_cols
+        )
+
+        def collector_frame(collector: Collector):
+            if emit_tagged:
+                import json as _json
+
+                rows = [("", _json.dumps(r, default=str)) for r in collector.rows]
+                for name, named_rows in collector.named.items():
+                    rows.extend((name, _json.dumps(r, default=str)) for r in named_rows)
+                if rows:
+                    return pd.DataFrame(rows, columns=out_columns)
+                return None
+            if collector.rows:
+                return pd.DataFrame(collector.rows, columns=out_columns)
+            return None
+
+        def run_partition(batches):
+            leftover: pd.DataFrame | None = None
+
+            def reduce_groups(pdf: pd.DataFrame, hold_last: bool):
+                nonlocal leftover
+                if leftover is not None:
+                    pdf = pd.concat([leftover, pdf], ignore_index=True)
+                    leftover = None
+                if not len(pdf):
+                    return None
+                collector = Collector()
+                items = list(pdf.groupby(group_fields, sort=False, dropna=False))
+                if hold_last and items:
+                    leftover = items.pop()[1]
+                for key, sub in items:
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    reducer(key, sub.reset_index(drop=True), collector)
+                return collector_frame(collector)
+
+            for pdf in batches:
+                out = reduce_groups(pdf, hold_last=True)
+                if out is not None:
+                    yield out
+            if leftover is not None:
+                tail, leftover = leftover, None
+                out = reduce_groups(tail, hold_last=False)
+                if out is not None:
+                    yield out
+
+        return arranged.mapInPandas(run_partition, schema=out_struct)
 
     def _compile_rollup(self, union: DataFrame, out_struct: T.StructType) -> DataFrame:
         """Callback-form rollup: one shuffle on the base prefix, then a sorted

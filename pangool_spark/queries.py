@@ -207,15 +207,17 @@ def secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def reduce_fn(key, pdf, collector):
+        # exact 2-decimal sum without per-row Decimal objects: scale to
+        # integer cents, sum as int64, scale back (matches the oracle's
+        # DECIMAL(18,2) arithmetic bit-for-bit)
+        cents = (pdf["l_quantity"] * 100).round().astype("int64").sum()
         collector.write(
             {
                 "l_orderkey": int(key[0]),
                 "n_lines": len(pdf),
                 "first_ship": pdf["l_shipdate"].iloc[0],
                 "last_ship": pdf["l_shipdate"].iloc[-1],
-                "sum_qty": float(
-                    sum(__import__("decimal").Decimal(str(round(q, 2))) for q in pdf["l_quantity"])
-                ),
+                "sum_qty": float(cents) / 100.0,
             }
         )
 

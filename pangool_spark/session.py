@@ -26,6 +26,11 @@ _DEFAULT_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Skip whole-stage codegen when the generated method exceeds HotSpot's
+    # own huge-method JIT limit (8 KB bytecode): monster fused stages (e.g.
+    # higher-order-function pipelines) otherwise run interpreted while C2
+    # churns, with erratic 10-50x slowdowns.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.maxResultSize": "4g",
     "spark.ui.enabled": "false",

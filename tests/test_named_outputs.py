@@ -1,0 +1,70 @@
+"""Named outputs (PangoolMultipleOutputs parity) + external sink pattern."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.plans import JobBuilder, PlanError
+
+
+def test_reducer_named_outputs_topic_fingerprint(spark):
+    # TopicFingerprint shape (EX/topicalwordcount/TopicFingerprint.java:85-118):
+    # main output = top-2 words per topic; named output "totalcount" =
+    # (topic, totalcount) written once per topic from the same reduce pass.
+    counts = spark.createDataFrame(
+        [(1, "foo", 5), (1, "bar", 3), (1, "baz", 1), (2, "qux", 2)],
+        "topic INT, word STRING, count INT",
+    )
+
+    def reduce_fn(key, pdf, collector):
+        for _, r in pdf.head(2).iterrows():
+            collector.write({"topic": int(r["topic"]), "word": r["word"], "count": int(r["count"])})
+        collector.write(
+            {"topic": int(key[0]), "totalcount": int(pdf["count"].sum())}, output="totalcount"
+        )
+
+    jb = (
+        JobBuilder(spark, "fingerprint")
+        .add_input(counts, "topic:int,word:string,count:int")
+        .set_group_by("topic")
+        .set_order_by("topic:asc,count:desc")
+        .set_reducer(reduce_fn, "topic:int,word:string,count:int")
+        .add_named_output("totalcount", "topic:int,totalcount:int")
+    )
+    outs = jb.to_dataframes()
+    main = {(r.topic, r.word): r["count"] for r in outs[""].collect()}
+    totals = {r.topic: r.totalcount for r in outs["totalcount"].collect()}
+    assert main == {(1, "foo"): 5, (1, "bar"): 3, (2, "qux"): 2}
+    assert totals == {1: 9, 2: 2}
+
+
+def test_named_output_requires_reducer(spark):
+    df = spark.createDataFrame([(1,)], "a INT")
+    jb = (
+        JobBuilder(spark)
+        .add_input(df, "a:int")
+        .set_group_by("a")
+        .aggregate(F.count(F.lit(1)).alias("c"))
+        .add_named_output("side", "a:int")
+    )
+    with pytest.raises(PlanError):
+        jb.to_dataframes()
+
+
+def test_external_sink_batches(spark):
+    import json
+    import os
+    import tempfile
+
+    from pangool_spark.sources.external import external_sink
+
+    # fake "service": each batch appended as a JSON line to a shared file
+    log = os.path.join(tempfile.mkdtemp(), "sink.log")
+
+    def send_batch(client, batch):
+        with open(log, "a") as f:
+            f.write(json.dumps(len(batch)) + "\n")
+
+    df = spark.createDataFrame([(i,) for i in range(25)], "n INT").coalesce(1)
+    external_sink(df, send_batch, batch_size=10)
+    sizes = [json.loads(line) for line in open(log)]
+    assert sorted(sizes) == [5, 10, 10]
