@@ -10,8 +10,51 @@ TIMESTAMP, so oracle comparisons line up exactly.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the pangool_spark package to Python workers via addPyFile.
+
+    Reducer/UDF closures reference module-level classes (Collector, sort
+    helpers) that cloudpickle serializes BY REFERENCE — workers must be able
+    to ``import pangool_spark`` even when the driving process's PYTHONPATH
+    doesn't include this repo. The reference ships instances the same way
+    via InstancesDistributor (``P/utils/InstancesDistributor.java:25-60``).
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "pangool_spark_pkg.zip")
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, fn))
+        for root, _d, files in os.walk(pkg_dir)
+        for fn in files
+        if fn.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            "pangool_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED_APPS.add(app_id)
 
 TABLES = (
     "region",
@@ -28,6 +71,7 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_shipped(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

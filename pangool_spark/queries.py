@@ -389,6 +389,166 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.intersect(with_orders).subtract(heavy)
 
 
+@query(
+    "q5_region_revenue",
+    """
+    SELECT r.r_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join (TPC-H Q5 shape): the fact table shuffles once for
+    the o_orderkey join; every dimension hop is a broadcast hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dec2 = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — beyond the reference's linear rollup
+    (SURVEY §2.4); identical SQL on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "pivot_orders",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) — no reference counterpart; Spark-native
+    ``groupBy().pivot()`` with explicit values so the plan is a single
+    aggregate, no value-discovery pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum(F.lit(1)))
+    )
+
+
+@query("approx_distinct_parts")  # no oracle: HLL implementations differ across engines
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the sketch path the reference
+    lacks (SURVEY §2.4 'free upgrade'). Deterministic for fixed data but not
+    portable across engines → rows-only check; exactness-vs-approx pinned in
+    tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+class _SubtotalRollup:
+    """Rollup callback reducer emitting per-level subtotals on close."""
+
+    def __init__(self, group_fields, value_col):
+        self.group_fields = group_fields
+        self.value_col = value_col
+        # integer cents per level: exact, order-independent accumulation
+        self.sums = [0] * len(group_fields)
+        self.keys = [None] * len(group_fields)
+
+    def on_open_group(self, depth, field, row, collector):
+        self.sums[depth] = 0
+        self.keys[depth] = row[field]
+
+    def on_group_elements(self, group, rows, collector):
+        cents = int((rows[self.value_col] * 100).round().astype("int64").sum())
+        for d in range(len(self.sums)):
+            self.sums[d] += cents
+
+    def on_close_group(self, depth, field, row, collector):
+        out = {
+            g: (self.keys[i] if i <= depth else None)
+            for i, g in enumerate(self.group_fields)
+        }
+        out["sum_qty"] = self.sums[depth] / 100.0
+        collector.write(out)
+
+
+@query(
+    "rollup_callbacks",
+    f"""
+    SELECT l_returnflag, l_linestatus, {_sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING l_returnflag IS NOT NULL
+    """,
+)
+def rollup_callbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Callback-form rollup (TupleRollupReducer parity, ``P/tuplemr/mapred/
+    RollupReducer.java:129-202``): open/close events walk the sorted
+    partition once; subtotals emitted on close reproduce SQL ROLLUP minus the
+    grand-total row (which needs cross-partition state the reference's
+    partition-local callbacks also never see)."""
+    from pangool_spark.plans import JobBuilder
+    from pangool_spark.plans.job import RollupReducer
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    class Reducer(_SubtotalRollup, RollupReducer):
+        def __init__(self):
+            _SubtotalRollup.__init__(
+                self, ["l_returnflag", "l_linestatus"], "l_quantity"
+            )
+
+    jb = (
+        JobBuilder(spark, "rollup_callbacks")
+        .add_input(li, "l_returnflag:string,l_linestatus:string,l_quantity:double")
+        .set_group_by("l_returnflag", "l_linestatus")
+        .set_rollup_from("l_returnflag")
+        .set_rollup_reducer(Reducer(), "l_returnflag:string?,l_linestatus:string?,sum_qty:double")
+    )
+    return jb.to_dataframe()
+
+
 # ---------------------------------------------------------------------------
 # §2.6/2.7 sort / top-k / windows
 

@@ -1,0 +1,111 @@
+"""Physical-plan quality gates: the 100 TB discipline, asserted.
+
+Each test pins a property of the executed plan that matters at scale:
+pushdown reaching the scan, broadcast instead of shuffle for small dims,
+no exchange in narrow pipelines, single shuffle for rollup, window
+group-limit pushdown for top-k.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.data import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema must contain only the two projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    q = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_name").count()
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_map_only_pipeline_has_no_exchange(spark, sf):
+    p = load_table(spark, sf, "part")
+    q = p.filter(F.col("p_name").like("%s%")).select("p_partkey", "p_name")
+    assert "Exchange" not in _plan(q)
+
+
+def test_rollup_is_single_shuffle(spark, sf):
+    from pangool_spark.operators import rollup_agg
+
+    li = load_table(spark, sf, "lineitem")
+    q = rollup_agg(li, ["l_returnflag", "l_linestatus"], F.count(F.lit(1)).alias("n"))
+    plan = _plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf):
+    from pangool_spark.operators import top_k
+
+    o = load_table(spark, sf, "orders")
+    q = top_k(o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3)
+    assert "WindowGroupLimit" in _plan(q)
+
+
+def test_partial_aggregation_before_shuffle(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(q)
+    # partial HashAggregate (map-side combiner) must appear below the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark, sf):
+    from pangool_spark.operators import semi_join
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    q = semi_join(c, o, c.c_custkey == o.o_custkey)
+    assert "LeftSemi" in _plan(q)
+
+
+def test_general_reducer_single_exchange(spark, sf):
+    from pangool_spark.plans import JobBuilder
+
+    li = load_table(spark, sf, "lineitem")
+
+    def fn(key, pdf, collector):
+        collector.write({"k": int(key[0]), "n": len(pdf)})
+
+    jb = (
+        JobBuilder(spark)
+        .add_input(li, "l_orderkey:long,l_quantity:double")
+        .set_group_by("l_orderkey")
+        .set_reducer(fn, "k:long,n:int")
+    )
+    plan = _plan(jb.to_dataframe())
+    # one exchange on the group key, then a non-global (in-partition) sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Sort [l_orderkey" in plan and "], false, 0" in plan
+    assert "MapInPandas" in plan
