@@ -719,6 +719,57 @@ def lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "null_group_keys",
+    f"""
+    SELECT NULLIF(event_type, 'click') AS etype,
+           COUNT(*) AS n,
+           {_sql_dsum('value', 6)} AS total
+    FROM events GROUP BY 1
+    """,
+)
+def null_group_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null grouping keys: Spark groups nulls as equal keys (the reference
+    skips nulls in the partition hash but groups them together in the
+    comparator — same observable grouping, ref FIXTURES §10,
+    ``TupleHashPartitioner.java:91-93``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.nullif(F.col("event_type"), F.lit("click")).alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 6).alias("total"))
+    )
+
+
+@query(
+    "null_order_ranking",
+    """
+    SELECT user_id, event_id, vmasked, rn FROM (
+      SELECT user_id, event_id,
+             CASE WHEN value < 5 THEN NULL ELSE value END AS vmasked,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY (CASE WHEN value < 5 THEN NULL ELSE value END) DESC NULLS LAST,
+                        event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def null_order_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering in ranking (NULL_SMALLEST semantics under
+    DESC = nulls last; ref ``P/tuplemr/Criteria.java:54-56`` via the OrderBy
+    DSL's null-order mapping)."""
+    from pangool_spark.operators import top_k
+    from pangool_spark.orderby import OrderBy
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vmasked", F.when(F.col("value") < 5, F.lit(None)).otherwise(F.col("value"))
+    )
+    ob = OrderBy.parse("vmasked:desc|null_smallest,event_id:asc")
+    return top_k(ev, ["user_id"], ob, 5, rank_col="rn").select(
+        "user_id", "event_id", "vmasked", "rn"
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming shapes (batch-verified; SURVEY §2.11 extension)
 
@@ -791,6 +842,24 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "stateful_running_totals",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events, {_sql_dsum('value', 6)} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stateful_running_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState running
+    totals, ``streaming/ops.py``) verified on its batch-equivalent path; the
+    cross-micro-batch state behavior is pinned by
+    tests/test_stateful_streaming.py against a real checkpointed stream."""
+    from pangool_spark.streaming import stateful_running_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    return stateful_running_totals(ev)
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,13 @@ from pangool_spark.streaming.ops import (
     windowed_agg,
     sessionize,
     stream_dedup,
+    stateful_running_totals,
 )
 
-__all__ = ["read_stream", "windowed_agg", "sessionize", "stream_dedup"]
+__all__ = [
+    "read_stream",
+    "windowed_agg",
+    "sessionize",
+    "stream_dedup",
+    "stateful_running_totals",
+]

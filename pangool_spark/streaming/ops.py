@@ -103,6 +103,71 @@ def sessionize(
     )
 
 
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained in
+    the state store across micro-batches via ``applyInPandasWithState``.
+
+    The reference has no streaming at all (SURVEY §2.11); this is the
+    Spark-first escape hatch for stateful logic the built-in aggregations
+    can't express (the streaming analog of TupleReducer). State is a single
+    (count, total) pair per key; idle keys expire after
+    ``timeout_minutes`` of processing time.
+
+    On a batch DataFrame, falls back to the equivalent groupBy aggregate
+    (same output schema) so the semantics stay oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("total_value", T.DoubleType(), True),
+        ]
+    )
+    if not df.isStreaming:
+        return df.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total_micros", T.LongType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total_micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # accumulate exact integer micro-units (order-independent)
+            total_micros += int((pdf[value_col] * 1_000_000).round().sum())
+        state.update((n, total_micros))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total_micros / 1_000_000]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_dedup(
     df: DataFrame, keys: Sequence[str] = ("event_id",), ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
