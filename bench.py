@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_region_revenue",
     "customer_order_stats",
     "topk_orders_per_cust",
     "moving_avg_events",
@@ -25,10 +26,13 @@ HEADLINE = [
     "secondary_sort_orders",
     "wordcount",
     "dedup_exact_docs",
+    "near_dedup_survivors",
     "minhash_lsh_dedup",
     "knn_bruteforce",
+    "lsh_cosine_pairs",
     "token_stats_docs",
     "windowed_agg_events",
+    "sessionize_events",
 ]
 
 
@@ -49,8 +53,11 @@ def main() -> None:
         fn = QUERIES[name]
         best, n = float("inf"), 0
         # best-of-2: the second run reuses compiled codegen classes, so this
-        # measures steady-state query time rather than one-off JIT noise
+        # measures steady-state query time rather than one-off JIT noise.
+        # clearCache keeps one query's materialized intermediates from
+        # occupying storage during the next query's runs.
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

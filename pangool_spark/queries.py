@@ -921,6 +921,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
+@query(
+    "near_dedup_survivors",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
+      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), dupes AS (
+      SELECT DISTINCT id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.id_b = d.doc_id)
+    """,
+)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: detect 3-gram-Jaccard ≥ 0.5 pairs, drop the
+    higher-id member of each pair (greedy keep-lowest), return surviving
+    rows — the full corpus-curation shape: pair generation is an
+    inverted-index join, the drop is a left-anti join, documents themselves
+    shuffle only in the final anti-join semi-step."""
+    from pangool_spark.operators import anti_join
+    from pangool_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return anti_join(docs, dupes, "doc_id").select("doc_id", "lang", "source")
+
+
 @query("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
@@ -990,6 +1032,40 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return _knn(emb, queries_df, k=5)
+
+
+_IVF_CENTROIDS = [
+    [(1.0 if j % 4 == i else 0.25) for j in range(64)] for i in range(4)
+]
+
+
+def _ivf_oracle() -> str:
+    cases = []
+    for i, c in enumerate(_IVF_CENTROIDS):
+        lst = ", ".join(str(float(x)) for x in c)
+        cases.append(
+            f"list_cosine_similarity(embedding::DOUBLE[], [{lst}]::DOUBLE[]) AS s{i}"
+        )
+    sel = ", ".join(cases)
+    best = "GREATEST(s0, s1, s2, s3)"
+    return f"""
+    SELECT vec_id,
+           CASE {best}
+             WHEN s0 THEN 0 WHEN s1 THEN 1 WHEN s2 THEN 2 ELSE 3 END AS cell
+    FROM (SELECT vec_id, {sel} FROM embeddings)
+    """
+
+
+@query("ivf_assign_cells", _ivf_oracle())
+def ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment against fixed centroids (plan literals): the ANN
+    scale path — partition the corpus by cell so queries probe cells, not
+    the full corpus. Tie-break = first-best centroid (strictly-greater
+    replacement), matching the oracle's CASE-on-GREATEST."""
+    from pangool_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, _IVF_CENTROIDS).select("vec_id", "cell")
 
 
 @query("lsh_cosine_pairs")  # no SQL oracle: hyperplane family not portable

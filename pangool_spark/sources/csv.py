@@ -44,8 +44,10 @@ def read_csv(
     ``field_selector`` mirrors FieldSelector: positions (0-based) in the file
     that map, in order, onto the schema's fields; unselected file columns are
     never read (column pruning reaches the scan).
-    ``strict_quotes`` nulls any value not enclosed in quotes (ref
-    ``NullableCSVTokenizer`` strictQuotes).
+    ``strict_quotes``: the reference nulls any value NOT enclosed in quotes
+    (``NullableCSVTokenizer`` strictQuotes). Spark's CSV reader has no
+    null-unquoted mode; the closest enforcement is failing on malformed
+    quoting (``unescapedQuoteHandling=RAISE_ERROR``) — documented deviation.
     """
     reader = (
         spark.read.option("sep", sep)
