@@ -246,6 +246,71 @@ def lsh_cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-accelerated top-k: assign corpus vectors to cells once, assign
+    each query to its ``n_probe`` nearest cells, and brute-force only inside
+    the probed cells.
+
+    The scale path for kNN when the query set is large: the corpus is
+    partitioned (in practice: bucketed/persisted) by ``cell``, so each query
+    touches |corpus|·n_probe/n_cells vectors instead of everything.
+    Approximate by design (a true neighbor may live in an unprobed cell).
+    Output: (query_id, neighbor_id, rank).
+    """
+    import numpy as np
+
+    qid = query_id_col or id_col
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, out_col="cell")
+
+    # Driver-side probe list per query (query sets are small by contract;
+    # centroid count is fixed) — same policy as knn_bruteforce's broadcast.
+    cents = np.array(centroids, dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q_local = queries.select(F.col(qid), F.col(vec_col)).collect()
+    probe_rows = []
+    for r in q_local:
+        v = np.asarray(r[1], dtype=np.float64)
+        v /= max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(cents @ v))
+        for c in order[:n_probe]:
+            probe_rows.append((int(r[0]), int(c)))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
+
+    candidates = assigned.join(F.broadcast(probes), "cell").select(
+        F.col(id_col), F.col("query_id"), F.col(vec_col).alias("__cvec__")
+    )
+    q_df = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec__")
+    )
+    from pangool_spark.operators._udfs import cosine_udf
+
+    scored = (
+        candidates.join(F.broadcast(q_df), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_udf("__qvec__", "__cvec__").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -8,5 +8,6 @@
 
 from pangool_spark.plans.job import JobBuilder, RollupReducer, PlanError
 from pangool_spark.plans.map_only import MapOnlyJobBuilder
+from pangool_spark.plans.iterate import iterate
 
-__all__ = ["JobBuilder", "RollupReducer", "MapOnlyJobBuilder", "PlanError"]
+__all__ = ["JobBuilder", "RollupReducer", "MapOnlyJobBuilder", "PlanError", "iterate"]

@@ -1068,6 +1068,18 @@ def ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, _IVF_CENTROIDS).select("vec_id", "cell")
 
 
+@query("ivf_topk_search")  # approximate by design (probed cells only) → rows-only
+def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-accelerated ANN: probe the 2 nearest cells per query, brute-force
+    within. The large-query-set scale path; exactness bounded by n_probe.
+    Recall-vs-exact pinned in tests/test_iterate.py."""
+    from pangool_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, _IVF_CENTROIDS, k=5, n_probe=2)
+
+
 @query("lsh_cosine_pairs")  # no SQL oracle: hyperplane family not portable
 def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed near-pair search (cosine ≥ 0.4 verified exactly on
