@@ -56,6 +56,24 @@ def test_csv_field_selector(spark, tmp):
     assert sorted(rows) == [("c", "a"), ("g", "e")]
 
 
+def test_csv_tokenizer_edge_cases(spark, tmp):
+    # TestNullableCSVTokenizer parity: quoted separators, escaped quotes,
+    # null-string both bare and never inside quotes, empty fields
+    path = os.path.join(tmp, "edge.csv")
+    with open(path, "w") as f:
+        f.write('a,"x,y",1\n')  # separator inside quotes
+        f.write('b,"he said \\"hi\\"",2\n')  # escaped quote
+        f.write("c,\\N,3\n")  # bare null-string → NULL
+        f.write('d,"\\N",4\n')  # quoted null-string: Spark still nulls it
+        f.write("e,,5\n")  # empty unquoted field → NULL (no distinct empty)
+    schema = Schema.parse("t", "k:string,v:string?,n:int")
+    rows = {r.k: r.v for r in read_csv(spark, path, schema).collect()}
+    assert rows["a"] == "x,y"
+    assert rows["b"] == 'he said "hi"'
+    assert rows["c"] is None
+    assert rows["e"] is None
+
+
 def test_fixed_width(spark, tmp):
     path = os.path.join(tmp, "fw.txt")
     with open(path, "w") as f:
