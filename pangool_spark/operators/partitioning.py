@@ -1,0 +1,85 @@
+"""Partitioning & skew tools (SURVEY §2.8 + 100 TB discipline).
+
+The reference's knobs were ``setCustomPartitionFields`` and the rollup
+partition-key narrowing; at 100 TB the two problems that actually hurt are
+key skew (one hot key serializes a reducer) and repeated shuffles of the
+same join key (no co-location between jobs). These operators are the
+engine-level answers:
+
+- ``salted_agg``: two-stage aggregation over a salted key for algebraic
+  aggregates — the hot key's rows split across ``n_salts`` partial groups
+  before the real grouping. (AQE's skew-join splitting covers joins; this
+  covers aggregation skew that partial aggregation alone can't fix, e.g.
+  high-cardinality DISTINCT under one hot group.)
+- ``write_bucketed`` / ``read_bucketed``: persist a table hash-bucketed by
+  its join key so future equi-joins/aggregations on that key run
+  shuffle-free (the bucketing metadata lets Catalyst drop the Exchange).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: dict[str, tuple],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe algebraic aggregation.
+
+    ``aggs`` maps output column → (op, input column) with op in
+    {sum, count, min, max}. Stage 1 groups by (keys + salt) computing
+    partials; stage 2 merges partials by the real keys (count merges with
+    sum). Results are identical to a direct groupBy — pinned by tests —
+    while the hot key's stage-1 work spreads over ``n_salts`` tasks.
+    """
+    merge_op = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_op = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for name, (op, _col) in aggs.items():
+        if op not in first_op:
+            raise ValueError(f"salted_agg supports {sorted(first_op)}, got {op!r} for {name!r}")
+
+    salted = df.withColumn("__salt__", (F.rand(seed=42) * n_salts).cast("int"))
+    partial = salted.groupBy(*group_by, "__salt__").agg(
+        *[first_op[op](c).alias(f"__p_{name}__") for name, (op, c) in aggs.items()]
+    )
+    return partial.groupBy(*group_by).agg(
+        *[merge_op[op](f"__p_{name}__").alias(name) for name, (op, _c) in aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) by the join key.
+
+    Joins/aggregations between tables bucketed the same way skip the
+    exchange entirely — the co-located-join answer the reference had no
+    equivalent for (each MapReduce job re-shuffled).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)
+
+
+def cluster_by(df: DataFrame, keys: Sequence[str], n_partitions: int | None = None) -> DataFrame:
+    """repartition + sortWithinPartitions — the reference's shuffle/sort
+    contract as a reusable primitive (CLUSTER BY)."""
+    parts = [F.col(k) for k in keys]
+    out = df.repartition(n_partitions, *parts) if n_partitions else df.repartition(*parts)
+    return out.sortWithinPartitions(*parts)
