@@ -152,6 +152,29 @@ def test_rollup_open_close_sequence(spark):
     ]
 
 
+# --- aggregate-form rollup through the builder -----------------------------
+def test_jobbuilder_aggregate_rollup(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], "g1 STRING, g2 STRING, v INT"
+    )
+    jb = (
+        JobBuilder(spark, "rollup_agg")
+        .add_input(df, "g1:string,g2:string,v:int")
+        .set_group_by("g1", "g2")
+        .set_rollup_from("g1")
+        .aggregate(F.sum("v").alias("total"))
+    )
+    got = {(r.g1, r.g2): r.total for r in jb.to_dataframe().collect()}
+    assert got == {
+        ("a", "x"): 1,
+        ("a", "y"): 2,
+        ("b", "x"): 4,
+        ("a", None): 3,
+        ("b", None): 4,
+        (None, None): 7,
+    }
+
+
 # --- builder validation (TestConfigBuilder layer) --------------------------
 def test_validation_errors(spark):
     df = spark.createDataFrame([(1, "x")], "a INT, b STRING")

@@ -43,9 +43,14 @@ def test_salted_agg_rejects_non_algebraic(spark):
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
-    # warehouse dir is a static conf; tables land in ./spark-warehouse
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # warehouse dir is a static conf; tables land in ./spark-warehouse.
+    # The in-memory catalog forgets tables between sessions but leaves the
+    # directories — remove both registration and location.
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
