@@ -359,6 +359,37 @@ def simhash_pairs(
     )
 
 
+def near_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    method: str = "jaccard",
+) -> DataFrame:
+    """Cluster-aware near-dedup: pair detection → connected components →
+    keep one representative (min id) per duplicate CLUSTER.
+
+    Greedy pair-dropping misses transitive duplicates (a≈b, b≈c, a̸≈c keeps
+    a and c); label propagation merges the chain. Output: the surviving
+    rows of ``df``.
+    """
+    from pangool_spark.operators.graph import connected_components
+
+    if method == "jaccard":
+        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, n, threshold=threshold)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    comps = connected_components(pairs, "id_a", "id_b")
+    # drop every clustered vertex that is not its component's min
+    losers = comps.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_cosine_dups(
     emb: DataFrame,
     id_col: str = "vec_id",

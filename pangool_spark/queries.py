@@ -302,6 +302,68 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an extra join predicate, then a
+    histogram of the grouped counts — two aggregations, the second over a
+    tiny domain (pure map-side after the first)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q18_large_volume_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join against a HAVING aggregate subquery, then
+    re-aggregate over the joined rows. The subquery and outer agg share the
+    l_orderkey partitioning — AQE reuses the exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
     "cogroup_nation_region",
     """
     SELECT n.n_name, r.r_name
@@ -961,6 +1023,54 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return anti_join(docs, dupes, "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "near_dedup_clusters",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
+      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach AS (
+      -- transitive closure: every vertex reaches itself and, recursively,
+      -- its neighbors' reach; component = min reachable vertex
+      WITH RECURSIVE r(v, m) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, r.m FROM edges e JOIN r ON e.v = r.v
+      ) SELECT v, MIN(m) AS component FROM r GROUP BY v
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM reach WHERE reach.v = d.doc_id AND reach.v <> reach.component
+    )
+    """,
+)
+def near_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware near-dedup: Jaccard pairs → connected components
+    (label-propagation loop via plans.iterate discipline) → one survivor
+    per duplicate cluster. Oracle = DuckDB recursive-CTE transitive closure."""
+    from pangool_spark.operators.dedup import near_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dedup_clusters(docs, threshold=0.5).select("doc_id", "lang")
 
 
 @query("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
