@@ -18,7 +18,8 @@ def decimal_sum(col, precision: int = 18, scale: int = 4) -> Column:
     Aggregating as decimal makes results bit-stable across partitionings and
     engines; cast back to double at the boundary if needed.
     """
-    return _F.sum(_F.col(col).cast(f"decimal({precision},{scale})") if isinstance(col, str) else col)
+    c = _F.col(col) if isinstance(col, str) else col
+    return _F.sum(c.cast(f"decimal({precision},{scale})"))
 
 
 def decimal_avg(col, precision: int = 18, scale: int = 4) -> Column:

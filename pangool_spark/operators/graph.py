@@ -19,11 +19,16 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 10,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Label propagation: every vertex adopts the minimum label among itself
     and its neighbors until fixpoint. Output: (vertex, component) where
     component = min vertex id in the component.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iterations`` — a truncated propagation would silently split
+    components (rounds needed = graph diameter; 50 covers any realistic
+    duplicate-cluster chain).
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -34,6 +39,7 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.v == labels.vertex)
@@ -59,6 +65,11 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations"
+        )
     return labels
 
 

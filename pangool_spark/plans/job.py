@@ -90,13 +90,20 @@ class Collector:
     via ``JobBuilder.named_output_rows`` compilation (see ``to_dataframes``).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, allow_named: bool = True) -> None:
         self.rows: list[dict[str, Any]] = []
         self.named: dict[str, list[dict[str, Any]]] = {}
+        self._allow_named = allow_named
 
     def write(self, row: dict[str, Any], output: str | None = None) -> None:
         if output is None:
             self.rows.append(row)
+        elif not self._allow_named:
+            # rollup-callback jobs have one output stream; dropping the row
+            # silently would be worse than failing loudly.
+            raise PlanError(
+                f"named output {output!r} not supported from a rollup reducer"
+            )
         else:
             self.named.setdefault(output, []).append(row)
 
@@ -360,6 +367,11 @@ class JobBuilder:
         self._validate()
         if self._agg_exprs is not None:
             raise PlanError("named outputs require a reducer (aggregate() has one output)")
+        if self._reducer is None:
+            raise PlanError(
+                "named outputs require set_reducer(...); the rollup-callback "
+                "path has a single output stream"
+            )
         union = self._tagged_union()
         tag_struct = T.StructType(
             [
@@ -417,9 +429,15 @@ class JobBuilder:
             if emit_tagged:
                 import json as _json
 
-                rows = [("", _json.dumps(r, default=str)) for r in collector.rows]
+                # numpy scalars (np.int64 sums/counts) must serialize as JSON
+                # numbers, not strings: from_json does not coerce "5"->long and
+                # would silently null the whole row in PERMISSIVE mode.
+                def _default(o):
+                    return o.item() if hasattr(o, "item") else str(o)
+
+                rows = [("", _json.dumps(r, default=_default)) for r in collector.rows]
                 for name, named_rows in collector.named.items():
-                    rows.extend((name, _json.dumps(r, default=str)) for r in named_rows)
+                    rows.extend((name, _json.dumps(r, default=_default)) for r in named_rows)
                 if rows:
                     return pd.DataFrame(rows, columns=out_columns)
                 return None
@@ -483,7 +501,7 @@ class JobBuilder:
             if use_source_order:
                 keys.insert(len(group_fields) - len(base_fields), SortElement(SOURCE_ORDER_FIELD))
             pdf = _sort_pandas(pdf, keys)
-            collector = Collector()
+            collector = Collector(allow_named=False)
             n_levels = len(group_fields)
             prev: dict | None = None
             group_start = 0

@@ -516,9 +516,9 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_orders",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
 )

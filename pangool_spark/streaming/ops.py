@@ -56,20 +56,17 @@ def windowed_agg(
         df = df.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window_duration, slide or window_duration)
     grouped = df.groupBy(win.alias("window"), *[F.col(k) for k in keys])
-    return grouped.agg(*aggs).select(
+    agged = grouped.agg(*aggs)
+    # agg output names read from the result schema itself (columns after the
+    # window struct + keys) — no private-API expression-string parsing, works
+    # for unaliased aggregates and under Spark Connect alike.
+    agg_names = agged.columns[1 + len(keys):]
+    return agged.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         *[F.col(k) for k in keys],
-        *[F.col(c) for c in _agg_names(aggs)],
+        *[agged[c] for c in agg_names],
     )
-
-
-def _agg_names(aggs: Sequence[Column]) -> list[str]:
-    names = []
-    for c in aggs:
-        # Column alias is the last name component of the expression
-        names.append(c._jc.toString().split(" AS ")[-1].strip("`"))
-    return names
 
 
 def sessionize(
