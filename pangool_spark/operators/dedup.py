@@ -78,12 +78,27 @@ def exact_dedup(
     return df.join(reps, on=id_col, how="left_semi")
 
 
+def prune_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` (stop-shingle
+    removal). The hot set is tiny by construction — broadcast anti-join, no
+    shuffle of the shingle relation."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df__"))
+        .filter(F.col("__df__") > max_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """All near-duplicate pairs by word-n-gram Jaccard similarity ≥ threshold.
 
@@ -93,13 +108,32 @@ def ngram_jaccard_pairs(
     size ratio already caps Jaccard below the threshold (standard prefix
     filter — drops the quadratic tail at scale).
 
+    ``max_df`` is the scale guard: shingles appearing in more than ``max_df``
+    documents are dropped from the index BEFORE the self-join (standard
+    stop-shingle removal). Without it, one boilerplate shingle shared by d
+    documents contributes d² join rows — quadratic in exactly the place a
+    100× corpus hurts most. With it, per-key fan-out is bounded by
+    max_df², and Jaccard is computed over the pruned shingle universe
+    (sizes included) so the semantics stay exact and oracle-checkable.
+
+    ``shingles_df`` lets callers share one cached ``shingles()`` relation
+    across several dedup queries in a session.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     # The shingle relation feeds three plan branches (two join sides +
     # sizes): cache + materialize it once, or each branch re-runs the
     # explode/distinct pipeline.
-    sh = shingles(df, id_col, text_col, n).cache()
-    sh.count()
+    if shingles_df is not None:
+        sh = shingles_df
+    else:
+        sh = shingles(df, id_col, text_col, n).cache()
+        sh.count()
+    if max_df is not None:
+        # cache the pruned relation too: it feeds three plan branches (two
+        # join sides + sizes) and the anti-join would re-run per branch
+        sh = prune_hot_shingles(sh, max_df).cache()
+        sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -129,36 +163,61 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42):
+    """The (a_i, b_i) universal-hash coefficients, exposed so an external
+    oracle (e.g. DuckDB SQL) can replicate signatures bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    p = np.int64(MINHASH_PRIME)
+    a = rng.randint(1, p, size=num_hashes).astype(np.int64)
+    b = rng.randint(0, p, size=num_hashes).astype(np.int64)
+    return a, b
+
+
+def base_hash_31(col) -> Column:
+    """31-bit base hash from the md5 hex prefix — chosen over xxhash64
+    because every engine has md5, so DuckDB oracles can replicate it:
+    ``('0x' || substr(md5(s),1,8))::BIGINT & 2147483647``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: array<long> of length ``num_hashes``.
 
     Hash family: universal hashing h_i(s) = (a_i·x + b_i) mod p over the
-    31-bit base hash x = xxhash64(shingle) & 0x7FFFFFFF, p = 2^31-1. One JVM
+    31-bit base hash x = base_hash_31(shingle), p = 2^31-1. One JVM
     hash per shingle; all ``num_hashes`` permutations are ONE numpy
     broadcasted matrix op per Arrow batch. The base-hash rows shuffle once
     on the doc id (compact: two longs per shingle) so each doc's signature
     is computed whole — no wide aggregate (whose codegen compiles
-    pathologically slowly), no 64× row blow-up.
+    pathologically slowly), no 64× row blow-up. The md5-derived base hash
+    (vs xxhash64) keeps the whole pipeline replicable in DuckDB SQL.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rng = np.random.RandomState(42)
-    p = np.int64((1 << 31) - 1)
-    a = rng.randint(1, p, size=num_hashes).astype(np.int64)
-    b = rng.randint(0, p, size=num_hashes).astype(np.int64)
+    p = np.int64(MINHASH_PRIME)
+    a, b = minhash_coefficients(num_hashes)
 
-    sh = shingles(df, id_col, text_col, n)
-    hashed = sh.select(
-        F.col(id_col), F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
-    )
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
+    hashed = sh.select(F.col(id_col), base_hash_31("shingle").alias("h"))
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     out_schema = T.StructType(
         [
@@ -194,6 +253,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding, verified by
     signature-estimated Jaccard ≥ threshold.
@@ -208,7 +268,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df).cache()
     # Materialize the signature cache eagerly: the banding join + estimate
     # then plan against the short InMemoryRelation instead of one giant DAG
     # (shingle explode → 64-agg → posexplode → self-join → zip_with), which
@@ -258,13 +318,18 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per document over word features.
 
-    Per token t: h = xxhash64(t); bit b contributes +1 if set else -1; the
-    fingerprint sets bit b where the sum > 0. Expressed as explode + one
-    groupBy with per-bit sums (native aggregates, map-side combine).
+    Per token t: h = md5-derived 64-bit hash (hi 32 bits = first 8 md5 hex
+    chars, lo 32 bits = next 8 — replicable in DuckDB via
+    ``('0x'||substr(md5(t),...))::BIGINT`` per half); bit b contributes +1 if
+    set else -1; the fingerprint sets bit b where the sum > 0. Expressed as
+    explode + one groupBy with per-bit sums (native aggregates, map-side
+    combine).
     """
     if bits != 64:
         raise ValueError("only 64-bit simhash supported")
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    hhi = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    hlo = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
     tokens = (
         df.repartition(n_parts, F.col(id_col))
         .select(
@@ -273,7 +338,7 @@ def simhash(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
             ).alias("token"),
         )
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn("h", F.shiftleft(hhi, 32).bitwiseOR(hlo))
     )
     # LONG format (one row per token-bit) for the same reason as
     # minhash_signatures: a 64-wide aggregate generates one enormous codegen
@@ -366,6 +431,8 @@ def near_dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     method: str = "jaccard",
+    max_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-aware near-dedup: pair detection → connected components →
     keep one representative (min id) per duplicate CLUSTER.
@@ -377,9 +444,13 @@ def near_dedup_clusters(
     from pangool_spark.operators.graph import connected_components
 
     if method == "jaccard":
-        pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col, n, threshold, max_df=max_df, shingles_df=shingles_df
+        )
     elif method == "minhash":
-        pairs = minhash_lsh_pairs(df, id_col, text_col, n, threshold=threshold)
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n, threshold=threshold, shingles_df=shingles_df
+        )
     else:
         raise ValueError(f"unknown method {method!r}")
     comps = connected_components(pairs, "id_a", "id_b")

@@ -927,6 +927,58 @@ def stateful_running_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # dedup suite (extension layer)
 
+# Shared DuckDB CTE fragments: tokenize -> distinct 3-gram shingles ->
+# document-frequency prune. The prune (HAVING COUNT(*) <= max_df) is part of
+# the OPERATOR SEMANTICS, mirrored exactly by ngram_jaccard_pairs(max_df=...):
+# shingles in more than max_df documents are boilerplate that would make the
+# inverted-index self-join quadratic in the hot key (d docs sharing one
+# stop-shingle -> d² join rows) — dropping them bounds per-key fan-out.
+_TOKS_CTE = """toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents
+    )"""
+_GRAMS_ALL_CTE = """grams_all AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
+      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
+    )"""
+_SHINGLE_MAX_DF = 100
+_GRAMS_PRUNED_CTE = f"""grams AS (
+      SELECT g.doc_id, g.shingle FROM grams_all g
+      JOIN (SELECT shingle FROM grams_all GROUP BY shingle
+            HAVING COUNT(*) <= {_SHINGLE_MAX_DF}) f USING (shingle)
+    )"""
+
+# One cached shingle relation per (application, sf_dir, n), shared by every
+# dedup query in a session — the explode/distinct pipeline is the single
+# most expensive shared subtree in the dedup suite.
+_SHINGLE_CACHE: dict = {}
+
+
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    from pangool_spark.operators.dedup import prune_hot_shingles, shingles
+
+    key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        if max_df is not None:
+            df = prune_hot_shingles(_doc_shingles(spark, sf_dir, n), max_df)
+        else:
+            docs = load_table(spark, sf_dir, "documents")
+            df = shingles(docs, n=n)
+        _SHINGLE_CACHE[key] = df
+    level = df.storageLevel
+    if not (level.useMemory or level.useDisk):
+        # first call, or an external spark.catalog.clearCache() evicted us
+        # (bench.py does between runs): (re-)materialize — the relation feeds
+        # several plan branches per query and multiple queries per session.
+        df.cache().count()
+    return df
+
+
 @query(
     "dedup_exact_docs",
     f"""
@@ -949,16 +1001,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-      FROM documents
-    ), grams AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
-      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
-      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
-    ), sizes AS (
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE}, {_GRAMS_PRUNED_CTE}, sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -976,25 +1020,21 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard ≥ 0.2 via inverted-index equi-join
-    with size-ratio pruning — never materializes O(n²)."""
+    with document-frequency (stop-shingle) and size-ratio pruning — never
+    materializes O(n²), and no single shingle key can explode the join."""
     from pangool_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2,
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+    )
 
 
 @query(
     "near_dedup_survivors",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-      FROM documents
-    ), grams AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
-      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
-      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
-    ), sizes AS (
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE}, {_GRAMS_PRUNED_CTE}, sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1020,23 +1060,18 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangool_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5,
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+    )
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return anti_join(docs, dupes, "doc_id").select("doc_id", "lang", "source")
 
 
 @query(
     "near_dedup_clusters",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
-      FROM documents
-    ), grams AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS shingle
-      FROM toks, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
-      WHERE array_to_string(t[i+1:i+3], ' ') <> ''
-    ), sizes AS (
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE}, {_GRAMS_PRUNED_CTE}, sizes AS (
       SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
     ), pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1070,25 +1105,110 @@ def near_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangool_spark.operators.dedup import near_dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    return near_dedup_clusters(docs, threshold=0.5).select("doc_id", "lang")
+    return near_dedup_clusters(
+        docs, threshold=0.5,
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+    ).select("doc_id", "lang")
 
 
-@query("minhash_lsh_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
+def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.35) -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline, possible because the
+    base hash is md5-derived (``base_hash_31``) and the (a_i, b_i) universal-
+    hash coefficients are deterministic (``minhash_coefficients``). Banding is
+    expressed as exact signature-tuple equality per band: Spark buckets on a
+    band HASH, but equal tuples always collide and an unequal-tuple collision
+    would still need est_jaccard ≥ threshold to surface, so outputs match."""
+    from pangool_spark.operators.dedup import MINHASH_PRIME, minhash_coefficients
+
+    a, b = minhash_coefficients(num_hashes)
+    rows_per_band = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {MINHASH_PRIME}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.s{k * rows_per_band + r} = b.s{k * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        + ")"
+        for k in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE}, hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT & 2147483647 AS x
+      FROM grams_all
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({matches} AS DOUBLE) / {num_hashes} AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_conds})
+    WHERE CAST({matches} AS DOUBLE) / {num_hashes} >= {threshold}
+    """
+
+
+@query("minhash_lsh_dedup", _minhash_oracle())
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
-    Jaccard ≥ 0.35. Rows-only check: the hash family (xxhash64) has no DuckDB
-    equivalent; correctness is pinned by tests/test_dedup.py against
-    planted near-duplicates."""
+    Jaccard ≥ 0.35. Fully oracled: the md5-derived base hash and fixed
+    universal-hash coefficients make the signatures engine-portable."""
     from pangool_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16, threshold=0.35)
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.35,
+        shingles_df=_doc_shingles(spark, sf_dir),
+    )
 
 
-@query("simhash_dedup")  # no SQL oracle: xxhash64 not portable to DuckDB
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """DuckDB replica of SimHash-64: per-token 64-bit hash from two md5 hex
+    halves, ±1 per bit, fingerprint halves kept as 32-bit ints (BIGINT-safe),
+    Hamming = popcount(xor(lo)) + popcount(xor(hi)). Brute-force all pairs is
+    EXACTLY the blocked Spark output: pigeonhole guarantees hamming ≤ 3 pairs
+    share ≥1 of 4 blocks, and the ≤ filter removes every false positive."""
+    return f"""
+    WITH simtoks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT AS hhi,
+             ('0x' || substr(md5(token), 9, 8))::BIGINT AS hlo
+      FROM simtoks
+    ), bitsums AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN b < 32
+                      THEN CASE WHEN ((hlo >> b) & 1) = 1 THEN 1 ELSE -1 END
+                      ELSE CASE WHEN ((hhi >> (b - 32)) & 1) = 1 THEN 1 ELSE -1 END
+                 END) AS s
+      FROM hashed, LATERAL unnest(range(0, 64)) AS u(b)
+      GROUP BY doc_id, b
+    ), fps AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN b < 32 AND s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp_lo,
+             CAST(SUM(CASE WHEN b >= 32 AND s > 0 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS fp_hi
+      FROM bitsums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi)) <= {max_hamming}
+    """
+
+
+@query("simhash_dedup", _simhash_oracle())
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole block join.
-    Rows-only check (hash family not portable); semantics pinned in tests."""
+    Fully oracled: md5-derived per-token hash is engine-portable, and the
+    pigeonhole guarantee makes the blocked join equal to brute force."""
     from pangool_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")

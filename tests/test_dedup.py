@@ -78,3 +78,83 @@ def test_embedding_cosine_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
     pairs = {(r.id_a, r.id_b) for r in embedding_cosine_dups(emb, threshold=0.95).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_hot_shingle_df_pruning(spark):
+    # Docs 1..4 all share one boilerplate sentence (a hot shingle source);
+    # docs 1,2 additionally share distinctive content. With max_df=3 the
+    # boilerplate shingles (df=4) are pruned: pairs that share ONLY
+    # boilerplate disappear, and Jaccard is computed over the pruned
+    # shingle universe.
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta"),
+        (2, boiler + " alpha beta gamma delta epsilon eta"),
+        (3, boiler + " totally unrelated text about volcanoes erupting"),
+        (4, boiler + " another unrelated passage about deep sea fish"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    unpruned = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    # boilerplate alone pushes every pair over the threshold
+    assert (3, 4) in unpruned and (1, 3) in unpruned
+
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    # only the genuinely-similar pair survives, scored on distinctive content
+    assert set(pruned) == {(1, 2)}
+    assert 0.3 <= pruned[(1, 2)] < 1.0
+
+
+def test_prune_hot_shingles_bounds_fanout(spark):
+    from pangool_spark.operators.dedup import prune_hot_shingles
+
+    sh = shingles(
+        spark.createDataFrame(
+            [(i, "common phrase here plus word%d" % i) for i in range(10)],
+            "doc_id LONG, text STRING",
+        )
+    )
+    pruned = prune_hot_shingles(sh, max_df=5)
+    df_counts = (
+        pruned.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert df_counts <= 5
+
+
+def test_minhash_signature_matches_duckdb_oracle(spark):
+    # The md5-derived base hash + fixed coefficients make signatures
+    # replicable in DuckDB — the property the driver oracle relies on.
+    import duckdb
+
+    from pangool_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten")],
+        "doc_id LONG, text STRING",
+    )
+    sig = {r.doc_id: r.signature for r in minhash_signatures(docs, num_hashes=8).collect()}
+
+    a, b = minhash_coefficients(8)
+    sh = [(r.doc_id, r.shingle) for r in shingles(docs).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sh (doc_id BIGINT, shingle VARCHAR)")
+    con.executemany("INSERT INTO sh VALUES (?, ?)", sh)
+    mins = ", ".join(
+        f"MIN(({int(a[i])} * x + {int(b[i])}) % {MINHASH_PRIME})" for i in range(8)
+    )
+    rows = con.execute(
+        "SELECT doc_id, " + mins + " FROM (SELECT doc_id,"
+        " ('0x' || substr(md5(shingle), 1, 8))::BIGINT & 2147483647 AS x FROM sh)"
+        " GROUP BY doc_id"
+    ).fetchall()
+    for row in rows:
+        assert list(row[1:]) == sig[row[0]], f"doc {row[0]} signature mismatch"
