@@ -466,13 +466,43 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    target_miss: float = 1e-6,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ threshold, via brute-force pair
-    join on normalized vectors. For the scale path use
-    ``similarity.lsh_cosine_pairs`` (random-hyperplane buckets).
+    """Embedding near-dup pairs: cosine ≥ threshold.
+
+    ``method="lsh"`` (default, the scale path): sign-LSH candidate
+    generation with (planes, tables) auto-derived from the collision model
+    (``similarity.auto_lsh_params``), then exact cosine verify — every
+    emitted pair is exactly checked, so precision is 1.0 and recall is
+    1 - target_miss per qualifying pair. The plan is equi-joins only: no
+    BroadcastNestedLoopJoin / cartesian at any scale.
+
+    ``method="exact"``: brute-force theta join — O(n²) rows, the verify
+    path for small fixtures and recall audits only.
     """
     from pangool_spark.operators._udfs import cosine_udf
 
+    if method == "lsh":
+        from pangool_spark.operators.similarity import auto_lsh_params, lsh_cosine_pairs
+
+        dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if not dim_row:
+            return emb.sparkSession.createDataFrame(
+                [], f"id_a LONG, id_b LONG, cosine DOUBLE"
+            )
+        n_planes, n_tables = auto_lsh_params(threshold, target_miss)
+        return lsh_cosine_pairs(
+            emb,
+            dim=dim_row[0]["d"],
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method {method!r}")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

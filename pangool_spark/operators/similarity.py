@@ -170,6 +170,33 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def auto_lsh_params(threshold: float, target_miss: float = 1e-5) -> tuple[int, int]:
+    """Derive sign-LSH (n_planes, n_tables) from the hyperplane collision
+    model so recall is controlled instead of guessed.
+
+    For two vectors at cosine t the per-plane agreement probability is
+    p = 1 - arccos(t)/π; a pair at exactly the threshold collides in one
+    table with p**n_planes, so the per-pair miss probability over T
+    independent tables is (1 - p**n_planes)**T. We pick n_planes by
+    threshold tier (more planes = smaller buckets but weaker per-table
+    recall) and solve T for the target miss.
+
+    Honest scale note: sign-LSH's exponent is ρ = ln(p1)/ln(p2); at low
+    thresholds (≈0.4, p1≈0.63 vs random p2=0.5) ρ≈0.66, so candidate volume
+    approaches all-pairs and only the constant factors improve. LSH earns
+    its keep at the production near-dup regime (t ≥ 0.8, ρ ≤ 0.22).
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    n_planes = 12 if threshold >= 0.9 else 8 if threshold >= 0.8 else 4 if threshold >= 0.6 else 2
+    p_table = p**n_planes
+    n_tables = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_table)))
+    return n_planes, n_tables
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     dim: int,

@@ -1225,15 +1225,18 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine ≥ 0.4 (brute-force verify path;
-    threshold sits below the fixture's max pair cosine ≈0.48 so the result is
-    non-empty). The reported cosine is rounded to 6 decimals on both sides —
+    """Embedding near-dup pairs, cosine ≥ 0.4, via auto-parameterized
+    sign-LSH candidates + exact cosine verify (equi-join plan, no cartesian;
+    per-pair miss probability ≤ 1e-6, validated recall 1.0 vs brute force on
+    both fixtures). The exact oracle stays valid because verification is
+    exact. The reported cosine is rounded to 6 decimals on both sides —
     numpy's vectorized accumulation and DuckDB's sequential fold differ in
-    the last ulp."""
+    the last ulp. Threshold 0.4 sits below the fixture's max pair cosine
+    ≈0.48 so the result is non-empty."""
     from pangool_spark.operators.dedup import embedding_cosine_dups as _op
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _op(emb, threshold=0.4)
+    out = _op(emb, threshold=0.4, method="lsh")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

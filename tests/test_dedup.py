@@ -80,6 +80,46 @@ def test_embedding_cosine_dups(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_dups_lsh_recall_matches_exact(spark, sf_dir):
+    # The catalog routes embedding_cosine_dups through auto-param sign-LSH
+    # candidates + exact verify; on the fixture the result must EQUAL the
+    # brute-force pairs (recall 1.0 at the oracle threshold).
+    from pangool_spark.operators.dedup import embedding_cosine_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in embedding_cosine_dups(emb, threshold=0.4, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b) for r in embedding_cosine_dups(emb, threshold=0.4, method="lsh").collect()}
+    assert lsh == exact and exact
+
+
+def test_embedding_dups_lsh_plan_has_no_cartesian(spark, sf_dir):
+    from pangool_spark.operators.dedup import embedding_cosine_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        embedding_cosine_dups(emb, threshold=0.4, method="lsh")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_auto_lsh_params_tiers():
+    from pangool_spark.operators.similarity import auto_lsh_params
+
+    lo_planes, lo_tables = auto_lsh_params(0.4, target_miss=1e-6)
+    hi_planes, hi_tables = auto_lsh_params(0.95, target_miss=1e-6)
+    # low thresholds -> few planes (recall), high thresholds -> more planes
+    # (selectivity); both must bound the per-pair miss at the target.
+    import math
+
+    for t, (planes, tables) in ((0.4, (lo_planes, lo_tables)), (0.95, (hi_planes, hi_tables))):
+        p = 1.0 - math.acos(t) / math.pi
+        assert (1.0 - p**planes) ** tables <= 1e-6
+    assert lo_planes < hi_planes
+
+
 def test_hot_shingle_df_pruning(spark):
     # Docs 1..4 all share one boilerplate sentence (a hot shingle source);
     # docs 1,2 additionally share distinctive content. With max_df=3 the
