@@ -23,7 +23,9 @@ HEADLINE = [
     "topk_orders_per_cust",
     "moving_avg_events",
     "rollup_lineitem",
+    "rollup_callbacks",
     "secondary_sort_orders",
+    "embedding_cosine_dups",
     "wordcount",
     "dedup_exact_docs",
     "near_dedup_survivors",

@@ -390,6 +390,15 @@ class JobBuilder:
             )
         return outputs
 
+    def _reduce_parallelism(self, df: DataFrame) -> int:
+        """Partition count for Python reduce stages: never below the
+        cluster's core count, never below the configured shuffle
+        parallelism. On a 1000-executor cluster this is the shuffle
+        setting; on local[32] it guarantees all cores work."""
+        sc = df.sparkSession.sparkContext
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(sc.defaultParallelism, shuffle)
+
     def _compile_general_reducer(
         self, union: DataFrame, out_struct: T.StructType, emit_tagged: bool = False
     ) -> DataFrame:
@@ -421,9 +430,15 @@ class JobBuilder:
             sort_cols.append(F.col(SOURCE_ORDER_FIELD).asc())
         sort_cols.extend(e.to_column() for e in sort_elements)
 
-        arranged = union.repartition(*[F.col(c) for c in partition_fields]).sortWithinPartitions(
-            *sort_cols
-        )
+        # Explicit partition count: AQE's coalescing targets ~64 MB of
+        # shuffle BYTES, which underestimates the cost of a Python reduce
+        # stage by orders of magnitude (measured: 10 tasks on 32 cores,
+        # 3× slower). A user-specified count is exempt from coalescing, so
+        # the reduce stage keeps cluster-wide parallelism.
+        n_parts = self._reduce_parallelism(union)
+        arranged = union.repartition(
+            n_parts, *[F.col(c) for c in partition_fields]
+        ).sortWithinPartitions(*sort_cols)
 
         def collector_frame(collector: Collector):
             if emit_tagged:
@@ -489,49 +504,110 @@ class JobBuilder:
         """
         group_fields = list(self._group_by)
         base_fields = self._partition_fields()
-        rollup_depth_start = len(base_fields)  # levels >= this open/close freely
-        sort_elements = [SortElement(g) for g in group_fields[len(base_fields):]]
-        sort_elements.extend(self._intra_group_sort_elements())
         use_source_order = len(self._inputs) > 1
         reducer = self._rollup_reducer
         out_columns = [f.name for f in out_struct.fields]
+        n_levels = len(group_fields)
+        # Callbacks fire only for depths in [min_depth, maxDepth] and the
+        # mismatch depth clamps UP to min_depth — exact RollupReducer
+        # contract (P/tuplemr/mapred/RollupReducer.java:79,163-180): fields
+        # before rollup-from are partition constants, never opened/closed.
+        min_depth = len(base_fields) - 1
 
-        def run_partition(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            keys: list[SortElement] = list(sort_elements)
-            if use_source_order:
-                keys.insert(len(group_fields) - len(base_fields), SortElement(SOURCE_ORDER_FIELD))
-            pdf = _sort_pandas(pdf, keys)
-            collector = Collector(allow_named=False)
-            n_levels = len(group_fields)
-            prev: dict | None = None
-            group_start = 0
-            for i in range(len(pdf)):
-                row = pdf.iloc[i].to_dict()
-                if prev is None:
-                    for depth in range(n_levels):
-                        reducer.on_open_group(depth, group_fields[depth], row, collector)
+        # One shuffle keyed on the base prefix; the FULL sort happens in
+        # Tungsten (spill-safe), not pandas: base fields, then the remaining
+        # group levels, then source order, then intra-group criteria — the
+        # same composite the reference's SortComparator applies.
+        sort_cols = [F.col(g).asc_nulls_first() for g in base_fields]
+        sort_cols.extend(
+            SortElement(g).to_column() for g in group_fields[len(base_fields):]
+        )
+        if use_source_order:
+            sort_cols.append(F.col(SOURCE_ORDER_FIELD).asc())
+        sort_cols.extend(e.to_column() for e in self._intra_group_sort_elements())
+        n_parts = self._reduce_parallelism(union)
+        arranged = union.repartition(
+            n_parts, *[F.col(c) for c in base_fields]
+        ).sortWithinPartitions(*sort_cols)
+
+        def _boundary_depths(pdf: pd.DataFrame):
+            """Vectorized prefix-change detection: for each row, the
+            outermost group level that differs from the previous row
+            (n_levels = unchanged). Null-safe: two nulls compare equal,
+            like the reference comparator."""
+            import numpy as np
+
+            depth = np.full(len(pdf), n_levels, dtype=np.int64)
+            for j in range(n_levels - 1, -1, -1):
+                cur = pdf[group_fields[j]]
+                prev = cur.shift(1)
+                neq = cur.ne(prev) & ~(cur.isna() & prev.isna())
+                depth[neq.to_numpy(copy=False)] = j
+            return depth
+
+        def run_partition(batches):
+            """Streaming callback walk with carry-over: only the currently
+            open innermost group is held in memory (vs the whole base-prefix
+            partition under groupBy().applyInPandas), and callbacks fire per
+            GROUP boundary, not per row."""
+            import numpy as np
+
+            carry: pd.DataFrame | None = None
+            started = False
+
+            def walk(pdf: pd.DataFrame, hold_last: bool):
+                nonlocal carry, started
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
                 else:
-                    mismatch = None
-                    for depth in range(n_levels):
-                        if prev[group_fields[depth]] != row[group_fields[depth]]:
-                            mismatch = depth
-                            break
-                    if mismatch is not None:
-                        last = pdf.iloc[i - 1].to_dict()
-                        group = {g: last[g] for g in group_fields}
-                        reducer.on_group_elements(group, pdf.iloc[group_start:i], collector)
-                        for depth in range(n_levels - 1, mismatch - 1, -1):
-                            reducer.on_close_group(depth, group_fields[depth], last, collector)
-                        for depth in range(mismatch, n_levels):
-                            reducer.on_open_group(depth, group_fields[depth], row, collector)
-                        group_start = i
-                prev = row
-            if prev is not None:
-                last = pdf.iloc[len(pdf) - 1].to_dict()
-                group = {g: last[g] for g in group_fields}
-                reducer.on_group_elements(group, pdf.iloc[group_start:], collector)
-                for depth in range(n_levels - 1, -1, -1):
-                    reducer.on_close_group(depth, group_fields[depth], last, collector)
-            return pd.DataFrame(collector.rows, columns=out_columns)
+                    pdf = pdf.reset_index(drop=True)
+                if not len(pdf):
+                    return None
+                collector = Collector(allow_named=False)
+                depths = _boundary_depths(pdf)
+                # row 0 of the first frame opens the partition; row 0 of
+                # later frames continues the group carried over (its
+                # boundary fired when the carried group opened).
+                depths[0] = n_levels
+                bounds = np.flatnonzero(depths < n_levels)
+                if not started:
+                    row0 = pdf.iloc[0].to_dict()
+                    for depth in range(min_depth, n_levels):
+                        reducer.on_open_group(depth, group_fields[depth], row0, collector)
+                    started = True
+                group_start = 0
+                for i in bounds:
+                    last = pdf.iloc[i - 1].to_dict()
+                    group = {g: last[g] for g in group_fields}
+                    reducer.on_group_elements(group, pdf.iloc[group_start:i], collector)
+                    mismatch = max(int(depths[i]), min_depth)
+                    for depth in range(n_levels - 1, mismatch - 1, -1):
+                        reducer.on_close_group(depth, group_fields[depth], last, collector)
+                    row = pdf.iloc[i].to_dict()
+                    for depth in range(mismatch, n_levels):
+                        reducer.on_open_group(depth, group_fields[depth], row, collector)
+                    group_start = int(i)
+                if hold_last:
+                    carry = pdf.iloc[group_start:]
+                else:
+                    last = pdf.iloc[len(pdf) - 1].to_dict()
+                    group = {g: last[g] for g in group_fields}
+                    reducer.on_group_elements(group, pdf.iloc[group_start:], collector)
+                    for depth in range(n_levels - 1, min_depth - 1, -1):
+                        reducer.on_close_group(depth, group_fields[depth], last, collector)
+                if collector.rows:
+                    return pd.DataFrame(collector.rows, columns=out_columns)
+                return None
 
-        return union.groupBy(*base_fields).applyInPandas(run_partition, schema=out_struct)
+            for pdf in batches:
+                out = walk(pdf, hold_last=True)
+                if out is not None:
+                    yield out
+            if carry is not None:
+                tail, carry = carry, None
+                out = walk(tail, hold_last=False)
+                if out is not None:
+                    yield out
+
+        return arranged.mapInPandas(run_partition, schema=out_struct)
