@@ -27,6 +27,78 @@ from pangool_spark.schema import Schema
 NO_NULL_STRING = object()  # sentinel: no null-string handling at all
 
 
+def tokenize_line(
+    line: str,
+    sep: str = ",",
+    quote: str | None = '"',
+    escape: str | None = "\\",
+    strict_quotes: bool = False,
+    null_string: str | None = None,
+) -> list[str | None]:
+    """Reference-exact CSV tokenization of ONE line (no embedded newlines).
+
+    Semantics ported from ``NullableCSVTokenizer.java:33-166`` (behavior,
+    not code): a value is null when (a) strict quotes are on and the value
+    was not quoted, or (b) a null string is configured and an UNQUOTED
+    value equals it (empty null string also matches whitespace-only
+    values). Quoted values are never null. The escape character is only
+    honored INSIDE quotes; after a closing quote, characters up to the next
+    separator are discarded.
+    """
+    use_quotes = quote is not None and quote != ""
+    use_escape = escape is not None and escape != ""
+
+    def classify(buf: str, was_quoted: bool) -> str | None:
+        if use_quotes and was_quoted:
+            return buf
+        if use_quotes and not was_quoted and strict_quotes:
+            return None
+        if null_string is not None and (
+            buf == null_string or (null_string == "" and buf.strip() == "")
+        ):
+            return None
+        return buf
+
+    tokens: list[str | None] = []
+    buf: list[str] = []
+    state = "normal"  # normal | quoted | quoted_finished
+    quoted = False
+    i, n = 0, len(line)
+    while i <= n:
+        c = line[i] if i < n else "\n"  # virtual trailing newline = end of record
+        if state == "normal":
+            if c == sep or c == "\n":
+                tokens.append(classify("".join(buf), quoted))
+                buf.clear()
+                quoted = False
+                if c == "\n":
+                    return tokens
+            elif use_quotes and c == quote:
+                buf.clear()
+                state = "quoted"
+                quoted = True
+            else:
+                buf.append(c)
+        elif state == "quoted":
+            if use_escape and c == escape:
+                if i + 1 < n:
+                    buf.append(line[i + 1])
+                    i += 1
+            elif c == quote:
+                state = "quoted_finished"
+            elif c == "\n":
+                # single-line contract: unclosed quote consumes to EOL
+                raise ValueError(f"unclosed quote in line: {line!r}")
+            else:
+                buf.append(c)
+        else:  # quoted_finished: discard until the next separator
+            if c == sep or c == "\n":
+                state = "normal"
+                continue
+        i += 1
+    return tokens
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -45,10 +117,17 @@ def read_csv(
     that map, in order, onto the schema's fields; unselected file columns are
     never read (column pruning reaches the scan).
     ``strict_quotes``: the reference nulls any value NOT enclosed in quotes
-    (``NullableCSVTokenizer`` strictQuotes). Spark's CSV reader has no
-    null-unquoted mode; the closest enforcement is failing on malformed
-    quoting (``unescapedQuoteHandling=RAISE_ERROR``) — documented deviation.
+    (``NullableCSVTokenizer.java:87-95`` strictQuotes). Spark's native CSV
+    reader has no null-unquoted mode, so this routes through the
+    reference-exact ``tokenize_line`` state machine over ``spark.read.text``
+    (still splittable; Python tokenization is Arrow-batched). Deviation:
+    quoted values spanning physical lines are unsupported on this path.
     """
+    if strict_quotes:
+        ns = None if null_string is NO_NULL_STRING else null_string
+        return _read_csv_parity(
+            spark, path, schema, sep, quote, escape, header, True, ns, field_selector
+        )
     reader = (
         spark.read.option("sep", sep)
         .option("quote", quote or "")
@@ -58,8 +137,6 @@ def read_csv(
     )
     if null_string is not None and null_string is not NO_NULL_STRING:
         reader = reader.option("nullValue", null_string)
-    if strict_quotes:
-        reader = reader.option("unescapedQuoteHandling", "RAISE_ERROR")
 
     if field_selector is None:
         return reader.schema(schema.to_struct()).csv(path)
@@ -73,6 +150,65 @@ def read_csv(
         for pos, field in zip(field_selector, schema.fields)
     ]
     return raw.select(*cols)
+
+
+def _read_csv_parity(
+    spark: SparkSession,
+    path: str,
+    schema: Schema,
+    sep: str,
+    quote: str | None,
+    escape: str | None,
+    header: bool,
+    strict_quotes: bool,
+    null_string: str | None,
+    field_selector: Sequence[int] | None,
+) -> DataFrame:
+    """Tokenizer-parity CSV path: ``spark.read.text`` + per-batch Python
+    tokenization with the reference state machine. Header rows are dropped
+    per-FILE (the first line of each file, like the reference's per-split
+    skip-header), using the input_file_name + a window-free min-check."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = list(schema.fields)
+    if field_selector is not None:
+        width = max(field_selector) + 1
+        positions = list(field_selector)
+    else:
+        width = len(fields)
+        positions = list(range(width))
+
+    raw = spark.read.text(path)
+    if header:
+        # spark.read.text exposes no per-file line offsets, so the header
+        # is dropped by VALUE: any line equal to the schema's field names
+        # joined by the separator (the form write_csv emits). Headers that
+        # differ from the schema names are a documented limitation of the
+        # parity path.
+        raw = raw.filter(F.col("value") != F.lit(sep.join(f.name for f in fields)))
+
+    out_struct = T.StructType([T.StructField(f"_t{i}", T.StringType(), True) for i in range(width)])
+
+    def tokenize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [
+                (tok + [None] * width)[:width]
+                for tok in (
+                    tokenize_line(ln, sep, quote, escape, strict_quotes, null_string)
+                    for ln in pdf["value"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=[f"_t{i}" for i in range(width)])
+
+    tokens = raw.mapInPandas(tokenize, schema=out_struct)
+    cols = [
+        F.col(f"_t{pos}").cast(field.dtype).alias(field.name)
+        for pos, field in zip(positions, fields)
+    ]
+    return tokens.select(*cols)
 
 
 def write_csv(

@@ -74,6 +74,51 @@ def test_csv_tokenizer_edge_cases(spark, tmp):
     assert rows["e"] is None
 
 
+def test_tokenize_line_reference_cases():
+    # Direct port of TestNullableCSVTokenizer's cases
+    # (P/core/src/test/java/.../TestNullableCSVTokenizer.java:20-106).
+    from pangool_spark.sources.csv import tokenize_line
+
+    assert tokenize_line("Hello,1,2,", quote=None, escape=None) == ["Hello", "1", "2", ""]
+    assert tokenize_line('"Hello",1,"2",3', escape=None) == ["Hello", "1", "2", "3"]
+    assert tokenize_line('"\\"Hello\\"",1,"2",3') == ['"Hello"', "1", "2", "3"]
+    # testQuotes: junk around quotes is discarded
+    assert tokenize_line(' "\\"Hello\\"" ,1"hello","hello"1') == ['"Hello"', "hello", "hello"]
+    # testNulls: empty null-string nulls unquoted blanks; escape only works
+    # inside quotes so bare \N stays literal
+    assert tokenize_line('"Hello",,\\N,3', null_string="") == ["Hello", None, "\\N", "3"]
+    # strict quoting: anything unquoted is null
+    assert tokenize_line('"Hello",,\\N,3', strict_quotes=True) == ["Hello", None, None, None]
+    # only \N means null; quoted escaped quote survives
+    assert tokenize_line('"Hello",,\\N,"\\""', null_string="\\N") == ["Hello", "", None, '"']
+    # no quotes: empty-string null matches whitespace-only
+    assert tokenize_line("3, ,", quote=None, escape=None, null_string="") == ["3", None, None]
+    # one-space null string, no quotes: exact match only
+    assert tokenize_line("3, ,", quote=None, escape=None, null_string=" ") == ["3", None, ""]
+    # quoted values are never null-compared
+    assert tokenize_line('"3"," ","", ,', null_string=" ") == ["3", " ", "", None, ""]
+    assert tokenize_line('"3"," ","", ,', strict_quotes=True, null_string=" ") == [
+        "3", " ", "", None, None,
+    ]
+
+
+def test_csv_strict_quotes_spark_path(spark, tmp):
+    # strict_quotes routes through the parity tokenizer over spark.read.text:
+    # unquoted values become NULL, quoted values survive, types still cast.
+    path = os.path.join(tmp, "strict.csv")
+    with open(path, "w") as f:
+        f.write('"alice",30,"1.5"\n')
+        f.write('bob,"31",2.5\n')
+    schema = Schema.parse("t", "name:string?,age:int?,score:double?")
+    rows = [
+        (r.name, r.age, r.score)
+        for r in read_csv(spark, path, schema, strict_quotes=True).collect()
+    ]
+    assert sorted(rows, key=str) == sorted(
+        [("alice", None, 1.5), (None, 31, None)], key=str
+    )
+
+
 def test_fixed_width(spark, tmp):
     path = os.path.join(tmp, "fw.txt")
     with open(path, "w") as f:
