@@ -82,17 +82,41 @@ class _Input:
     order_index: int
 
 
+class _PartitionCountersParam:
+    """AccumulatorParam merging {partition_id: {counter: int}} updates.
+
+    Keyed by partition id with REPLACE semantics so re-executions of the
+    same partition (range-sort sampling jobs, retries, a second action on
+    the same plan) stay idempotent instead of double-counting — stricter
+    than Hadoop counters, which over-count on speculative attempts."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
 class Collector:
     """Reducer-side emit surface. Ref ``P/tuplemr/TupleReducer.java:70-99``.
 
     ``write`` appends one output row (dict keyed by output-schema field
     names); named outputs land in per-name buckets retrievable after the run
     via ``JobBuilder.named_output_rows`` compilation (see ``to_dataframes``).
+
+    ``count`` increments a job counter, the reference's
+    ``PangoolMultipleOutputs`` counter surface (``P/tuplemr/mapred/lib/
+    output/PangoolMultipleOutputs.java:48-70``, Hadoop ``(group, name)``
+    counters). Backed by a Spark accumulator flushed once per Arrow batch;
+    like Hadoop counters, values are job-level telemetry — task retries can
+    over-count, so don't derive data results from them.
     """
 
     def __init__(self, allow_named: bool = True) -> None:
         self.rows: list[dict[str, Any]] = []
         self.named: dict[str, list[dict[str, Any]]] = {}
+        self.counters: dict[str, int] = {}
         self._allow_named = allow_named
 
     def write(self, row: dict[str, Any], output: str | None = None) -> None:
@@ -106,6 +130,10 @@ class Collector:
             )
         else:
             self.named.setdefault(output, []).append(row)
+
+    def count(self, name: str, n: int = 1, group: str | None = None) -> None:
+        key = f"{group}.{name}" if group else name
+        self.counters[key] = self.counters.get(key, 0) + n
 
 
 class RollupReducer:
@@ -143,6 +171,27 @@ class JobBuilder:
         self._output_schema: Schema | None = None
         self._agg_exprs: list[Column] | None = None
         self._named_outputs: dict[str, Schema] = {}
+        self._counter_acc = None
+
+    @property
+    def counters(self) -> dict[str, int]:
+        """Counter values accumulated by ``collector.count`` calls; valid
+        after an action has run on the compiled DataFrame (Spark
+        accumulators update on task completion)."""
+        if self._counter_acc is None:
+            return {}
+        totals: dict[str, int] = {}
+        for per_part in self._counter_acc.value.values():
+            for k, v in per_part.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
+
+    def _make_counter_acc(self):
+        if self._counter_acc is None:
+            self._counter_acc = self.spark.sparkContext.accumulator(
+                {}, _PartitionCountersParam()
+            )
+        return self._counter_acc
 
     # -- declaration -------------------------------------------------------
     def add_input(self, df: DataFrame, schema: Schema | str, mapper: Callable[[DataFrame], DataFrame] | None = None) -> "JobBuilder":
@@ -424,6 +473,7 @@ class JobBuilder:
         reducer = self._reducer
         out_columns = [f.name for f in out_struct.fields]
         partition_fields = self._partition_fields()
+        counter_acc = self._make_counter_acc()
 
         sort_cols = [F.col(g).asc_nulls_first() for g in group_fields]
         if use_source_order:
@@ -462,6 +512,7 @@ class JobBuilder:
 
         def run_partition(batches):
             leftover: pd.DataFrame | None = None
+            part_counters: dict[str, int] = {}
 
             def reduce_groups(pdf: pd.DataFrame, hold_last: bool):
                 nonlocal leftover
@@ -478,6 +529,8 @@ class JobBuilder:
                     if not isinstance(key, tuple):
                         key = (key,)
                     reducer(key, sub.reset_index(drop=True), collector)
+                for k, v in collector.counters.items():
+                    part_counters[k] = part_counters.get(k, 0) + v
                 return collector_frame(collector)
 
             for pdf in batches:
@@ -489,6 +542,10 @@ class JobBuilder:
                 out = reduce_groups(tail, hold_last=False)
                 if out is not None:
                     yield out
+            if part_counters:
+                from pyspark import TaskContext
+
+                counter_acc.add({TaskContext.get().partitionId(): part_counters})
 
         return arranged.mapInPandas(run_partition, schema=out_struct)
 
@@ -513,6 +570,7 @@ class JobBuilder:
         # contract (P/tuplemr/mapred/RollupReducer.java:79,163-180): fields
         # before rollup-from are partition constants, never opened/closed.
         min_depth = len(base_fields) - 1
+        counter_acc = self._make_counter_acc()
 
         # One shuffle keyed on the base prefix; the FULL sort happens in
         # Tungsten (spill-safe), not pandas: base fields, then the remaining
@@ -554,6 +612,7 @@ class JobBuilder:
 
             carry: pd.DataFrame | None = None
             started = False
+            part_counters: dict[str, int] = {}
 
             def walk(pdf: pd.DataFrame, hold_last: bool):
                 nonlocal carry, started
@@ -596,6 +655,8 @@ class JobBuilder:
                     reducer.on_group_elements(group, pdf.iloc[group_start:], collector)
                     for depth in range(n_levels - 1, min_depth - 1, -1):
                         reducer.on_close_group(depth, group_fields[depth], last, collector)
+                for k, v in collector.counters.items():
+                    part_counters[k] = part_counters.get(k, 0) + v
                 if collector.rows:
                     return pd.DataFrame(collector.rows, columns=out_columns)
                 return None
@@ -609,5 +670,9 @@ class JobBuilder:
                 out = walk(tail, hold_last=False)
                 if out is not None:
                     yield out
+            if part_counters:
+                from pyspark import TaskContext
+
+                counter_acc.add({TaskContext.get().partitionId(): part_counters})
 
         return arranged.mapInPandas(run_partition, schema=out_struct)

@@ -92,6 +92,7 @@ def test_url_resolution_cogroup(spark):
         if len(maps):
             canon = maps["canonicalUrl"].iloc[0]
         regs = pdf[pdf["__schema__"] == "urlRegister"]
+        collector.count("resolved" if canon is not None else "unresolved", len(regs))
         for _, r in regs.iterrows():
             collector.write(
                 {
@@ -111,6 +112,9 @@ def test_url_resolution_cogroup(spark):
     )
     got = [(r.url, r.timestamp, r.ip) for r in jb.to_dataframe().orderBy("timestamp").collect()]
     assert got == [("ip3-url" and "http://c", 5, "ip3"), ("http://A", 10, "ip1"), ("http://A", 20, "ip2")]
+    # counter surface (PangoolMultipleOutputs.java:48-70 counters): counts
+    # observable driver-side after the action
+    assert jb.counters == {"resolved": 2, "unresolved": 1}
 
 
 # --- Rollup callbacks (TestRollup.java event-sequence parity) --------------
