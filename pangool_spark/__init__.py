@@ -26,6 +26,7 @@ Paths in docstrings abbreviate
 from pangool_spark.schema import Field, Fields, Schema
 from pangool_spark.orderby import Order, OrderBy
 from pangool_spark.session import get_spark
+from pangool_spark.codecs import register_codec, get_codec, decode_col, encode_col
 
 __version__ = "0.1.0"
 
@@ -36,5 +37,9 @@ __all__ = [
     "Order",
     "OrderBy",
     "get_spark",
+    "register_codec",
+    "get_codec",
+    "decode_col",
+    "encode_col",
     "__version__",
 ]

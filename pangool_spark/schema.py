@@ -116,21 +116,78 @@ class Field:
         if nullable:
             type_str = type_str[:-1].strip()
         enum_domain: tuple[str, ...] | None = None
+        metadata: dict[str, Any] = {}
         lowered = type_str.lower()
         if lowered.startswith("enum(") and type_str.endswith(")"):
             enum_domain = tuple(v.strip() for v in type_str[5:-1].split("|") if v.strip())
             dtype: T.DataType = T.StringType()
+        elif lowered.startswith("object(") and type_str.endswith(")"):
+            # OBJECT field with a named codec (ref pluggable serializations,
+            # ThriftSerialization.java:43 / ProtoStuffSerialization.java:33):
+            # stored as BinaryType, codec name kept in field metadata.
+            codec_name = type_str[7:-1].strip()
+            if not codec_name:
+                raise SchemaError(f"object field {name!r} needs a codec name")
+            metadata["codec"] = codec_name
+            dtype = T.BinaryType()
         else:
             dtype = parse_type(type_str)
-        return Field(name=name, dtype=dtype, nullable=nullable, enum_domain=enum_domain)
+        return Field(
+            name=name,
+            dtype=dtype,
+            nullable=nullable,
+            enum_domain=enum_domain,
+            metadata=metadata,
+        )
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside <> or ()."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "<(":
+            depth += 1
+        elif c in ">)":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
 
 
 def parse_type(type_str: str) -> T.DataType:
-    """Resolve a type name to a Spark DataType (supports nested DDL types)."""
-    lowered = type_str.strip().lower()
+    """Resolve a type name to a Spark DataType (supports nested DDL types).
+
+    Structural types are parsed locally (JVM-free — usable before any
+    SparkSession exists); Spark's own DDL parser is the fallback for
+    anything more exotic."""
+    import re
+
+    s = type_str.strip()
+    lowered = s.lower()
     if lowered in _TYPE_MAP:
         return _TYPE_MAP[lowered]
-    # Fall back to Spark's own DDL parser for array<>/map<>/struct<>/decimal.
+    m = re.fullmatch(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", lowered)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if lowered == "decimal":
+        return T.DecimalType(10, 0)
+    if lowered.startswith("array<") and s.endswith(">"):
+        return T.ArrayType(parse_type(s[6:-1]))
+    if lowered.startswith("map<") and s.endswith(">"):
+        parts = _split_top_level(s[4:-1])
+        if len(parts) == 2:
+            return T.MapType(parse_type(parts[0]), parse_type(parts[1]))
+    if lowered.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top_level(s[7:-1]):
+            fname, sep, ftype = part.partition(":")
+            if not sep:
+                break
+            fields.append(T.StructField(fname.strip(), parse_type(ftype)))
+        else:
+            return T.StructType(fields)
     try:
         return T._parse_datatype_string(type_str)
     except Exception as exc:
@@ -303,7 +360,26 @@ class Schema:
                         source = a
                         break
             if source is not None:
-                out.append(F.col(source).cast(f.dtype).alias(f.name))
+                codec_name = (f.metadata or {}).get("codec")
+                if (
+                    codec_name
+                    and isinstance(f.dtype, T.BinaryType)
+                    and not isinstance(df.schema[source].dataType, T.BinaryType)
+                ):
+                    # object(<codec>) field fed by non-binary input: encode
+                    # at the boundary (the reference's serialization hook).
+                    from pangool_spark.codecs import encode_col
+
+                    src_type = df.schema[source].dataType
+                    out.append(
+                        encode_col(
+                            source,
+                            codec_name,
+                            struct_input=isinstance(src_type, T.StructType),
+                        ).alias(f.name)
+                    )
+                else:
+                    out.append(F.col(source).cast(f.dtype).alias(f.name))
             elif f.default is not None:
                 out.append(F.lit(f.default).cast(f.dtype).alias(f.name))
             elif f.nullable:

@@ -104,3 +104,38 @@ def test_enum_check_nulls_out_of_domain(spark):
     out = s.check_enums(s.conform(df), strict=False)
     vals = {r.k: r.status for r in out.collect()}
     assert vals == {1: "A", 2: None}
+
+
+def test_object_codec_roundtrip(spark):
+    # Fake Thrift-style codec: encode a (tag, score) pair into length-prefixed
+    # bytes. Mirrors the reference's pluggable per-field serializations
+    # (ThriftSerialization.java:43, ProtoStuffSerialization.java:33).
+    import struct
+
+    from pangool_spark.codecs import decode_objects, register_codec, unregister_codec
+
+    def enc(v):
+        tag = v["tag"].encode()
+        return struct.pack(">I", len(tag)) + tag + struct.pack(">d", v["score"])
+
+    def dec(b):
+        n = struct.unpack(">I", b[:4])[0]
+        return {"tag": b[4 : 4 + n].decode(), "score": struct.unpack(">d", b[4 + n :])[0]}
+
+    register_codec("fake_thrift", enc, dec, dtype="struct<tag:string,score:double>")
+    try:
+        s = Schema.parse("t", "k:int,payload:object(fake_thrift)?")
+        # conform encodes the non-binary source column at the boundary
+        src = spark.createDataFrame(
+            [(1, ("a", 1.5)), (2, ("bb", -2.0)), (3, None)],
+            "k INT, payload STRUCT<tag:STRING, score:DOUBLE>",
+        )
+        conformed = s.conform(src)
+        assert dict(conformed.dtypes)["payload"] == "binary"
+        # bytes survive a shuffle untouched; decode_objects restores typed values
+        decoded = decode_objects(conformed.repartition(2, "k"), s)
+        got = {r.k: (None if r.payload is None else (r.payload.tag, r.payload.score))
+               for r in decoded.collect()}
+        assert got == {1: ("a", 1.5), 2: ("bb", -2.0), 3: None}
+    finally:
+        unregister_codec("fake_thrift")
