@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pangool_spark.schema import Schema
 from pangool_spark.sources import (
     read_csv,
@@ -147,3 +149,90 @@ def test_tuple_file_partitioned_named_outputs(spark, tmp):
     assert {"tag=x", "tag=y"} <= set(os.listdir(path))
     back = spark.read.parquet(path)
     assert back.count() == 3
+
+
+def test_avro_roundtrip_spark(spark, tmp):
+    # Container-file round-trip through the distributed read/write path
+    # (AvroInputFormat.java:45 / AvroOutputFormat.java:52 parity).
+    import datetime
+
+    from pangool_spark.sources.avro import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", datetime.datetime(2020, 1, 2, 3, 4, 5), ["x", "y"], b"\x00\xff", 1.5),
+            (2, None, datetime.datetime(1999, 12, 31, 23, 59, 59), [], None, -0.25),
+        ],
+        "id INT, text STRING, ts TIMESTAMP, tags ARRAY<STRING>, blob BINARY, score DOUBLE",
+    )
+    out = os.path.join(tmp, "avro_out")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    got = sorted(back.collect(), key=lambda r: r.id)
+    exp = sorted(df.collect(), key=lambda r: r.id)
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_avro_tweets_join_parity(spark, tmp):
+    # AvroTweetsJoin (EX/avro/AvroTweetsJoin.java:60-158): avro tweets
+    # (id, text, timestamp, hashtags[]) co-grouped with text retweets
+    # (username \t tweet_id); each retweet emits (username, hashtags) into
+    # an avro output — the array column rides through the join.
+    import datetime
+
+    from pangool_spark.plans import JobBuilder
+    from pangool_spark.schema import Schema
+    from pangool_spark.sources.avro import read_avro, write_avro
+    from pangool_spark.sources.avro_codec import write_container
+
+    tweets_schema = {
+        "type": "record",
+        "name": "tweet",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "text", "type": "string"},
+            {"name": "timestamp", "type": "long"},
+            {"name": "hashtags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    tweets_path = os.path.join(tmp, "tweets.avro")
+    write_container(
+        tweets_path,
+        [
+            {"id": 1, "text": "t1", "timestamp": 10, "hashtags": ["spark", "avro"]},
+            {"id": 2, "text": "t2", "timestamp": 20, "hashtags": ["data"]},
+        ],
+        tweets_schema,
+    )
+    retweets = spark.createDataFrame(
+        [("ana", 1), ("bob", 1), ("cyn", 2)], "username STRING, tweet_id INT"
+    )
+    tweets = read_avro(spark, tweets_path).select(
+        F.col("id").alias("tweet_id"), F.col("hashtags").alias("tweet_hashtags")
+    )
+
+    def red(key, pdf, collector):
+        tw = pdf[pdf["__schema__"] == "tweet"]
+        hashtags = list(tw["tweet_hashtags"].iloc[0]) if len(tw) else []
+        for _, r in pdf[pdf["__schema__"] == "retweet"].iterrows():
+            collector.write({"username": r["username"], "hashtags": hashtags})
+
+    jb = (
+        JobBuilder(spark, "avro_tweets_join")
+        .add_input(tweets, Schema.parse("tweet", "tweet_id:int,tweet_hashtags:array<string>?"))
+        .add_input(retweets, Schema.parse("retweet", "tweet_id:int,username:string?"))
+        .set_group_by("tweet_id")
+        .set_reducer(red, "username:string,hashtags:array<string>")
+    )
+    joined = jb.to_dataframe()
+    out = os.path.join(tmp, "joined_avro")
+    write_avro(joined, out)
+    got = {
+        r.username: sorted(r.hashtags) for r in read_avro(spark, out).collect()
+    }
+    assert got == {
+        "ana": ["avro", "spark"],
+        "bob": ["avro", "spark"],
+        "cyn": ["data"],
+    }
