@@ -255,6 +255,10 @@ def lsh_cosine_pairs(
     banded = vecs.mapInPandas(assign, schema=band_schema)
     left = banded.select(F.col(id_col).alias("id_a"), "t", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    # distinct()'s partial aggregate shrinks the candidate stream map-side
+    # BEFORE its exchange; AQE then sizes the verify stage. (Measured: an
+    # explicit repartition here — before or after distinct — only added
+    # shuffle volume or per-task overhead; AQE's own choice was fastest.)
     candidates = (
         left.join(right, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -307,7 +311,9 @@ def ivf_topk(
     for r in q_local:
         v = np.asarray(r[1], dtype=np.float64)
         v /= max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(cents @ v))
+        # stable sort: equal similarities probe the lower cell id first
+        # (deterministic, and replicable as ORDER BY sim DESC, cell ASC)
+        order = np.argsort(-(cents @ v), kind="stable")
         for c in order[:n_probe]:
             probe_rows.append((int(r[0]), int(c)))
     spark = corpus.sparkSession

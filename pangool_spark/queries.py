@@ -866,6 +866,38 @@ def windowed_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interval_join_events",
+    """
+    SELECT a.user_id AS user_id,
+           a.event_id AS click_id,
+           b.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (clicks to purchases of the same user within
+    ±10 minutes) via the stream-stream join operator's batch path
+    (pangool_spark.streaming.stream_stream_join) — the exact shape that runs
+    watermark-bounded on streams, verified here against plain SQL."""
+    from pangool_spark.streaming import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts"), "user_id"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("bts"), "user_id"
+    )
+    joined = stream_stream_join(
+        clicks, buys, on=["user_id"], left_ts="cts", right_ts="bts", within="10 minutes"
+    )
+    return joined.select("user_id", "click_id", "purchase_id")
+
+
+@query(
     "sessionize_events",
     f"""
     WITH flagged AS (
@@ -1301,10 +1333,58 @@ def ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, _IVF_CENTROIDS).select("vec_id", "cell")
 
 
-@query("ivf_topk_search")  # approximate by design (probed cells only) → rows-only
+def _ivf_topk_oracle(k: int = 5, n_probe: int = 2) -> str:
+    """IVF top-k is DETERMINISTIC given centroid literals: probe-cell choice
+    and in-cell ranking are exact, so the 'approximate' ANN is still fully
+    SQL-replicable (approximation is vs. brute-force kNN, not vs. the spec).
+    """
+    sims = ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], [{', '.join(str(float(x)) for x in c)}]::DOUBLE[]) AS s{i}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    n_cells = len(_IVF_CENTROIDS)
+    best = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN {best} = s{i} THEN {i}" for i in range(n_cells - 1))
+        + f" ELSE {n_cells - 1} END"
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {i} AS cell, s{i} AS s FROM qsims" for i in range(n_cells)
+    )
+    return f"""
+    WITH sims AS (SELECT vec_id, embedding, {sims} FROM embeddings),
+    assigned AS (SELECT vec_id, embedding, {cell_case} AS cell FROM sims),
+    qsims AS (SELECT * FROM sims WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, cell ASC) AS pr
+        FROM ({probe_union})
+      ) WHERE pr <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(a.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+      FROM probes p
+      JOIN assigned a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query("ivf_topk_search", _ivf_topk_oracle())
 def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-accelerated ANN: probe the 2 nearest cells per query, brute-force
-    within. The large-query-set scale path; exactness bounded by n_probe.
+    within. The large-query-set scale path; exactness bounded by n_probe —
+    but DETERMINISTIC given the centroids, so fully oracled (probe choice =
+    rank over centroid cosines, stable tie-break on cell id).
     Recall-vs-exact pinned in tests/test_iterate.py."""
     from pangool_spark.operators.similarity import ivf_topk
 

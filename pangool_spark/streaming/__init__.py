@@ -13,6 +13,11 @@ from pangool_spark.streaming.ops import (
     stream_dedup,
     stateful_running_totals,
 )
+from pangool_spark.streaming.joins import (
+    stream_static_join,
+    stream_stream_join,
+    foreach_batch_sink,
+)
 
 __all__ = [
     "read_stream",
@@ -20,4 +25,7 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stateful_running_totals",
+    "stream_static_join",
+    "stream_stream_join",
+    "foreach_batch_sink",
 ]
