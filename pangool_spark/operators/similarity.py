@@ -205,6 +205,7 @@ def lsh_cosine_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    verify: str = "auto",
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via multi-table sign-LSH.
 
@@ -213,6 +214,15 @@ def lsh_cosine_pairs(
     bucket (a single (rows × dim) @ (dim × tables·planes) matmul), one
     equi-join on (table, bucket) generates candidates — scales as Σ bucket²
     instead of n², and the plan has one exchange regardless of n_tables.
+
+    ``verify``: how candidate pairs get their exact cosine.
+    - ``"join"``: join candidates back to the vector relation (always
+      correct; ships both arrays per pair — 2·dim·8 bytes/pair).
+    - ``"broadcast"``: broadcast the whole (id → vector) matrix and look
+      pairs up executor-side — only (id_a, id_b) ever moves (16 B/pair,
+      ~60× less traffic at dim 64). Valid when the corpus fits a broadcast
+      (same contract as ``knn_bruteforce``'s query set).
+    - ``"auto"``: broadcast when ``n_rows × dim`` ≤ ~50M floats, else join.
     """
     import numpy as np
     import pandas as pd
@@ -253,18 +263,34 @@ def lsh_cosine_pairs(
             )
 
     banded = vecs.mapInPandas(assign, schema=band_schema)
-    left = banded.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    # Spread the join fan-out BEFORE it happens: the banded relation is tiny
+    # (3 numbers/row) but each of its rows explodes into a bucket's worth of
+    # pairs downstream — from a single-file source the whole
+    # join→verify pipeline would otherwise run as ONE task.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    left = banded.repartition(n_parts, "t", "bucket").select(
+        F.col(id_col).alias("id_a"), "t", "bucket"
+    )
     right = banded.select(F.col(id_col).alias("id_b"), "t", "bucket")
-    # distinct()'s partial aggregate shrinks the candidate stream map-side
-    # BEFORE its exchange; AQE then sizes the verify stage. (Measured: an
-    # explicit repartition here — before or after distinct — only added
-    # shuffle volume or per-task overhead; AQE's own choice was fastest.)
-    candidates = (
+    raw_candidates = (
         left.join(right, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if verify == "auto":
+        verify = "broadcast" if df.count() * dim <= 50_000_000 else "join"
+    if verify == "broadcast":
+        # NO pre-distinct: with lookup-based verify a duplicate candidate
+        # costs one einsum row (cheap), while distinct() costs an exchange
+        # of the full multi-table candidate stream (dominant — measured 4s
+        # of a 6s query). Candidates flow join → verify in ONE stage, and
+        # only the tiny verified output is deduped.
+        return _verify_pairs_broadcast(vecs, raw_candidates, threshold, id_col).distinct()
+    if verify != "join":
+        raise ValueError(f"unknown verify mode {verify!r}")
+    # join verify ships both vectors per pair: distinct() first so its
+    # partial aggregate shrinks the stream map-side BEFORE the exchange.
+    candidates = raw_candidates.distinct()
     from pangool_spark.operators._udfs import cosine_udf
 
     a = vecs.select(F.col(id_col).alias("id_a"), F.col("__vec__").alias("va"))
@@ -275,6 +301,55 @@ def lsh_cosine_pairs(
         .select("id_a", "id_b", cosine_udf("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def _verify_pairs_broadcast(
+    vecs: DataFrame, candidates: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-cosine verify of (id_a, id_b) pairs against a BROADCAST vector
+    matrix: candidates stream through mapInPandas carrying only two longs
+    per row; each batch does one gather + one einsum. Bit-identical to
+    ``cosine_udf`` (same float64 op order), so results match the join path
+    exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = vecs.collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    bc = vecs.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def verify_batches(batches):
+        s_ids, s_mat, s_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = np.searchsorted(s_ids, pdf["id_a"].to_numpy(dtype=np.int64))
+            ib = np.searchsorted(s_ids, pdf["id_b"].to_numpy(dtype=np.int64))
+            dots = np.einsum("ij,ij->i", s_mat[ia], s_mat[ib])
+            cos = dots / np.maximum(s_norms[ia] * s_norms[ib], 1e-12)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return candidates.mapInPandas(verify_batches, schema=out_schema)
 
 
 def ivf_topk(
