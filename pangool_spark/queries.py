@@ -996,11 +996,16 @@ def _doc_shingles(
     key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        base = shingles(docs, n=n)
         if max_df is not None:
-            df = prune_hot_shingles(_doc_shingles(spark, sf_dir, n), max_df)
+            # build pruned from the UNcached base: the prune's two reads of
+            # the base (df-count agg + anti-join) dedupe via ReuseExchange
+            # on the distinct's shuffle, so caching only the PRUNED relation
+            # saves a whole materialization barrier (measured ~1s/query).
+            df = prune_hot_shingles(base, max_df)
         else:
-            docs = load_table(spark, sf_dir, "documents")
-            df = shingles(docs, n=n)
+            df = base
         _SHINGLE_CACHE[key] = df
     level = df.storageLevel
     if not (level.useMemory or level.useDisk):

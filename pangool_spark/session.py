@@ -31,6 +31,10 @@ _DEFAULT_CONFS = {
     # higher-order-function pipelines) otherwise run interpreted while C2
     # churns, with erratic 10-50x slowdowns.
     "spark.sql.codegen.hugeMethodLimit": "8000",
+    # Bigger Arrow batches amortize the per-batch Python/pandas dispatch in
+    # mapInPandas reducers (147k-group secondary sort: 3.9s -> 3.2s at
+    # sf0.1); 64k rows of typical tuples stays well under task memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.maxResultSize": "4g",
     "spark.ui.enabled": "false",
@@ -43,7 +47,10 @@ def get_spark(app_name: str = "pangool_spark", **extra_confs: str) -> SparkSessi
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     n_parallel = os.cpu_count() or 8
     builder = builder.config("spark.sql.shuffle.partitions", str(n_parallel))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    # 32 executor threads + cached relations + Arrow buffers: 16g heaps GC-
+    # thrash on the bench suite (measured 2-4x tail-latency swings on the
+    # dedup queries); the container has 128 GiB.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     for key, value in {**_DEFAULT_CONFS, **extra_confs}.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
@@ -64,6 +71,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.codegen.hugeMethodLimit",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
     ):
         try:
             spark.conf.set(key, _DEFAULT_CONFS[key])
