@@ -490,6 +490,104 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — every predicate must
+    push to the parquet scan (no join, no shuffle beyond the final 1-row
+    agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-side filter + star join + top-20 by aggregated
+    revenue. The returnflag filter pushes to the lineitem scan; customer and
+    nation broadcast; one fact shuffle on l_orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    dec2 = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q2_top_acctbal_per_nation",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal = (
+      SELECT MAX(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q2_top_acctbal_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-subquery shape (x = correlated MAX), compiled
+    the Spark-first way: a window MAX over the correlation key + equality
+    filter — one shuffle on the key instead of a rewritten self-join
+    (exactly how Catalyst decorrelates; made explicit here per ROADMAP)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("__max_bal__", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("__max_bal__"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
     "grouping_sets_lineitem",
     f"""
     SELECT l_returnflag, l_linestatus, {_sql_dsum('l_quantity')} AS sum_qty

@@ -109,3 +109,10 @@ def test_general_reducer_single_exchange(spark, sf):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Sort [l_orderkey" in plan and "], false, 0" in plan
     assert "MapInPandas" in plan
+
+def test_q6_predicates_push_to_scan(spark, sf):
+    from pangool_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
