@@ -245,13 +245,41 @@ def minhash_signatures(
     return hashed.repartition(n_parts, F.col(id_col)).mapInPandas(compute, schema=out_schema)
 
 
+def minhash_params_for_threshold(
+    threshold: float,
+    num_hashes: int = 64,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) whose LSH S-curve is centered on the
+    target Jaccard threshold.
+
+    A pair with Jaccard s collides in ≥1 band with p(s) = 1-(1-s^r)^b; the
+    curve's inflection sits near (1/b)^(1/r). Among the divisor pairs of
+    ``num_hashes`` we take the one minimizing |(1/b)^(1/r) - threshold| —
+    lower thresholds get more bands with fewer rows (recall), higher
+    thresholds fewer, wider bands (precision). Deterministic, so oracle
+    SQL can replicate the banding exactly.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        score = abs(inflection - threshold)
+        if best is None or score < best[0]:
+            best = (score, bands, rows)
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -263,8 +291,13 @@ def minhash_lsh_pairs(
     fraction. Only bucket-colliding pairs are compared: the candidate set is
     linear-ish in practice, never O(n²).
 
+    ``bands=None`` auto-derives the banding from the threshold via
+    ``minhash_params_for_threshold`` (S-curve centering).
+
     Output: (id_a, id_b, est_jaccard).
     """
+    if bands is None:
+        bands, _ = minhash_params_for_threshold(threshold, num_hashes)
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands

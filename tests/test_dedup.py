@@ -198,3 +198,16 @@ def test_minhash_signature_matches_duckdb_oracle(spark):
     ).fetchall()
     for row in rows:
         assert list(row[1:]) == sig[row[0]], f"doc {row[0]} signature mismatch"
+
+
+def test_minhash_params_for_threshold():
+    from pangool_spark.operators.dedup import minhash_params_for_threshold
+
+    # low threshold -> many narrow bands (recall); high -> few wide bands
+    b_lo, r_lo = minhash_params_for_threshold(0.3, 64)
+    b_hi, r_hi = minhash_params_for_threshold(0.9, 64)
+    assert b_lo > b_hi and r_lo < r_hi
+    assert b_lo * r_lo == 64 and b_hi * r_hi == 64
+    # the chosen S-curve inflection lands near the target
+    for t, (b, r) in ((0.3, (b_lo, r_lo)), (0.9, (b_hi, r_hi))):
+        assert abs((1.0 / b) ** (1.0 / r) - t) < 0.15
