@@ -58,8 +58,16 @@ def _list_files(path: str) -> list[str]:
     return files
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read .avro container files (a file, a directory, or a glob)."""
+def read_avro(
+    spark: SparkSession, path: str, split_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Read .avro container files (a file, a directory, or a glob).
+
+    Pure-Python path is SPLITTABLE: files larger than ``split_bytes`` are
+    divided into byte ranges and each task syncs to the first block
+    boundary in its range (the container format's sync markers exist for
+    exactly this), so one big file still reads in parallel.
+    """
     if _jar_available(spark):
         return spark.read.format("avro").load(path)
 
@@ -71,18 +79,25 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     # schema from the first file's header (one small driver-side read)
     avro_schema = avro_codec.read_container_schema(files[0])
     struct = avro_codec.avro_to_spark_schema(avro_schema)
-    n_parts = min(len(files), spark.sparkContext.defaultParallelism)
-    paths_df = spark.createDataFrame(
-        [(f,) for f in files], "__path__ STRING"
+    splits = []
+    for f in files:
+        size = os.path.getsize(f)
+        n_splits = max(1, size // split_bytes)
+        step = (size + n_splits - 1) // n_splits
+        for s in range(0, size, step):
+            splits.append((f, s, min(s + step, size)))
+    n_parts = min(len(splits), spark.sparkContext.defaultParallelism)
+    splits_df = spark.createDataFrame(
+        splits, "__path__ STRING, __start__ LONG, __end__ LONG"
     ).repartition(n_parts)
 
     col_names = [f.name for f in struct.fields]
 
     def decode(batches):
         for pdf in batches:
-            for p in pdf["__path__"]:
+            for p, s, e in zip(pdf["__path__"], pdf["__start__"], pdf["__end__"]):
                 rows: list[dict] = []
-                for rec in avro_codec.read_container(p):
+                for rec in avro_codec.read_container_split(p, int(s), int(e)):
                     rows.append(rec)
                     if len(rows) >= 10000:
                         yield pd.DataFrame(rows, columns=col_names)
@@ -90,7 +105,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 if rows:
                     yield pd.DataFrame(rows, columns=col_names)
 
-    return paths_df.mapInPandas(decode, schema=struct)
+    return splits_df.mapInPandas(decode, schema=struct)
 
 
 def write_avro(

@@ -463,14 +463,56 @@ def _read_header(f: BinaryIO):
 
 def read_container(path: str) -> Iterator[dict]:
     """Yield records (as dicts) from one .avro container file."""
+    yield from read_container_split(path, 0, None)
+
+
+def _find_sync(f: BinaryIO, sync: bytes, start: int) -> int | None:
+    """Scan forward from ``start`` for the sync marker; return the offset
+    just PAST it (= the next block's start), or None. Chunked overlapping
+    scan, Avro's own DataFileReader.sync() strategy (the 2^-128 chance of
+    the pattern inside a payload is accepted)."""
+    f.seek(start)
+    chunk_size = 1 << 20
+    offset = start
+    prev_tail = b""
+    while True:
+        chunk = f.read(chunk_size)
+        if not chunk:
+            return None
+        buf = prev_tail + chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            return offset - len(prev_tail) + idx + SYNC_SIZE
+        prev_tail = buf[-(SYNC_SIZE - 1):]
+        offset += len(chunk)
+
+
+def read_container_split(path: str, start: int, end: int | None) -> Iterator[dict]:
+    """Yield records from blocks whose start offset lies in [start, end).
+
+    The splittability contract of the container format: blocks are framed
+    by sync markers, so a reader assigned an arbitrary byte range syncs to
+    the first block boundary at/after ``start`` and stops once a block
+    begins at/after ``end`` — each block is decoded by exactly one split
+    (ref AvroInputFormat's FileSplit handling, P/tuplemr/avro/
+    AvroInputFormat.java:45)."""
     with open(path, "rb") as f:
-        meta, sync, _ = _read_header(f)
+        meta, sync, data_start = _read_header(f)
         schema = json.loads(meta[b"avro.schema"].decode("utf-8"))
         codec = meta.get(b"avro.codec", b"null").decode()
         if codec not in ("null", "deflate"):
             raise AvroCodecError(f"unsupported codec {codec!r}")
         compiled = _compile(schema)
-        while True:
+        if start <= data_start:
+            pos = data_start
+        else:
+            # a sync at offset p frames a block starting at p+16; scanning
+            # from start-16 finds exactly the first block boundary >= start
+            pos = _find_sync(f, sync, start - SYNC_SIZE)
+            if pos is None:
+                return
+        f.seek(pos)
+        while end is None or pos < end:
             first = f.read(1)
             if not first:
                 return
@@ -485,3 +527,4 @@ def read_container(path: str) -> Iterator[dict]:
                 yield compiled.decode(block)
             if f.read(SYNC_SIZE) != sync:
                 raise AvroCodecError("sync marker mismatch (corrupt block)")
+            pos = f.tell()
