@@ -300,6 +300,7 @@ class Schema:
                         "default": f.default,
                         "enum_domain": list(f.enum_domain) if f.enum_domain else None,
                         "aliases": list(f.aliases),
+                        "metadata": dict(f.metadata) if f.metadata else None,
                     }
                     for f in self.fields
                 ],
@@ -317,6 +318,7 @@ class Schema:
                 default=fd.get("default"),
                 enum_domain=tuple(fd["enum_domain"]) if fd.get("enum_domain") else None,
                 aliases=tuple(fd.get("aliases", ())),
+                metadata=fd.get("metadata") or {},
             )
             for fd in data["fields"]
         ]

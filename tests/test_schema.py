@@ -139,3 +139,35 @@ def test_object_codec_roundtrip(spark):
         assert got == {1: ("a", 1.5), 2: ("bb", -2.0), 3: None}
     finally:
         unregister_codec("fake_thrift")
+
+
+def test_catalog_roundtrip(tmp_path):
+    from pangool_spark.catalog import Catalog
+
+    cat = Catalog()
+    cat.register(Schema.parse("users", "id:long,status:enum(A|B)?,payload:object(c1)?"))
+    cat.register(Schema.parse("orders", "id:long,total:decimal(18,2)"))
+    p = str(tmp_path / "catalog.json")
+    cat.save(p)
+    back = Catalog.load(p)
+    assert back.names() == ["orders", "users"]
+    users = back.get("users")
+    assert users.field("status").enum_domain == ("A", "B")
+    assert users.field("payload").metadata.get("codec") == "c1"
+    assert back.get("orders").field("total").dtype.simpleString() == "decimal(18,2)"
+    with pytest.raises(SchemaError):
+        back.get("missing")
+    with pytest.raises(SchemaError):
+        back.register(Schema.parse("users", "x:int"))
+
+
+def test_tuples_sidecar_carries_declared_schema(spark, tmp_path):
+    from pangool_spark.catalog import read_tuples_catalogued, write_tuples_catalogued
+
+    schema = Schema.parse("ev", "id:long,status:enum(OPEN|DONE)?")
+    df = spark.createDataFrame([(1, "OPEN"), (2, None)], "id LONG, status STRING")
+    path = str(tmp_path / "ds")
+    write_tuples_catalogued(df, path, schema)
+    back, declared = read_tuples_catalogued(spark, path)
+    assert declared is not None and declared.field("status").enum_domain == ("OPEN", "DONE")
+    assert {(r.id, r.status) for r in back.collect()} == {(1, "OPEN"), (2, None)}
