@@ -35,6 +35,8 @@ HEADLINE = [
     "token_stats_docs",
     "windowed_agg_events",
     "sessionize_events",
+    "salted_agg_events",
+    "interval_join_events",
 ]
 
 

@@ -996,6 +996,42 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_agg_events",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {_sql_dsum('value', 6)} AS total,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation over an intentionally HOT key space
+    (5 event types x 100k rows at sf0.1 — every key is hot): salting spreads
+    each key's stage-1 work over n_salts partial groups, and the merge
+    produces results identical to a direct groupBy (this oracle IS the
+    direct groupBy)."""
+    from pangool_spark.operators.partitioning import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_type"),
+            "total": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("total").cast("double").alias("total"),
+        "min_value", "max_value",
+    )
+
+
+@query(
     "sessionize_events",
     f"""
     WITH flagged AS (
