@@ -467,3 +467,46 @@ def with_aliases(f: Field, *aliases: str) -> Field:
         aliases=tuple(f.aliases) + aliases,
         metadata=f.metadata,
     )
+
+
+def tuple_field(name: str, schema: "Schema", nullable: bool = False) -> Field:
+    """Tuple-in-tuple field: a nested Schema as one column.
+
+    Ref ``Field.createTupleField`` + ``TupleFieldSerialization``
+    (``P/io/Schema.java:241-256``, ``P/tuplemr/serialization/
+    TupleFieldSerialization.java:35``) — here the nested tuple is a real
+    nested ``StructType``, so Catalyst prunes/pushes into it instead of
+    treating it as an opaque blob. Nested nullability is relaxed: Spark
+    cannot CAST into nested NOT NULL fields, so inner-field nullability is
+    advisory (enforce with check_enums-style validation if needed)."""
+    inner = T.StructType(
+        [
+            T.StructField(sf.name, sf.dataType, True, sf.metadata)
+            for sf in schema.to_struct().fields
+        ]
+    )
+    return Field(
+        name=name,
+        dtype=inner,
+        nullable=nullable,
+        metadata={"tuple_schema": schema.name},
+    )
+
+
+def avro_field(name: str, avro_schema: dict, nullable: bool = False) -> Field:
+    """Avro-typed field: the declared Avro schema mapped to its native Spark
+    type (arrays/maps/records stay structural, never opaque bytes).
+
+    Ref ``Fields.createAvroField`` + ``AvroFieldSerialization``
+    (``P/io/Fields.java:114-135``, ``P/tuplemr/serialization/
+    AvroFieldSerialization.java:40-76``; array column usage
+    ``EX/avro/AvroTweetsJoin.java:132-144``)."""
+    from pangool_spark.sources.avro_codec import _compile
+
+    compiled = _compile(avro_schema)
+    return Field(
+        name=name,
+        dtype=compiled.spark_type,
+        nullable=nullable or compiled.nullable,
+        metadata={"avro_schema": json.dumps(avro_schema)},
+    )

@@ -171,3 +171,29 @@ def test_tuples_sidecar_carries_declared_schema(spark, tmp_path):
     back, declared = read_tuples_catalogued(spark, path)
     assert declared is not None and declared.field("status").enum_domain == ("OPEN", "DONE")
     assert {(r.id, r.status) for r in back.collect()} == {(1, "OPEN"), (2, None)}
+
+
+def test_tuple_field_nested_struct(spark):
+    # Tuple-in-tuple (Field.createTupleField): nested Schema = nested struct
+    from pangool_spark.schema import tuple_field
+
+    inner = Schema.parse("point", "x:double,y:double")
+    outer = Schema("obs", [Field("id", T.LongType()), tuple_field("loc", inner, nullable=True)])
+    df = spark.createDataFrame(
+        [(1, (0.5, -1.5)), (2, None)], "id LONG, loc STRUCT<x:DOUBLE, y:DOUBLE>"
+    )
+    out = outer.conform(df)
+    rows = {r.id: (None if r.loc is None else (r.loc.x, r.loc.y)) for r in out.collect()}
+    assert rows == {1: (0.5, -1.5), 2: None}
+    assert outer.field("loc").metadata["tuple_schema"] == "point"
+
+
+def test_avro_field_maps_to_native_types():
+    # Fields.createAvroField: avro array-of-string column -> ArrayType
+    from pangool_spark.schema import avro_field
+
+    f = avro_field("hashtags", {"type": "array", "items": "string"})
+    # avro array of non-union strings cannot contain nulls
+    assert f.dtype == T.ArrayType(T.StringType(), containsNull=False)
+    f2 = avro_field("maybe_n", ["null", "long"])
+    assert f2.dtype == T.LongType() and f2.nullable
