@@ -1656,14 +1656,28 @@ ORACLES["quality_scores_docs"] = _quality_oracle()
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (extension layer; rows-only — not SQL-expressible)
+# multimodal plumbing (extension layer)
 
-@query("multimodal_image_features")
+@query(
+    "multimodal_image_features",
+    r"""
+    SELECT doc_id AS media_id,
+           CAST(COALESCE(list_sum(list_transform(
+                    regexp_extract_all(substr(text, 1, 64), '[\s\S]'),
+                    c -> unicode(c))), 0) / 64.0 AS DOUBLE) AS mean_intensity
+    FROM documents
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column media pipeline: build (media_id, payload=utf8 bytes of
     text) from documents, run the Arrow-batched fake decode+featurize
     (real codecs are stubbed — see operators/multimodal.py), emit
-    (media_id, mean_intensity). Deterministic; rows-only check."""
+    (media_id, mean_intensity).
+
+    ORACLED: the deterministic stub decode is mean(first 64 bytes
+    zero-padded), and the fixture text is pure ASCII, so codepoints ==
+    bytes and the exact value is SQL (integer sum / 2^6 — exact in both
+    float32 and double, no rounding needed)."""
     from pangool_spark.operators.multimodal import decode_and_featurize_images
 
     docs = load_table(spark, sf_dir, "documents")
