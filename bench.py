@@ -19,6 +19,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "customer_order_stats",
     "topk_orders_per_cust",
     "moving_avg_events",

@@ -261,3 +261,13 @@ def test_avro_splittable_read(spark, tmp):
     got = [r.i for r in df.collect()]
     assert sorted(got) == list(range(5000))
     assert df.rdd.getNumPartitions() > 1  # actually parallel
+
+
+def test_tuple_viewer(spark, tmp):
+    # TupleViewer parity (EX/TupleViewer.java): schema + rows as text
+    from pangool_spark.viewer import view_tuples
+
+    path = os.path.join(tmp, "view_me")
+    write_tuples(spark.createDataFrame([(1, "x")], "a INT, b STRING"), path)
+    out = view_tuples(spark, path)
+    assert "struct<a:int,b:string>" in out and "x" in out
