@@ -142,8 +142,11 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # timestamp PREPENDED: the stub reads only the first 64 bytes,
+            # so appending it would vanish for payloads >= 64B and every
+            # frame of a video would get identical features
             feats = [
-                _fake_decode_image((p or b"") + int(ms).to_bytes(8, "little")).ravel().tolist()
+                _fake_decode_image(int(ms).to_bytes(8, "little") + (p or b"")).ravel().tolist()
                 for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
             ]
             yield pd.DataFrame(

@@ -1688,6 +1688,31 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "mean_intensity")
 
 
+@query(
+    "multimodal_video_frames",
+    """
+    SELECT doc_id AS media_id,
+           unnest(range(0, greatest(length(text), 1), 500)) AS frame_ms
+    FROM documents
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: duration-driven declarative fan-out
+    (one row per sampled timestamp, explode of a sequence — Catalyst sizes
+    partitions AFTER the fan-out). Duration is modeled as text length so
+    the exact timestamp grid is SQL-checkable; frame decode itself stays
+    behind the stubbed codec seam."""
+    from pangool_spark.operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length("text").cast("long").alias("duration_ms"),
+    )
+    return sample_video_frames(media, every_ms=500).select("media_id", "frame_ms")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
