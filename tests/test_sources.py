@@ -271,3 +271,20 @@ def test_tuple_viewer(spark, tmp):
     write_tuples(spark.createDataFrame([(1, "x")], "a INT, b STRING"), path)
     out = view_tuples(spark, path)
     assert "struct<a:int,b:string>" in out and "x" in out
+
+
+def test_hive_table_roundtrip_with_evolution(spark):
+    # HCatTupleInputFormat parity: catalog table scan + target-schema
+    # evolution (HCatTupleInputFormat.java:42-102)
+    from pangool_spark.sources.hive import read_table, write_table
+
+    df = spark.createDataFrame([(1, "x", "a"), (2, "y", "b")], "id INT, v STRING, part STRING")
+    write_table(df, "hive_rt_test", partition_by=["part"])
+    try:
+        target = Schema.parse("t", "id:long,v:string,extra:int?")
+        back = read_table(spark, "hive_rt_test", target_schema=target)
+        rows = {r.id: (r.v, r.extra) for r in back.collect()}
+        assert rows == {1: ("x", None), 2: ("y", None)}
+        assert dict(back.dtypes)["id"] == "bigint"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hive_rt_test")
