@@ -403,13 +403,20 @@ class JobBuilder:
             return self._compile_rollup(union, out_struct)
         return self._compile_general_reducer(union, out_struct)
 
+    @staticmethod
+    def _output_slot(name: str) -> str:
+        return "__main__" if name == "" else name
+
     def to_dataframes(self) -> dict[str, DataFrame]:
         """Main output under ``""`` plus every declared named output.
 
-        The reduce runs ONCE: rows leave the reducer as (tag, json) pairs,
-        the tagged frame is cached, and each output is a filter +
-        ``from_json`` projection — N sinks, one shuffle, like the
-        reference's one-job multiple-outputs.
+        The reduce runs ONCE: rows leave the reducer as a tagged struct —
+        one nullable struct slot per declared output, exactly one non-null
+        per row — the tagged frame is cached, and each output is a filter +
+        struct expansion. N sinks, one shuffle, like the reference's
+        one-job multiple-outputs; Arrow carries the types end-to-end
+        (timestamps/binary/decimals keep full fidelity, and a type mismatch
+        fails fast instead of nulling rows like a JSON round-trip would).
         """
         if not self._named_outputs:
             return {"": self.to_dataframe()}
@@ -422,20 +429,20 @@ class JobBuilder:
                 "path has a single output stream"
             )
         union = self._tagged_union()
+        all_outputs = [("", self._output_schema), *self._named_outputs.items()]
         tag_struct = T.StructType(
-            [
-                T.StructField("__output__", T.StringType(), False),
-                T.StructField("__json__", T.StringType(), False),
+            [T.StructField("__output__", T.StringType(), False)]
+            + [
+                T.StructField(self._output_slot(name), schema.to_struct(), True)
+                for name, schema in all_outputs
             ]
         )
         tagged = self._compile_general_reducer(union, tag_struct, emit_tagged=True).cache()
         outputs: dict[str, DataFrame] = {}
-        for name, schema in [("", self._output_schema), *self._named_outputs.items()]:
-            struct = schema.to_struct()
+        for name, _schema in all_outputs:
+            slot = self._output_slot(name)
             outputs[name] = (
-                tagged.filter(F.col("__output__") == name)
-                .select(F.from_json("__json__", struct).alias("r"))
-                .select("r.*")
+                tagged.filter(F.col("__output__") == name).select(f"`{slot}`.*")
             )
         return outputs
 
@@ -492,19 +499,20 @@ class JobBuilder:
 
         def collector_frame(collector: Collector):
             if emit_tagged:
-                import json as _json
-
-                # numpy scalars (np.int64 sums/counts) must serialize as JSON
-                # numbers, not strings: from_json does not coerce "5"->long and
-                # would silently null the whole row in PERMISSIVE mode.
-                def _default(o):
-                    return o.item() if hasattr(o, "item") else str(o)
-
-                rows = [("", _json.dumps(r, default=_default)) for r in collector.rows]
-                for name, named_rows in collector.named.items():
-                    rows.extend((name, _json.dumps(r, default=_default)) for r in named_rows)
-                if rows:
-                    return pd.DataFrame(rows, columns=out_columns)
+                # tagged-struct rows: one nullable struct slot per output,
+                # exactly one non-null per row; Arrow carries the nested
+                # types natively (no JSON, no fidelity loss)
+                slot_names = out_columns[1:]  # after __output__
+                records = []
+                for name, named_rows in [("", collector.rows), *collector.named.items()]:
+                    slot = "__main__" if name == "" else name
+                    for r in named_rows:
+                        rec = {"__output__": name}
+                        for s in slot_names:
+                            rec[s] = r if s == slot else None
+                        records.append(rec)
+                if records:
+                    return pd.DataFrame(records, columns=out_columns)
                 return None
             if collector.rows:
                 return pd.DataFrame(collector.rows, columns=out_columns)

@@ -68,3 +68,29 @@ def test_external_sink_batches(spark):
     external_sink(df, send_batch, batch_size=10)
     sizes = [json.loads(line) for line in open(log)]
     assert sorted(sizes) == [5, 10, 10]
+
+
+def test_named_outputs_preserve_rich_types(spark):
+    # Arrow-native tagged struct: timestamps/binary/doubles keep full
+    # fidelity through named outputs (a JSON round-trip would stringify)
+    import datetime
+
+    from pangool_spark.plans import JobBuilder
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+
+    def red(key, pdf, collector):
+        collector.write({"k": int(key[0]), "when": ts, "blob": b"\x00\xfe"})
+        collector.write({"k": int(key[0]), "n": len(pdf)}, output="counts")
+
+    jb = (
+        JobBuilder(spark, "rich_types")
+        .add_input(spark.createDataFrame([(1, 1.0), (1, 2.0)], "g INT, v DOUBLE"), "g:int,v:double")
+        .set_group_by("g")
+        .set_reducer(red, "k:long,when:timestamp,blob:bytes")
+        .add_named_output("counts", "k:long,n:long")
+    )
+    outs = jb.to_dataframes()
+    main = outs[""].collect()
+    assert main[0].when == ts and bytes(main[0].blob) == b"\x00\xfe"
+    assert [(r.k, r.n) for r in outs["counts"].collect()] == [(1, 2)]
