@@ -116,3 +116,13 @@ def test_q6_predicates_push_to_scan(spark, sf):
     plan = _plan(QUERIES["q6_forecast_revenue"](spark, sf))
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed and "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_interval_join_is_equi_join_not_cartesian(spark, sf):
+    # the event-time range predicate must ride ON the user_id equi-join
+    # (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin), never a
+    # BroadcastNestedLoopJoin over the range condition alone
+    from pangool_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["interval_join_events"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
