@@ -129,3 +129,47 @@ def fingerprint(
     rolling-hash chunking lives in ``dedup.shingle`` (n-gram shingles)."""
     normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(normalized).alias(out_col))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every character
+    k-gram of the normalized text, slide a ``window`` over consecutive
+    k-gram hashes, select each window's minimum — the standard local
+    document sketch for partial-overlap/plagiarism-style detection
+    (guarantees any shared substring of length ≥ k+window-1 contributes a
+    shared fingerprint).
+
+    Declarative end to end: position explode → substring → md5-derived
+    31-bit hash (engine-portable, like minhash's base hash) → running
+    window MIN → distinct. One shuffle on (id); at 100 TB the explode
+    fan-out is |text| rows per doc, the same scale as shingling.
+
+    Output: (id, fp) distinct selected hashes.
+    """
+    from pyspark.sql import Window
+
+    from pangool_spark.operators.dedup import base_hash_31
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+        ).alias("pos"),
+        norm.alias("__t__"),
+    )
+    hashed = grams.select(
+        id_col, "pos", base_hash_31(F.substring("__t__", F.col("pos"), k)).alias("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
+    return (
+        hashed.select(F.col(id_col), F.min("h").over(w).alias("fp"))
+        .distinct()
+    )

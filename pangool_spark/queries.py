@@ -1577,6 +1577,31 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs)
 
 
+@query(
+    "winnow_fingerprints_docs",
+    f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, p,
+             ('0x' || substr(md5(substr(t, CAST(p AS INT), 8)), 1, 8))::BIGINT & 2147483647 AS h
+      FROM norm, LATERAL unnest(range(1, greatest(length(t) - 7, 1) + 1)) AS u(p)
+    )
+    SELECT DISTINCT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+    FROM grams
+    """,
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: char-8-gram rolling hashes, window-4
+    minima, distinct — the local-overlap document sketch. Fully oracled via
+    the md5-derived portable hash family."""
+    from pangool_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
 def _lang_id_oracle() -> str:
     from pangool_spark.operators.text import _LANG_MARKERS
 

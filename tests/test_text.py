@@ -57,3 +57,25 @@ def test_fingerprint_stable_under_ws_case(spark):
     )
     fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    # Winnowing guarantee: documents sharing a substring of length >=
+    # k + window - 1 share at least one fingerprint; disjoint docs
+    # overwhelmingly do not.
+    from pangool_spark.operators.text import winnow_fingerprints
+
+    shared = "xqzjvkwpyfnbgd"  # 14 chars > k+window-1 = 11, rare letters
+    docs = spark.createDataFrame(
+        [
+            (1, "first document body containing " + shared + " inside it"),
+            (2, shared + " appears here too with other words around"),
+            (3, "completely unrelated material with no overlap at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=8, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
