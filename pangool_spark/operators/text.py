@@ -131,6 +131,46 @@ def fingerprint(
     return df.select(F.col(id_col), F.md5(normalized).alias(out_col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    context-window preparation for training/embedding pipelines.
+
+    Chunks start every ``chunk_tokens - overlap`` whitespace tokens and
+    carry ``chunk_tokens`` tokens each (last chunks may be shorter); chunk
+    text is the tokens re-joined with single spaces (whitespace-normalized
+    by construction). Fully declarative: split → sequence of starts →
+    posexplode → slice/join; the fan-out is sized by Catalyst AFTER the
+    explode, so huge documents spread across tasks.
+
+    Output: (id, chunk_idx, chunk_start_token, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokens = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        tokens.alias("__toks__"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start_token"),
+    )
+    chunk = F.slice(F.col("__toks__"), F.col("chunk_start_token") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start_token",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1578,6 +1578,32 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS INT) AS chunk_idx,
+           CAST(s AS INT) AS chunk_start_token,
+           CAST(len(t[CAST(s + 1 AS INT) : CAST(s + 32 AS INT)]) AS INT) AS n_chunk_tokens,
+           array_to_string(t[CAST(s + 1 AS INT) : CAST(s + 32 AS INT)], ' ') AS chunk_text
+    FROM toks, LATERAL unnest(range(0, greatest(len(t), 1), 24)) AS u(s)
+    """,
+)
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token overlap)
+    — the context-window preparation step of a training pipeline, fully
+    declarative and SQL-checked chunk-for-chunk."""
+    from pangool_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
     "winnow_fingerprints_docs",
     f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

@@ -79,3 +79,17 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2]
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from pangool_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, words), (2, "solo")], "doc_id LONG, text STRING")
+    out = {(r.doc_id, r.chunk_idx): r for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()}
+    # stride 3: starts 0,3,6,9 for 10 tokens
+    assert {(i, c) for i, c in out} == {(1, 0), (1, 1), (1, 2), (1, 3), (2, 0)}
+    assert out[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert out[(1, 1)].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
+    assert out[(1, 3)].chunk_text == "w9" and out[(1, 3)].n_chunk_tokens == 1
+    assert out[(2, 0)].chunk_text == "solo"
