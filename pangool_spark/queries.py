@@ -1764,6 +1764,110 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, every_ms=500).select("media_id", "frame_ms")
 
 
+def _curation_pipeline_oracle() -> str:
+    from pangool_spark.operators.text import _LANG_MARKERS
+
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in markers)
+        scores.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(ltoks, x -> x IN ({lst}))) AS score FROM lt"
+        )
+    union = " UNION ALL ".join(scores)
+    return f"""
+    WITH lt AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ltoks
+      FROM documents
+    ), lang_scored AS ({union}),
+    langs AS (
+      SELECT doc_id,
+             CASE WHEN max(score) FILTER (WHERE rn = 1) > 0
+                  THEN max(lang) FILTER (WHERE rn = 1) ELSE 'und' END AS lang_pred
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, lang DESC) AS rn
+            FROM lang_scored) GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio
+      FROM documents
+    ),
+    filtered AS (
+      SELECT d.doc_id, d.text, l.lang_pred, q.n_tokens
+      FROM documents d JOIN langs l USING (doc_id) JOIN quality q USING (doc_id)
+      WHERE l.lang_pred = 'en' AND q.alpha_ratio >= 0.5 AND q.n_tokens >= 5
+    ),
+    exact_kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM_SQL.replace('text', 'f.text')}) AS dg
+            FROM filtered f) GROUP BY dg
+    ),
+    survivors0 AS (
+      SELECT f.* FROM filtered f JOIN exact_kept USING (doc_id)
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM survivors0
+    ), {_GRAMS_ALL_CTE}, {_GRAMS_PRUNED_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+    dupes AS (
+      SELECT DISTINCT id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) c
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+    SELECT s.doc_id, s.lang_pred, s.n_tokens FROM survivors0 s
+    WHERE NOT EXISTS (SELECT 1 FROM dupes WHERE dupes.id_b = s.doc_id)
+    """
+
+
+@query("curation_pipeline", _curation_pipeline_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, one composed plan: language-ID
+    filter (en) → quality gate (alpha ratio ≥ 0.5, ≥ 5 tokens) → exact
+    dedup (keep min id per content digest) → n-gram-Jaccard near-dedup
+    (greedy keep-lowest, hot-shingle pruned). Every stage is an
+    already-oracled operator; the composition is verified as one SQL
+    pipeline. Documents shuffle only in the final anti-join semi-steps."""
+    from pangool_spark.operators import anti_join
+    from pangool_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from pangool_spark.operators.text import language_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs = language_id(docs)
+    quality = quality_score(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    filtered = (
+        docs.join(langs, "doc_id")
+        .join(quality, "doc_id")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("n_tokens") >= 5)
+        )
+    )
+    # The filter chain (language-ID explode+window is the expensive part)
+    # feeds THREE consumers: shingling, pair sizes, and the final anti-join.
+    # Cache the deduped survivors so it runs once; the jaccard operator's
+    # internal materialization populates it.
+    survivors0 = exact_dedup(filtered).cache()
+    pairs = ngram_jaccard_pairs(
+        survivors0, n=3, threshold=0.5, max_df=_SHINGLE_MAX_DF
+    )
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return anti_join(survivors0, dupes, "doc_id").select(
+        "doc_id", "lang_pred", "n_tokens"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
