@@ -1532,16 +1532,51 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, _IVF_CENTROIDS, k=5, n_probe=2)
 
 
-@query("lsh_cosine_pairs")  # no SQL oracle: hyperplane family not portable
+def _lsh_pairs_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 8) -> str:
+    """The hyperplane family is deterministic (seeded), so the plane vectors
+    are generated INTO the oracle as literals — the same trick as the IVF
+    centroids. Bucket = Σ (dot(v, plane_i) > 0) << i per table; candidates
+    share (table, bucket); exact cosine verifies."""
+    from pangool_spark.operators.similarity import _hyperplanes
+
+    table_selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, 42 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in plane)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        table_selects.append(f"SELECT vec_id, {t} AS t, {bits} AS bucket FROM vecs")
+    union = " UNION ALL ".join(table_selects)
+    return f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS ({union}),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b USING (t, bucket)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+    FROM cands
+    JOIN vecs va ON va.vec_id = id_a
+    JOIN vecs vb ON vb.vec_id = id_b
+    WHERE list_cosine_similarity(va.v, vb.v) >= 0.4
+    """
+
+
+@query("lsh_cosine_pairs", _lsh_pairs_oracle())
 def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed near-pair search (cosine ≥ 0.4 verified exactly on
-    candidates) — the scale path for all-pairs similarity; approximate by
-    design (bucket collisions gate the candidate set), hence rows-only check;
-    recall vs brute force pinned in tests/test_similarity.py."""
+    candidates) — the scale path for all-pairs similarity. Fully oracled:
+    the seeded hyperplane family is generated into the SQL as literals, so
+    DuckDB reproduces the exact candidate set and the exact verify."""
     from pangool_spark.operators.similarity import lsh_cosine_pairs as _op
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _op(emb, dim=64, threshold=0.4, n_planes=8, n_tables=8)
+    out = _op(emb, dim=64, threshold=0.4, n_planes=8, n_tables=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
