@@ -645,6 +645,62 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmv_distinct_parts",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+              & 2147483647) / 2147483647.0 AS hv
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h
+    ),
+    nd AS (SELECT l_returnflag, COUNT(*) AS n_distinct FROM h GROUP BY 1)
+    SELECT nd.l_returnflag,
+           CAST(CASE WHEN nd.n_distinct < 64 THEN nd.n_distinct
+                     ELSE round(63 / k.hv) END AS BIGINT) AS est_parts
+    FROM nd LEFT JOIN (SELECT l_returnflag, hv FROM ranked WHERE rn = 64) k
+      USING (l_returnflag)
+    """,
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (k=64): estimate = (k-1)/h_(k) over
+    the md5-derived unit-interval hash — an approximate-distinct that,
+    unlike HLL, is DETERMINISTIC and engine-portable, so the driver can
+    hash-verify the approximation itself. Groups with < k distinct values
+    fall back to the exact count (the sketch's own exact regime)."""
+    from pangool_spark.operators.dedup import base_hash_31
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = 64
+    h = (
+        base_hash_31(F.col("l_partkey").cast("string")).cast("double")
+        / F.lit(float(0x7FFFFFFF))
+    ).alias("hv")
+    d = li.select("l_returnflag", h).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    kth = (
+        d.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == k)
+        .select("l_returnflag", F.col("hv").alias("hk"))
+    )
+    nd = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        nd.join(kth, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.when(F.col("n_distinct") < k, F.col("n_distinct"))
+            .otherwise(F.round(F.lit(k - 1) / F.col("hk")))
+            .cast("long")
+            .alias("est_parts"),
+        )
+    )
+
+
 class _SubtotalRollup:
     """Rollup callback reducer emitting per-level subtotals on close."""
 

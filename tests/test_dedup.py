@@ -211,3 +211,20 @@ def test_minhash_params_for_threshold():
     # the chosen S-curve inflection lands near the target
     for t, (b, r) in ((0.3, (b_lo, r_lo)), (0.9, (b_hi, r_hi))):
         assert abs((1.0 / b) ** (1.0 / r) - t) < 0.15
+
+
+def test_kmv_sketch_accuracy(spark, sf_dir):
+    # KMV(k=64) stderr ~ 1/sqrt(62) ~ 12.7%; assert within 3 sigma of exact
+    import duckdb
+
+    from pangool_spark.queries import QUERIES
+
+    est = {r.l_returnflag: r.est_parts for r in QUERIES["kmv_distinct_parts"](spark, sf_dir).collect()}
+    con = duckdb.connect()
+    exact = dict(
+        con.sql(
+            f"SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    for flag, n in exact.items():
+        assert abs(est[flag] - n) <= max(0.4 * n, 5), (flag, est[flag], n)
