@@ -494,28 +494,67 @@ def near_dedup_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def choose_embedding_dedup_method(threshold: float) -> str:
+    """Strategy selection for ``embedding_cosine_dups(method="auto")``.
+
+    Sign-LSH earns its keep only at high thresholds: its exponent is
+    ρ = ln(p1)/ln(p2), and at t=0.4 ρ≈0.66 so the candidate volume
+    approaches all-pairs — every LSH constant (multi-table banding, the
+    bucket join, the verify pass) is then pure overhead on top of an
+    effectively O(n²) candidate stream. Below the production near-dup
+    regime we switch to the blocked exact matmul
+    (``similarity.blocked_cosine_pairs``), which accepts O(n²) comparisons
+    but does them as dense BLAS with O(n²/rows_per_block) shuffle rows.
+    Cut-over at t=0.8 where ρ ≤ 0.22 (see ``auto_lsh_params``).
+    """
+    return "lsh" if threshold >= 0.8 else "blocked"
+
+
 def embedding_cosine_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "lsh",
+    method: str = "auto",
     target_miss: float = 1e-6,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold.
 
-    ``method="lsh"`` (default, the scale path): sign-LSH candidate
-    generation with (planes, tables) auto-derived from the collision model
-    (``similarity.auto_lsh_params``), then exact cosine verify — every
-    emitted pair is exactly checked, so precision is 1.0 and recall is
-    1 - target_miss per qualifying pair. The plan is equi-joins only: no
-    BroadcastNestedLoopJoin / cartesian at any scale.
+    ``method="auto"`` (default) picks the strategy by threshold tier
+    (``choose_embedding_dedup_method``): sign-LSH for t ≥ 0.8 where its
+    collision model prunes aggressively, blocked exact matmul below that
+    where LSH is degenerate. Both emit only exactly-verified pairs, so the
+    output (and any SQL oracle) is identical across strategies.
 
-    ``method="exact"``: brute-force theta join — O(n²) rows, the verify
-    path for small fixtures and recall audits only.
+    ``method="lsh"``: sign-LSH candidate generation with (planes, tables)
+    auto-derived from the collision model (``similarity.auto_lsh_params``),
+    then exact cosine verify — every emitted pair is exactly checked, so
+    precision is 1.0 and recall is 1 - target_miss per qualifying pair. The
+    plan is equi-joins only: no BroadcastNestedLoopJoin / cartesian at any
+    scale.
+
+    ``method="blocked"``: exact block-pair matmul — O(n²) comparisons as
+    dense BLAS over B(B+1)/2 independent block-pair tasks, no join in the
+    plan at all (recall 1.0 by construction).
+
+    ``method="exact"``: brute-force theta join — O(n²) JOIN ROWS, the
+    verify path for small fixtures and recall audits only.
+
+    ``n_rows``: optional corpus-size hint forwarded to the LSH verify
+    planner / block sizing, avoiding any driver-blocking ``count()`` on
+    the LSH path.
     """
     from pangool_spark.operators._udfs import cosine_udf
 
+    if method == "auto":
+        method = choose_embedding_dedup_method(threshold)
+    if method == "blocked":
+        from pangool_spark.operators.similarity import blocked_cosine_pairs
+
+        return blocked_cosine_pairs(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+        )
     if method == "lsh":
         from pangool_spark.operators.similarity import auto_lsh_params, lsh_cosine_pairs
 
@@ -533,6 +572,7 @@ def embedding_cosine_dups(
             n_tables=n_tables,
             id_col=id_col,
             vec_col=vec_col,
+            n_rows=n_rows,
         )
     if method != "exact":
         raise ValueError(f"unknown method {method!r}")

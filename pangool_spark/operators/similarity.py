@@ -206,6 +206,7 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     verify: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine ≥ threshold via multi-table sign-LSH.
 
@@ -223,6 +224,9 @@ def lsh_cosine_pairs(
       ~60× less traffic at dim 64). Valid when the corpus fits a broadcast
       (same contract as ``knn_bruteforce``'s query set).
     - ``"auto"``: broadcast when ``n_rows × dim`` ≤ ~50M floats, else join.
+      The corpus size comes from the ``n_rows`` hint — there is NO counting
+      job (at 100 TB an accidental ``count()`` is a full scan); with no
+      hint, auto falls back to the always-correct join path.
     """
     import numpy as np
     import pandas as pd
@@ -278,7 +282,9 @@ def lsh_cosine_pairs(
         .select("id_a", "id_b")
     )
     if verify == "auto":
-        verify = "broadcast" if df.count() * dim <= 50_000_000 else "join"
+        verify = (
+            "broadcast" if n_rows is not None and n_rows * dim <= 50_000_000 else "join"
+        )
     if verify == "broadcast":
         # NO pre-distinct: with lookup-based verify a duplicate candidate
         # costs one einsum row (cheap), while distinct() costs an exchange
@@ -350,6 +356,121 @@ def _verify_pairs_broadcast(
             )
 
     return candidates.mapInPandas(verify_batches, schema=out_schema)
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block-pair matmul.
+
+    The scale path for LOW thresholds, where sign-LSH is provably degenerate
+    (ρ → 1 as threshold → 0, see ``auto_lsh_params``): accept the inherent
+    O(n²) comparison count but make every comparison a dense BLAS flop
+    instead of a shuffled join row.
+
+    Shape: assign each vector to one of ``B = ⌈n/rows_per_block⌉`` hash
+    blocks, replicate it into every unordered block pair containing its
+    block (B copies), and shuffle ONCE on (b1, b2). Each of the B(B+1)/2
+    groups holds ~2·rows_per_block vectors and does one matmul; every
+    unordered id pair lands in exactly one group, so no distinct() is
+    needed. Costs:
+
+    - shuffle: n·B rows = O(n²/rows_per_block) — at rows_per_block=4096
+      that is ~1/500th of a pair-materializing join's traffic;
+    - compute: O(n²·dim) flops, dense and embarrassingly parallel across
+      B(B+1)/2 independent tasks;
+    - memory: ~2·rows_per_block·dim·8 bytes per task, bounded by config.
+
+    There is no join anywhere in the plan (explode + one hash exchange +
+    grouped map), hence trivially no BroadcastNestedLoopJoin / cartesian.
+
+    ``n_rows`` skips the sizing ``count()`` when the caller already knows
+    the corpus size; when absent, one metadata-cheap count job runs before
+    the O(n²) work it parameterizes.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n = df.count() if n_rows is None else n_rows
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id_a LONG, id_b LONG, cosine DOUBLE")
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec__"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk__"),
+    )
+    block_pairs = F.array(
+        *[
+            F.struct(
+                F.least("__blk__", F.lit(j)).alias("b1"),
+                F.greatest("__blk__", F.lit(j)).alias("b2"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    repl = vecs.select(
+        id_col, "__vec__", "__blk__", F.explode(block_pairs).alias("__bp__")
+    ).select(
+        id_col,
+        "__vec__",
+        "__blk__",
+        F.col("__bp__.b1").alias("b1"),
+        F.col("__bp__.b2").alias("b2"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def compare(key, pdf):
+        b1, b2 = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["__vec__"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        if b1 == b2:
+            # self block: upper triangle of one symmetric matmul
+            dots = mat @ mat.T
+            denom = np.maximum(np.outer(norms, norms), 1e-12)
+            sims = dots / denom
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            ia, ib = ids[ii], ids[jj]
+            cos = sims[ii, jj]
+        else:
+            am = pdf["__blk__"].to_numpy() == b1
+            bm = ~am
+            if not am.any() or not bm.any():
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+                )
+            dots = mat[am] @ mat[bm].T
+            denom = np.maximum(np.outer(norms[am], norms[bm]), 1e-12)
+            sims = dots / denom
+            ii, jj = np.nonzero(sims >= threshold)
+            ia, ib = ids[am][ii], ids[bm][jj]
+            cos = sims[ii, jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": cos,
+            }
+        )
+
+    return repl.groupBy("b1", "b2").applyInPandas(compare, schema=out_schema)
 
 
 def ivf_topk(

@@ -1452,18 +1452,20 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine ≥ 0.4, via auto-parameterized
-    sign-LSH candidates + exact cosine verify (equi-join plan, no cartesian;
-    per-pair miss probability ≤ 1e-6, validated recall 1.0 vs brute force on
-    both fixtures). The exact oracle stays valid because verification is
-    exact. The reported cosine is rounded to 6 decimals on both sides —
-    numpy's vectorized accumulation and DuckDB's sequential fold differ in
-    the last ulp. Threshold 0.4 sits below the fixture's max pair cosine
-    ≈0.48 so the result is non-empty."""
+    """Embedding near-dup pairs, cosine ≥ 0.4, strategy picked by threshold
+    tier: at 0.4 sign-LSH is provably degenerate (ρ≈0.66 — candidate volume
+    approaches all-pairs), so ``method="auto"`` routes to the blocked exact
+    matmul (``similarity.blocked_cosine_pairs``): one hash exchange, dense
+    BLAS per block pair, NO join anywhere in the plan, recall 1.0 by
+    construction. The exact SQL oracle is valid for every strategy because
+    all of them emit only exactly-verified pairs. The reported cosine is
+    rounded to 6 decimals on both sides — numpy's vectorized accumulation
+    and DuckDB's sequential fold differ in the last ulp. Threshold 0.4 sits
+    below the fixture's max pair cosine ≈0.48 so the result is non-empty."""
     from pangool_spark.operators.dedup import embedding_cosine_dups as _op
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _op(emb, threshold=0.4, method="lsh")
+    out = _op(emb, threshold=0.4, method="auto")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1631,7 +1633,10 @@ def lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangool_spark.operators.similarity import lsh_cosine_pairs as _op
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = _op(emb, dim=64, threshold=0.4, n_planes=8, n_tables=8)
+    # verify="broadcast" is pinned (not probed): the embeddings fixtures fit
+    # a broadcast at every test SF, and the operator no longer runs a
+    # driver-blocking count() to decide — production callers pass n_rows.
+    out = _op(emb, dim=64, threshold=0.4, n_planes=8, n_tables=8, verify="broadcast")
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -105,6 +105,52 @@ def test_embedding_dups_lsh_plan_has_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_embedding_dups_strategy_selection():
+    # auto routes by threshold tier: LSH only where its collision model
+    # prunes (t >= 0.8); blocked exact matmul in the degenerate regime.
+    from pangool_spark.operators.dedup import choose_embedding_dedup_method
+
+    assert choose_embedding_dedup_method(0.4) == "blocked"
+    assert choose_embedding_dedup_method(0.6) == "blocked"
+    assert choose_embedding_dedup_method(0.79) == "blocked"
+    assert choose_embedding_dedup_method(0.8) == "lsh"
+    assert choose_embedding_dedup_method(0.95) == "lsh"
+
+
+def test_embedding_dups_blocked_matches_exact(spark, sf_dir):
+    # The blocked matmul is exact by construction: at any block count the
+    # pair set must EQUAL brute force (recall and precision 1.0).
+    from pangool_spark.operators.dedup import embedding_cosine_dups
+    from pangool_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dups(emb, threshold=0.4, method="exact").collect()
+    }
+    # force multiple blocks so cross-block and self-block paths both run
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in blocked_cosine_pairs(emb, threshold=0.4, rows_per_block=100).collect()
+    }
+    assert blocked == exact and exact
+
+
+def test_embedding_dups_blocked_plan_has_no_join(spark, sf_dir):
+    # The blocked path is explode + ONE hash exchange + grouped map: no join
+    # operator of any kind appears in the physical plan.
+    from pangool_spark.operators.dedup import embedding_cosine_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        embedding_cosine_dups(emb, threshold=0.4, method="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_auto_lsh_params_tiers():
     from pangool_spark.operators.similarity import auto_lsh_params
 
