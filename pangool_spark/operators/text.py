@@ -87,37 +87,33 @@ def language_id(
     whitespace-split) token list; highest count wins, ties → the larger
     language code, zero matches → 'und'.
 
-    Shape: explode tokens → broadcast-join the tiny (lang, word) marker
-    table → count per (doc, lang) → window argmax — every step codegen'd,
-    no interpreted array lambdas, one shuffle on doc_id. At 100 TB the
-    marker join is a broadcast hash join against a constant-size table.
+    Shape: entirely MAP-SIDE — per language, ``size(filter(tokens, t →
+    array_contains(markers, t)))`` counts marker hits (multiplicity kept),
+    and the argmax is ``array_max`` over (score, lang) structs, whose
+    struct ordering (score first, then the larger lang code) encodes the
+    tie-break. No explode, no join, no window, ZERO shuffles — the earlier
+    explode→broadcast-join→window shape shuffled every token row on doc_id;
+    at 100 TB that was the dominant subtree of the curation pipeline. The
+    marker lists are constant-size array literals (~40 words total), so the
+    per-token work is bounded and the whole operator is one projection.
     """
-    from pyspark.sql import Window
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
 
-    spark = df.sparkSession
-    markers = [(lang, w) for lang, ws in sorted(_LANG_MARKERS.items()) for w in ws]
-    mdf = spark.createDataFrame(markers, "lang STRING, word STRING")
-    toks = df.select(
+    def hits(markers: Column) -> Column:
+        return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+    scored = []
+    for lang, ws in sorted(_LANG_MARKERS.items()):
+        scored.append(
+            F.struct(
+                hits(F.array(*[F.lit(w) for w in ws])).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return df.select(
         F.col(id_col),
-        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")).alias(
-            "word"
-        ),
-    )
-    scores = (
-        toks.join(F.broadcast(mdf), "word")
-        .groupBy(id_col, "lang")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang").desc())
-    best = (
-        scores.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(id_col, "lang")
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
-        .select(F.col(id_col), F.coalesce(F.col("lang"), F.lit("und")).alias(out_col))
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),
     )
 
 
@@ -185,31 +181,66 @@ def winnow_fingerprints(
     (guarantees any shared substring of length ≥ k+window-1 contributes a
     shared fingerprint).
 
-    Declarative end to end: position explode → substring → md5-derived
-    31-bit hash (engine-portable, like minhash's base hash) → running
-    window MIN → distinct. One shuffle on (id); at 100 TB the explode
-    fan-out is |text| rows per doc, the same scale as shingling.
+    Execution: one Arrow-batched ``mapInPandas`` kernel computes, per
+    document, the k-gram hash array (hashlib md5 — byte-identical to the
+    portable SQL hash ``('0x'||substr(md5(g),1,8))::BIGINT & 0x7FFFFFFF``),
+    the trailing window minima (numpy ``sliding_window_view`` over a
+    MAX-padded head, so partial head windows match ``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``), and the per-doc distinct set. A document
+    of length L costs O(L) bytes in one task — never one row per position:
+    the naive explode-then-substring shape carried the full text per
+    position row (O(L²) ≈ 1 TB of payload for a 1 MB doc), and the
+    pure-expression form (``transform(sequence)`` + ``array_min(slice)``)
+    evaluates higher-order lambdas interpreted, ~0.7 ms/char — both
+    unusable at scale. The only exchange is the final global ``distinct``
+    on the small (id, fp) output pairs.
 
     Output: (id, fp) distinct selected hashes.
     """
-    from pyspark.sql import Window
+    import hashlib
+    import re
 
-    from pangool_spark.operators.dedup import base_hash_31
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("fp", T.LongType(), False),
+        ]
+    )
+    ws_re = re.compile(r"\s+")
+    i64max = np.iinfo(np.int64).max
+
+    def winnow(batches):
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, fps, counts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = ws_re.sub(" ", (text or "").lower()).strip()
+                n = max(len(t) - (k - 1), 1)
+                hs = np.empty(n + window - 1, dtype=np.int64)
+                hs[: window - 1] = i64max  # pad head → partial-window minima
+                for i in range(n):
+                    hs[window - 1 + i] = (
+                        int(md5(t[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+                        & 0x7FFFFFFF
+                    )
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                sel = np.unique(mins)
+                ids.append(doc_id)
+                fps.append(sel)
+                counts.append(len(sel))
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(ids, dtype=object), counts),
+                    "fp": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                }
+            )
+
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    grams = df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
-        ).alias("pos"),
-        norm.alias("__t__"),
+    hashed = df.select(id_col, text_col).repartition(n_parts).mapInPandas(
+        winnow, schema=out_schema
     )
-    hashed = grams.select(
-        id_col, "pos", base_hash_31(F.substring("__t__", F.col("pos"), k)).alias("h")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(window - 1), 0)
-    return (
-        hashed.select(F.col(id_col), F.min("h").over(w).alias("fp"))
-        .distinct()
-    )
+    return hashed.distinct()

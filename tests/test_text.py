@@ -81,6 +81,22 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     assert not (fps[1] & fps[3] and fps[2] & fps[3])
 
 
+def test_winnow_fingerprints_large_document(spark):
+    # A ~1 MB document must complete quickly: the k-gram hashes are built
+    # in-row (O(L) bytes), never as per-position rows carrying the full
+    # text (the old shape materialized O(L^2) ~ 1 TB for a 1 MB doc).
+    import random
+
+    from pangool_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    big = "".join(rng.choice("abcdefgh ") for _ in range(1_000_000))
+    docs = spark.createDataFrame([(1, big)], "doc_id LONG, text STRING")
+    n = winnow_fingerprints(docs, k=8, window=4).count()
+    # window-min selection keeps roughly 2/(window+1) of positions distinct
+    assert 0 < n < 1_000_000
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from pangool_spark.operators.text import chunk_documents
 
