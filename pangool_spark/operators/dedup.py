@@ -505,7 +505,8 @@ def choose_embedding_dedup_method(threshold: float) -> str:
     regime we switch to the blocked exact matmul
     (``similarity.blocked_cosine_pairs``), which accepts O(n²) comparisons
     but does them as dense BLAS with O(n²/rows_per_block) shuffle rows.
-    Cut-over at t=0.8 where ρ ≤ 0.22 (see ``auto_lsh_params``).
+    Cut-over at t=0.8 where ρ ≈ 0.33, tightening to ρ ≈ 0.22 by t=0.9
+    (see ``auto_lsh_params``).
     """
     return "lsh" if threshold >= 0.8 else "blocked"
 

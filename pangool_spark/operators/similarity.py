@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Row-slab size for blocked matmuls in applyInPandas kernels: bounds the
+# similarity panel to _MATMUL_CHUNK × group_rows float64 (~64 MB at the
+# blocked_cosine_pairs defaults) instead of group_rows².
+_MATMUL_CHUNK = 1024
+
 
 def _dot(a, b) -> Column:
     return F.aggregate(
@@ -184,7 +189,8 @@ def auto_lsh_params(threshold: float, target_miss: float = 1e-5) -> tuple[int, i
     Honest scale note: sign-LSH's exponent is ρ = ln(p1)/ln(p2); at low
     thresholds (≈0.4, p1≈0.63 vs random p2=0.5) ρ≈0.66, so candidate volume
     approaches all-pairs and only the constant factors improve. LSH earns
-    its keep at the production near-dup regime (t ≥ 0.8, ρ ≤ 0.22).
+    its keep at the production near-dup regime (ρ ≈ 0.33 at t=0.8,
+    ρ ≈ 0.22 at t=0.9).
     """
     import math
 
@@ -226,7 +232,10 @@ def lsh_cosine_pairs(
     - ``"auto"``: broadcast when ``n_rows × dim`` ≤ ~50M floats, else join.
       The corpus size comes from the ``n_rows`` hint — there is NO counting
       job (at 100 TB an accidental ``count()`` is a full scan); with no
-      hint, auto falls back to the always-correct join path.
+      hint (or a non-positive one, which is treated as absent), auto falls
+      back to the always-correct join path. An UNDERSTATED positive hint is
+      trusted and can pick broadcast on a corpus that does not fit the
+      driver — the hint is a contract, not a suggestion.
     """
     import numpy as np
     import pandas as pd
@@ -283,7 +292,9 @@ def lsh_cosine_pairs(
     )
     if verify == "auto":
         verify = (
-            "broadcast" if n_rows is not None and n_rows * dim <= 50_000_000 else "join"
+            "broadcast"
+            if n_rows is not None and n_rows > 0 and n_rows * dim <= 50_000_000
+            else "join"
         )
     if verify == "broadcast":
         # NO pre-distinct: with lookup-based verify a duplicate candidate
@@ -384,14 +395,25 @@ def blocked_cosine_pairs(
       that is ~1/500th of a pair-materializing join's traffic;
     - compute: O(n²·dim) flops, dense and embarrassingly parallel across
       B(B+1)/2 independent tasks;
-    - memory: ~2·rows_per_block·dim·8 bytes per task, bounded by config.
+    - memory per task: the vector matrix is ~2·rows_per_block·dim·8 bytes,
+      and the matmul is evaluated in ``_MATMUL_CHUNK``-row slabs so the
+      similarity panel peaks at ~_MATMUL_CHUNK·2·rows_per_block·8 bytes
+      (~64 MB at the defaults) instead of a full
+      (2·rows_per_block)² float64 matrix (~540 MB) — several concurrent
+      tasks per executor stay well inside a normal executor heap.
 
     There is no join anywhere in the plan (explode + one hash exchange +
     grouped map), hence trivially no BroadcastNestedLoopJoin / cartesian.
+    The block-pair fan-out is ``explode(sequence(0, B-1))`` — plan size is
+    constant in B (an array-literal formulation would blow past Catalyst's
+    codegen method-size limits in the thousands of blocks).
 
     ``n_rows`` skips the sizing ``count()`` when the caller already knows
-    the corpus size; when absent, one metadata-cheap count job runs before
-    the O(n²) work it parameterizes.
+    the corpus size; when absent OR non-positive (a zero/negative hint is
+    treated as absent, never as an empty corpus), one metadata-cheap count
+    job runs before the O(n²) work it parameterizes. The hint only sizes
+    the blocking — a wrong positive hint degrades block balance, not
+    correctness.
     """
     import math
 
@@ -399,7 +421,7 @@ def blocked_cosine_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n = df.count() if n_rows is None else n_rows
+    n = df.count() if n_rows is None or n_rows <= 0 else n_rows
     spark = df.sparkSession
     if n == 0:
         return spark.createDataFrame([], "id_a LONG, id_b LONG, cosine DOUBLE")
@@ -409,23 +431,17 @@ def blocked_cosine_pairs(
         F.col(vec_col).alias("__vec__"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk__"),
     )
-    block_pairs = F.array(
-        *[
-            F.struct(
-                F.least("__blk__", F.lit(j)).alias("b1"),
-                F.greatest("__blk__", F.lit(j)).alias("b2"),
-            )
-            for j in range(n_blocks)
-        ]
-    )
     repl = vecs.select(
-        id_col, "__vec__", "__blk__", F.explode(block_pairs).alias("__bp__")
+        id_col,
+        "__vec__",
+        "__blk__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__j__"),
     ).select(
         id_col,
         "__vec__",
         "__blk__",
-        F.col("__bp__.b1").alias("b1"),
-        F.col("__bp__.b2").alias("b2"),
+        F.least("__blk__", F.col("__j__")).alias("b1"),
+        F.greatest("__blk__", F.col("__j__")).alias("b2"),
     )
 
     out_schema = T.StructType(
@@ -441,32 +457,45 @@ def blocked_cosine_pairs(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.stack(pdf["__vec__"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+        )
         if b1 == b2:
-            # self block: upper triangle of one symmetric matmul
-            dots = mat @ mat.T
-            denom = np.maximum(np.outer(norms, norms), 1e-12)
-            sims = dots / denom
-            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-            ia, ib = ids[ii], ids[jj]
-            cos = sims[ii, jj]
+            a_ids, a_mat, a_norms = ids, mat, norms
+            b_ids, b_mat, b_norms = ids, mat, norms
         else:
             am = pdf["__blk__"].to_numpy() == b1
             bm = ~am
             if not am.any() or not bm.any():
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                    {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
-                )
-            dots = mat[am] @ mat[bm].T
-            denom = np.maximum(np.outer(norms[am], norms[bm]), 1e-12)
-            sims = dots / denom
+                return empty
+            a_ids, a_mat, a_norms = ids[am], mat[am], norms[am]
+            b_ids, b_mat, b_norms = ids[bm], mat[bm], norms[bm]
+        # Row-chunked matmul: peak intermediate is a
+        # (_MATMUL_CHUNK × |b|) float64 panel, not |a|×|b|.
+        parts_ia, parts_ib, parts_cos = [], [], []
+        for s in range(0, len(a_ids), _MATMUL_CHUNK):
+            e = min(s + _MATMUL_CHUNK, len(a_ids))
+            sims = (a_mat[s:e] @ b_mat.T) / np.maximum(
+                np.outer(a_norms[s:e], b_norms), 1e-12
+            )
             ii, jj = np.nonzero(sims >= threshold)
-            ia, ib = ids[am][ii], ids[bm][jj]
-            cos = sims[ii, jj]
+            if b1 == b2:
+                # self block: keep strictly-upper pairs (global row < col)
+                keep = (ii + s) < jj
+                ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                parts_ia.append(a_ids[ii + s])
+                parts_ib.append(b_ids[jj])
+                parts_cos.append(sims[ii, jj])
+        if not parts_ia:
+            return empty
+        ia = np.concatenate(parts_ia)
+        ib = np.concatenate(parts_ib)
         return pd.DataFrame(
             {
                 "id_a": np.minimum(ia, ib),
                 "id_b": np.maximum(ia, ib),
-                "cosine": cos,
+                "cosine": np.concatenate(parts_cos),
             }
         )
 

@@ -96,6 +96,16 @@ def read_avro(
     def decode(batches):
         for pdf in batches:
             for p, s, e in zip(pdf["__path__"], pdf["__start__"], pdf["__end__"]):
+                # Heterogeneous directories fail loudly: silently conforming
+                # every file to the first header (extra fields dropped,
+                # missing → NaN) corrupts data without a trace.
+                file_schema = avro_codec.read_container_schema(p)
+                if file_schema != avro_schema:
+                    raise avro_codec.AvroCodecError(
+                        f"avro schema mismatch: {p!r} does not match the "
+                        f"directory's first file ({files[0]!r}); read the "
+                        "files separately or rewrite them to one schema"
+                    )
                 rows: list[dict] = []
                 for rec in avro_codec.read_container_split(p, int(s), int(e)):
                     rows.append(rec)
@@ -127,11 +137,15 @@ def write_avro(
 
     from pangool_spark.sources import avro_codec
 
+    if mode not in ("overwrite", "append", "ignore", "error", "errorifexists"):
+        raise ValueError(f"unknown save mode {mode!r}")
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)
-        elif mode == "error":
+        elif mode in ("error", "errorifexists"):
             raise FileExistsError(path)
+        elif mode == "ignore":
+            return  # jar-path parity: existing output is left untouched
     os.makedirs(path, exist_ok=True)
     avro_schema = avro_codec.spark_to_avro_schema(df.schema, name="topLevelRecord")
     codec = {"deflate": "deflate", "uncompressed": "null", "null": "null"}.get(compression)

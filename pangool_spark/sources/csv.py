@@ -164,11 +164,16 @@ def _read_csv_parity(
     null_string: str | None,
     field_selector: Sequence[int] | None,
 ) -> DataFrame:
-    """Tokenizer-parity CSV path: ``spark.read.text`` + per-batch Python
-    tokenization with the reference state machine. Header rows are dropped
-    per-FILE (the first line of each file, like the reference's per-split
-    skip-header), using the input_file_name + a window-free min-check."""
-    import pandas as pd
+    """Tokenizer-parity CSV path: Hadoop ``TextInputFormat`` (byte offset,
+    line) records + per-partition Python tokenization with the reference
+    state machine. Header rows are dropped POSITIONALLY — the line at byte
+    offset 0 of each file — exactly like the reference's per-split
+    skip-header (``TupleTextInputFormat`` on Hadoop's TextInputFormat),
+    so a header that differs from the schema field names is still dropped,
+    and a data line that happens to equal the header string is kept. The
+    scan stays splittable (offsets come from the input format, not a
+    driver-side pass). This path is the strict-quotes compatibility route;
+    the native ``spark.read.csv`` fast path handles everything else."""
     from pyspark.sql import types as T
 
     fields = list(schema.fields)
@@ -179,31 +184,23 @@ def _read_csv_parity(
         width = len(fields)
         positions = list(range(width))
 
-    raw = spark.read.text(path)
+    pairs = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+    )
     if header:
-        # spark.read.text exposes no per-file line offsets, so the header
-        # is dropped by VALUE: any line equal to the schema's field names
-        # joined by the separator (the form write_csv emits). Headers that
-        # differ from the schema names are a documented limitation of the
-        # parity path.
-        raw = raw.filter(F.col("value") != F.lit(sep.join(f.name for f in fields)))
+        pairs = pairs.filter(lambda kv: kv[0] != 0)
 
     out_struct = T.StructType([T.StructField(f"_t{i}", T.StringType(), True) for i in range(width)])
 
-    def tokenize(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = [
-                (tok + [None] * width)[:width]
-                for tok in (
-                    tokenize_line(ln, sep, quote, escape, strict_quotes, null_string)
-                    for ln in pdf["value"]
-                )
-            ]
-            yield pd.DataFrame(rows, columns=[f"_t{i}" for i in range(width)])
+    def tok_part(it):
+        for _, ln in it:
+            tok = tokenize_line(ln, sep, quote, escape, strict_quotes, null_string)
+            yield tuple((tok + [None] * width)[:width])
 
-    tokens = raw.mapInPandas(tokenize, schema=out_struct)
+    tokens = spark.createDataFrame(pairs.mapPartitions(tok_part), out_struct)
     cols = [
         F.col(f"_t{pos}").cast(field.dtype).alias(field.name)
         for pos, field in zip(positions, fields)

@@ -61,15 +61,20 @@ def stream_stream_join(
     """
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # Alias both sides so every predicate references an unambiguous plan
+    # subtree — unaliased `lw[k] == rw[k]` trips Spark's "trivially true
+    # equals" self-join heuristics when both sides derive from one source.
+    la, ra = lw.alias("__sjl__"), rw.alias("__sjr__")
     cond = None
     for k in on:
-        c = lw[k] == rw[k]
+        c = F.col(f"__sjl__.`{k}`") == F.col(f"__sjr__.`{k}`")
         cond = c if cond is None else cond & c
-    lo = rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {within}")
-    hi = rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")
-    joined = lw.join(rw, cond & lo & hi, how=how)
+    lts, rts = F.col(f"__sjl__.`{left_ts}`"), F.col(f"__sjr__.`{right_ts}`")
+    lo = rts >= lts - F.expr(f"INTERVAL {within}")
+    hi = rts <= lts + F.expr(f"INTERVAL {within}")
+    joined = la.join(ra, cond & lo & hi, how=how)
     # drop the duplicated equality key columns from the right side
-    return joined.drop(*[rw[k] for k in on])
+    return joined.drop(*[F.col(f"__sjr__.`{k}`") for k in on])
 
 
 def foreach_batch_sink(
