@@ -167,6 +167,7 @@ class JobBuilder:
         self._rollup_from: str | None = None
         self._custom_partition_fields: list[str] | None = None
         self._reducer: Callable | None = None
+        self._reducer_vectorized: bool = False
         self._rollup_reducer: RollupReducer | None = None
         self._output_schema: Schema | None = None
         self._agg_exprs: list[Column] | None = None
@@ -245,13 +246,27 @@ class JobBuilder:
         self,
         fn: Callable[[tuple, pd.DataFrame, Collector], None],
         output_schema: Schema | str,
+        vectorized: bool = False,
     ) -> "JobBuilder":
         """General reducer: ``fn(group_key_tuple, sorted_rows, collector)``.
 
         Ref ``TupleReducer.reduce`` (``P/tuplemr/TupleReducer.java:56-59``) —
         may emit 0..N rows of the output schema via the collector.
+
+        ``vectorized=True`` selects the v2 whole-partition contract:
+        ``fn(keys, offsets, rows) -> pd.DataFrame`` where ``rows`` is a
+        sorted chunk of the partition (every group fully contained),
+        ``offsets`` is an int64 array of length n_groups+1 (group ``i``
+        spans ``rows[offsets[i]:offsets[i+1]]``), and ``keys`` is a
+        DataFrame of the group-key columns with one row per group. The
+        reducer returns the output rows for ALL groups at once — numpy
+        kernels like ``np.add.reduceat(col, offsets[:-1])`` replace the
+        per-group Python invocation (~0.5 ms/group floor), which dominates
+        reduce time when groups are small and plentiful. Counters and named
+        outputs stay on the per-group contract.
         """
         self._reducer = fn
+        self._reducer_vectorized = bool(vectorized)
         self._output_schema = (
             Schema.parse("output", output_schema) if isinstance(output_schema, str) else output_schema
         )
@@ -283,6 +298,11 @@ class JobBuilder:
         """
         if not name:
             raise PlanError("named output needs a non-empty name")
+        if name in ("__main__", "__output__"):
+            raise PlanError(
+                f"named output {name!r} is reserved (the main-output slot and "
+                "the tag column of the compiled multiple-outputs struct)"
+            )
         if name in self._named_outputs:
             raise PlanError(f"duplicate named output {name!r}")
         self._named_outputs[name] = (
@@ -497,6 +517,16 @@ class JobBuilder:
             n_parts, *[F.col(c) for c in partition_fields]
         ).sortWithinPartitions(*sort_cols)
 
+        if self._reducer_vectorized:
+            if emit_tagged:
+                raise PlanError(
+                    "vectorized reducers cannot drive named outputs; use the "
+                    "per-group collector contract for multiple-outputs jobs"
+                )
+            return self._run_vectorized_reducer(
+                arranged, out_struct, group_fields, reducer
+            )
+
         def collector_frame(collector: Collector):
             if emit_tagged:
                 # tagged-struct rows: one nullable struct slot per output,
@@ -554,6 +584,69 @@ class JobBuilder:
                 from pyspark import TaskContext
 
                 counter_acc.add({TaskContext.get().partitionId(): part_counters})
+
+        return arranged.mapInPandas(run_partition, schema=out_struct)
+
+    @staticmethod
+    def _run_vectorized_reducer(
+        arranged: DataFrame,
+        out_struct: T.StructType,
+        group_fields: list,
+        reducer: Callable,
+    ) -> DataFrame:
+        """v2 reduce contract: group boundaries computed once per Arrow batch
+        (factorized codes → null-safe change mask), the reducer sees
+        (keys, offsets, rows) for the whole chunk. The last (possibly
+        batch-spanning) group of every batch is carried into the next, like
+        the per-group walk — partition boundaries are true group boundaries
+        because the shuffle hashes the group prefix."""
+        import numpy as np
+
+        out_columns = [f.name for f in out_struct.fields]
+
+        def boundaries(pdf: pd.DataFrame) -> "np.ndarray":
+            n = len(pdf)
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for g in group_fields:
+                codes = pd.factorize(pdf[g], use_na_sentinel=False)[0]
+                change[1:] |= codes[1:] != codes[:-1]
+            starts = np.flatnonzero(change)
+            return np.append(starts, n).astype(np.int64)
+
+        def run_partition(batches):
+            leftover: pd.DataFrame | None = None
+
+            def reduce_chunk(pdf: pd.DataFrame, hold_last: bool):
+                nonlocal leftover
+                if leftover is not None:
+                    pdf = pd.concat([leftover, pdf], ignore_index=True)
+                    leftover = None
+                if not len(pdf):
+                    return None
+                offsets = boundaries(pdf)
+                if hold_last and len(offsets) > 1:
+                    last_start = offsets[-2]
+                    leftover = pdf.iloc[last_start:].reset_index(drop=True)
+                    pdf = pdf.iloc[:last_start]
+                    offsets = offsets[:-1]
+                    if not len(pdf):
+                        return None
+                keys = pdf.iloc[offsets[:-1]][group_fields].reset_index(drop=True)
+                out = reducer(keys, offsets, pdf.reset_index(drop=True))
+                if out is None or not len(out):
+                    return None
+                return out[out_columns]
+
+            for pdf in batches:
+                out = reduce_chunk(pdf, hold_last=True)
+                if out is not None:
+                    yield out
+            if leftover is not None:
+                tail, leftover = leftover, None
+                out = reduce_chunk(tail, hold_last=False)
+                if out is not None:
+                    yield out
 
         return arranged.mapInPandas(run_partition, schema=out_struct)
 

@@ -200,24 +200,29 @@ def secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows arrive sorted by (l_linenumber, l_shipdate) within each l_orderkey
     group (shipdate tie-break: linenumber is NOT unique within an order in
     the synthetic data)."""
+    import numpy as np
     import pandas as pd
 
     from pangool_spark.plans import JobBuilder
 
     li = load_table(spark, sf_dir, "lineitem")
 
-    def reduce_fn(key, pdf, collector):
-        # exact 2-decimal sum without per-row Decimal objects: scale to
-        # integer cents, sum as int64, scale back (matches the oracle's
-        # DECIMAL(18,2) arithmetic bit-for-bit)
-        cents = (pdf["l_quantity"] * 100).round().astype("int64").sum()
-        collector.write(
+    def reduce_vec(keys, offsets, rows):
+        # vectorized TupleReducer contract (set_reducer(..., vectorized=True)):
+        # one numpy kernel per output column over ALL groups in the chunk —
+        # no per-group Python invocation. Exact 2-decimal sums via integer
+        # cents + np.add.reduceat (matches the oracle's DECIMAL(18,2)
+        # arithmetic bit-for-bit).
+        cents = np.round(rows["l_quantity"].to_numpy() * 100).astype(np.int64)
+        ship = rows["l_shipdate"].to_numpy()
+        starts = offsets[:-1]
+        return pd.DataFrame(
             {
-                "l_orderkey": int(key[0]),
-                "n_lines": len(pdf),
-                "first_ship": pdf["l_shipdate"].iloc[0],
-                "last_ship": pdf["l_shipdate"].iloc[-1],
-                "sum_qty": float(cents) / 100.0,
+                "l_orderkey": keys["l_orderkey"].to_numpy(),
+                "n_lines": np.diff(offsets),
+                "first_ship": ship[starts],
+                "last_ship": ship[offsets[1:] - 1],
+                "sum_qty": np.add.reduceat(cents, starts) / 100.0,
             }
         )
 
@@ -230,8 +235,9 @@ def secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .set_group_by("l_orderkey")
         .set_order_by("l_orderkey:asc,l_linenumber:asc,l_shipdate:asc")
         .set_reducer(
-            reduce_fn,
+            reduce_vec,
             "l_orderkey:long,n_lines:long,first_ship:timestamp,last_ship:timestamp,sum_qty:double",
+            vectorized=True,
         )
     )
     return jb.to_dataframe()

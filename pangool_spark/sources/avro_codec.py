@@ -157,8 +157,37 @@ def _compile(schema: Any, named: dict[str, "_Compiled"] | None = None) -> _Compi
                 lambda o, v: _write_long(o, (v - epoch).days),
                 lambda b: epoch + __import__("datetime").timedelta(days=_read_long(b)),
             )
+        if logical == "time-millis":
+            # Spark-side representation: raw int millis-since-midnight.
+            # (TimeType exists in Spark 4 but its Arrow round-trip through
+            # the pandas decode path is not yet stable; the VALUE is
+            # preserved exactly — ref AvroFieldSerialization.java:40-76
+            # likewise defers logical interpretation to the consumer.)
+            return _Compiled(
+                T.IntegerType(), lambda o, v: _write_long(o, int(v)), _read_long
+            )
         return _Compiled(T.IntegerType(), lambda o, v: _write_long(o, int(v)), _read_long)
     if t == "long":
+        if logical == "timestamp-millis":
+            import datetime
+
+            epoch = datetime.datetime(1970, 1, 1)
+
+            def enc_ts_ms(o, v):
+                if isinstance(v, datetime.datetime):
+                    v = int((v - epoch).total_seconds() * 1_000)
+                _write_long(o, int(v))
+
+            return _Compiled(
+                T.TimestampType(),
+                enc_ts_ms,
+                lambda b: epoch
+                + __import__("datetime").timedelta(milliseconds=_read_long(b)),
+            )
+        if logical == "time-micros":
+            return _Compiled(
+                T.LongType(), lambda o, v: _write_long(o, int(v)), _read_long
+            )
         if logical == "timestamp-micros":
             import datetime
 
@@ -188,8 +217,12 @@ def _compile(schema: Any, named: dict[str, "_Compiled"] | None = None) -> _Compi
             lambda b: struct.unpack("<d", b.read(8))[0],
         )
     if t == "bytes":
+        if logical == "decimal":
+            return _compile_decimal(schema, fixed_size=None)
         return _Compiled(T.BinaryType(), lambda o, v: _write_bytes(o, bytes(v)), _read_bytes)
     if t == "string":
+        # logicalType "uuid" rides the plain string encoding (the spec's
+        # uuid is an annotation over string) — value passes through intact.
         return _Compiled(
             T.StringType(),
             lambda o, v: _write_bytes(o, str(v).encode("utf-8")),
@@ -197,9 +230,12 @@ def _compile(schema: Any, named: dict[str, "_Compiled"] | None = None) -> _Compi
         )
     if t == "fixed":
         size = schema["size"]
-        c = _Compiled(
-            T.BinaryType(), lambda o, v: o.write(bytes(v)), lambda b: b.read(size)
-        )
+        if logical == "decimal":
+            c = _compile_decimal(schema, fixed_size=size)
+        else:
+            c = _Compiled(
+                T.BinaryType(), lambda o, v: o.write(bytes(v)), lambda b: b.read(size)
+            )
         named[schema["name"]] = c
         return c
     if t == "enum":
@@ -286,6 +322,39 @@ def _compile(schema: Any, named: dict[str, "_Compiled"] | None = None) -> _Compi
     raise AvroCodecError(f"unsupported avro type {t!r}")
 
 
+def _compile_decimal(schema: dict, fixed_size: int | None) -> _Compiled:
+    """Avro decimal logical type: two's-complement big-endian unscaled int
+    over ``bytes`` (minimal length) or ``fixed`` (sign-extended to size).
+    Breadth anchor: the reference round-trips arbitrary Avro logical types
+    through AvroFieldSerialization
+    (P/tuplemr/serialization/AvroFieldSerialization.java:40-76)."""
+    import decimal
+
+    precision = int(schema.get("precision", 10))
+    scale = int(schema.get("scale", 0))
+    if precision < 1 or scale < 0 or scale > precision:
+        raise AvroCodecError(
+            f"invalid decimal(precision={precision}, scale={scale})"
+        )
+    q = decimal.Decimal(1).scaleb(-scale)
+
+    def enc(o, v):
+        unscaled = int(
+            decimal.Decimal(v).quantize(q, rounding=decimal.ROUND_HALF_UP).scaleb(scale)
+        )
+        if fixed_size is None:
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            _write_bytes(o, unscaled.to_bytes(length, "big", signed=True))
+        else:
+            o.write(unscaled.to_bytes(fixed_size, "big", signed=True))
+
+    def dec(b):
+        raw = _read_bytes(b) if fixed_size is None else b.read(fixed_size)
+        return decimal.Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-scale)
+
+    return _Compiled(T.DecimalType(precision, scale), enc, dec)
+
+
 def _compile_union(schemas: list, named: dict) -> _Compiled:
     branches = [_compile(s, named) for s in schemas]
     null_idx = next(
@@ -333,6 +402,13 @@ def spark_to_avro_schema(struct: T.StructType, name: str = "record0") -> dict:
             a = "string"
         elif isinstance(dtype, T.BinaryType):
             a = "bytes"
+        elif isinstance(dtype, T.DecimalType):
+            a = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dtype.precision,
+                "scale": dtype.scale,
+            }
         elif isinstance(dtype, T.DateType):
             a = {"type": "int", "logicalType": "date"}
         elif isinstance(dtype, T.TimestampType):

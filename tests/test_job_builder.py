@@ -264,3 +264,79 @@ def test_map_only_grep(spark):
     # shuffle-free: the physical plan must contain no Exchange
     plan = job.to_dataframe()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vectorized_reducer_contract(spark):
+    # v2 contract: fn(keys, offsets, rows) over whole sorted chunks, with
+    # batch-spanning groups carried over (forced tiny Arrow batches).
+    import numpy as np
+    import pandas as pd
+
+    rows = [(k, v) for k in range(50) for v in range(k % 5 + 1)]
+    df = spark.createDataFrame(rows, "k INT, v INT")
+
+    def reduce_vec(keys, offsets, pdf):
+        vals = pdf["v"].to_numpy()
+        return pd.DataFrame(
+            {
+                "k": keys["k"].to_numpy(),
+                "n": np.diff(offsets),
+                "total": np.add.reduceat(vals, offsets[:-1]),
+            }
+        )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        jb = (
+            JobBuilder(spark)
+            .add_input(df, "k:int,v:int")
+            .set_group_by("k")
+            .set_reducer(reduce_vec, "k:int,n:long,total:long", vectorized=True)
+        )
+        got = {r.k: (r.n, r.total) for r in jb.to_dataframe().collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = {k: (k % 5 + 1, sum(range(k % 5 + 1))) for k in range(50)}
+    assert got == exp
+
+
+def test_vectorized_reducer_rejects_named_outputs(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2)], "k INT, v INT")
+    jb = (
+        JobBuilder(spark)
+        .add_input(df, "k:int,v:int")
+        .set_group_by("k")
+        .set_reducer(lambda k, o, r: pd.DataFrame(), "k:int", vectorized=True)
+        .add_named_output("side", "k:int")
+    )
+    with pytest.raises(PlanError, match="vectorized"):
+        jb.to_dataframes()
+
+
+def test_vectorized_reducer_null_group_keys(spark):
+    import numpy as np
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (1, 3), (1, 4), (2, 5)], "k INT, v INT"
+    )
+
+    def reduce_vec(keys, offsets, pdf):
+        return pd.DataFrame(
+            {
+                "k": keys["k"].to_numpy(),
+                "total": np.add.reduceat(pdf["v"].to_numpy(), offsets[:-1]),
+            }
+        )
+
+    jb = (
+        JobBuilder(spark)
+        .add_input(df, "k:int?,v:int")
+        .set_group_by("k")
+        .set_reducer(reduce_vec, "k:int?,total:long", vectorized=True)
+    )
+    got = {r.k: r.total for r in jb.to_dataframe().collect()}
+    assert got == {None: 3, 1: 7, 2: 5}
