@@ -1094,6 +1094,58 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_orders",
+    f"""
+    SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
+           {_sql_dsum('o.o_totalprice')} AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (§2.8): both sides persisted with
+    ``bucketBy`` on the join key, then sort-merge-joined with ZERO join
+    exchanges — the co-located-join capability the reference's
+    MapReduce model re-shuffled for on every job. The zero-Exchange
+    property is ASSERTED inside the query (plan gate, not just a test):
+    if the join subtree plans an Exchange, the query raises. The only
+    exchange in the returned plan is the final per-segment aggregation.
+    """
+    import shutil
+
+    from pangool_spark.operators.partitioning import read_bucketed, write_bucketed
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    for t in ("bq_customer", "bq_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(
+        c.select("c_custkey", "c_mktsegment"), "bq_customer", ["c_custkey"], 8
+    )
+    write_bucketed(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"), "bq_orders", ["o_custkey"], 8
+    )
+    bc = read_bucketed(spark, "bq_customer")
+    bo = read_bucketed(spark, "bq_orders")
+    joined = bc.join(bo, bc.c_custkey == bo.o_custkey)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise RuntimeError(
+                "bucketed join planned an Exchange — co-location lost:\n" + plan
+            )
+        return joined.groupBy("c_mktsegment").agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_spent"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
     "sessionize_events",
     f"""
     WITH flagged AS (

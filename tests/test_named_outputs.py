@@ -94,3 +94,55 @@ def test_named_outputs_preserve_rich_types(spark):
     main = outs[""].collect()
     assert main[0].when == ts and bytes(main[0].blob) == b"\x00\xfe"
     assert [(r.k, r.n) for r in outs["counts"].collect()] == [(1, 2)]
+
+
+def test_solr_sink_batching_and_converter(spark):
+    # TupleSolrOutputFormat parity (TupleSolrOutputFormat.java:78-96,
+    # BatchWriter.java:153-200): batch_size batches, bounded pending queue
+    # with caller-runs back-pressure, exactly-once delivery, and the
+    # default converter's primitive-only field check.
+    import json
+    import os
+    import tempfile
+
+
+    import pytest
+
+    from pangool_spark.sources.external import solr_sink
+
+    log = os.path.join(tempfile.mkdtemp(), "solr.log")
+
+    def send_batch(client, docs):
+        # single O_APPEND write per batch: atomic under concurrent senders
+        line = json.dumps([d["n"] for d in docs]) + "\n"
+        fd = os.open(log, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+        try:
+            os.write(fd, line.encode())
+        finally:
+            os.close(fd)
+
+    df = spark.createDataFrame([(i,) for i in range(53)], "n INT").coalesce(1)
+    # queue_size=1 + thread_count=1 forces the caller-runs path too
+    solr_sink(df, send_batch, batch_size=20, thread_count=1, queue_size=1)
+    batches = [json.loads(line) for line in open(log)]
+    sizes = sorted(len(b) for b in batches)
+    assert sizes == [13, 20, 20]
+    assert sorted(n for b in batches for n in b) == list(range(53))
+
+    # default converter rejects non-primitive columns up front
+    bad = spark.createDataFrame([(1, [1, 2])], "k INT, arr ARRAY<INT>")
+    with pytest.raises(TypeError, match="not supported for Tuple SOLR"):
+        solr_sink(bad, send_batch)
+
+
+def test_solr_sink_propagates_send_errors(spark):
+    from pangool_spark.sources.external import solr_sink
+
+    def send_batch(client, docs):
+        raise RuntimeError("index unavailable")
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "n INT").coalesce(1)
+    import pytest
+
+    with pytest.raises(Exception, match="index unavailable"):
+        solr_sink(df, send_batch, batch_size=2)
