@@ -1244,29 +1244,24 @@ def _doc_shingles(
     key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        base = shingles(docs, n=n)
         if max_df is not None:
-            # Derive the pruned relation from the CACHED base (recursive call
-            # materializes it). Round 3 tried building from the uncached base
-            # to skip one materialization barrier, but the prune reads the
-            # base twice (df-count agg + anti-join) and under AQE the
-            # broadcast-stage materialization re-executed the whole
-            # explode+distinct subtree: near_dedup_survivors went 6.5s→10.9s
-            # at sf0.1. The base cache is also shared by the minhash queries.
-            base = _doc_shingles(spark, sf_dir, n)
+            # Single-pass prune (window count over shingle): one read of the
+            # UNcached base pipeline, so only the pruned relation needs a
+            # cache. Rounds 3/4 tried cache-base-then-derive and
+            # agg+anti-join variants; both pay an extra materialization
+            # barrier after every clearCache (measured 4.6-9.2 s vs 1.1-1.4 s
+            # steady-state at sf0.1 for the windowed form).
             df = prune_hot_shingles(base, max_df)
         else:
-            docs = load_table(spark, sf_dir, "documents")
-            df = shingles(docs, n=n)
+            df = base
         _SHINGLE_CACHE[key] = df
     level = df.storageLevel
     if not (level.useMemory or level.useDisk):
         # first call, or an external spark.catalog.clearCache() evicted us
         # (bench.py does between runs): (re-)materialize — the relation feeds
         # several plan branches per query and multiple queries per session.
-        if max_df is not None:
-            # re-materialize the base first so the pruned build reads it from
-            # the InMemoryRelation, not a fresh explode+distinct pipeline
-            _doc_shingles(spark, sf_dir, n)
         df.cache().count()
     return df
 
