@@ -274,3 +274,38 @@ def test_kmv_sketch_accuracy(spark, sf_dir):
     )
     for flag, n in exact.items():
         assert abs(est[flag] - n) <= max(0.4 * n, 5), (flag, est[flag], n)
+
+
+def test_minhash_fast_hash_family(spark):
+    # 'fast' (xxhash64) signatures: same shape/banding, identical docs get
+    # identical signatures, and obvious near-dups still pair. Not oracled
+    # (not reproducible outside Spark) - that is what 'portable' is for.
+    import pytest
+
+    from pangool_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 4),
+            (2, base * 4),  # exact duplicate of 1
+            (3, base * 4 + "with a tiny tail difference"),
+            (4, "completely different material about spark shuffles and joins " * 4),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {
+        r.doc_id: tuple(r.signature)
+        for r in minhash_signatures(docs, hash_family="fast").collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, hash_family="fast").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(docs, hash_family="nope").collect()

@@ -126,3 +126,16 @@ def test_interval_join_is_equi_join_not_cartesian(spark, sf):
 
     plan = _plan(QUERIES["interval_join_events"](spark, sf))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_prune_hot_shingles_single_pass(spark):
+    # single-pass prune: exactly one Exchange (the window's hash partition
+    # on shingle) and no join - the input relation is never read twice
+    from pangool_spark.operators.dedup import prune_hot_shingles
+
+    sh = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id LONG, shingle STRING"
+    )
+    plan = _plan(prune_hot_shingles(sh, 1))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
