@@ -1920,6 +1920,59 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, every_ms=500).select("media_id", "frame_ms")
 
 
+@query(
+    "audio_features_docs",
+    """
+    SELECT doc_id AS media_id,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           CAST(FLOOR((((length(text) % 500) + 8) * 1000.0) / 8000) AS BIGINT) AS duration_ms,
+           CAST(abs((doc_id * 31) % 20001 - 10000) AS DOUBLE) AS rms,
+           CAST(abs((doc_id * 31) % 20001 - 10000) AS DOUBLE) AS peak
+    FROM documents
+    """,
+)
+def audio_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-oracled end to end: deterministic mono
+    int16 PCM WAV payloads are synthesized per document (constant sample
+    value c = doc_id·31 mod 20001 − 10000, n = len(text) mod 500 + 8
+    samples at 8 kHz), then ``audio_features`` decodes them with stdlib
+    wave + numpy — no stub anywhere in the decode path. A constant signal
+    makes every feature closed-form: RMS = peak = |c| exactly (c² ≤ 1e8 is
+    exact in float64 and IEEE sqrt of an exact square is exact), and
+    duration_ms = ⌊n·1000/8000⌋ — so the SQL oracle checks the DECODED
+    values, not just row shape."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from pangool_spark.operators.multimodal import audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                c = int(did) * 31 % 20001 - 10000
+                n = int(nc) % 500 + 8
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(np.full(n, c, dtype="<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id LONG, payload BINARY")
+    return audio_features(media, strict=True)
+
+
 def _curation_pipeline_oracle() -> str:
     from pangool_spark.operators.text import _LANG_MARKERS
 
