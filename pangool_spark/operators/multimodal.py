@@ -146,6 +146,133 @@ def decode_and_featurize_images(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def video_codec_available() -> bool:
+    """True when an ffmpeg binary is on PATH — the video analog of
+    ``image_codec_available``. ``sample_video_frames(decoder='auto')``
+    upgrades to real frame decode on clusters that ship it."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def _ffmpeg_decode_frame(payload: bytes, frame_ms: int) -> np.ndarray:
+    """Real frame decode: ffmpeg extracts the frame at ``frame_ms`` as an
+    8x8 grayscale rawvideo buffer — same shape/dtype contract as the fake.
+    Only called when ``video_codec_available()``."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            "ffmpeg", "-v", "error",
+            "-ss", f"{frame_ms / 1000:.3f}",
+            "-i", "pipe:0",
+            "-frames:v", "1",
+            "-vf", "scale=8:8,format=gray",
+            "-f", "rawvideo", "pipe:1",
+        ],
+        input=payload,
+        capture_output=True,
+        check=True,
+    ).stdout
+    return np.frombuffer(out[:64].ljust(64, b"\x00"), dtype=np.uint8).reshape(
+        8, 8
+    ).astype(np.float32)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    min_size: int = 2048,
+    avg_size: int = 8192,
+    max_size: int = 65536,
+) -> DataFrame:
+    """Content-defined chunking of binary payloads (FastCDC-style): cut
+    where a windowed Gear hash of the trailing 16 bytes hits a divisor
+    pattern, bounded by min/max chunk sizes. Because boundaries depend on
+    CONTENT, shared byte ranges between two payloads produce identical
+    chunk digests regardless of their offsets — the dedup property
+    fixed-size blocks can't give (a one-byte insertion only perturbs the
+    chunks around the edit).
+
+    Per-payload the hash array is one vectorized numpy pass
+    (sliding-window gear lookup @ weights); only the candidate cut points
+    (~1/avg_size of positions) are walked sequentially for the size
+    bounds. Arrow-batched ``mapInPandas``, same scale shape as the other
+    media kernels — pair with ``repartitioned_by_bytes`` for skew.
+
+    Output: (id, chunk_idx, offset, length, digest=md5 of chunk bytes).
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    w = 16
+    rng = np.random.RandomState(2718)
+    gear = rng.randint(0, 1 << 62, size=256, dtype=np.int64)
+    weights = (np.int64(1) << np.arange(w, dtype=np.int64))
+    divisor = np.int64(max(1, avg_size))
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("digest", T.StringType(), False),
+        ]
+    )
+
+    def cuts_for(payload: bytes) -> list[int]:
+        n = len(payload)
+        if n <= min_size:
+            return [n] if n else []
+        g = gear[np.frombuffer(payload, dtype=np.uint8)]
+        # H[i] = hash of bytes [i, i+w); candidate cut AFTER byte i+w-1
+        h = np.lib.stride_tricks.sliding_window_view(g, w) @ weights
+        candidates = (np.flatnonzero(h % divisor == 0) + w).tolist()
+        cuts, prev = [], 0
+        for c in candidates:
+            if c - prev < min_size:
+                continue
+            while c - prev > max_size:  # forced cuts inside long gaps
+                prev += max_size
+                cuts.append(prev)
+            cuts.append(c)
+            prev = c
+        while n - prev > max_size:
+            prev += max_size
+            cuts.append(prev)
+        if prev < n:
+            cuts.append(n)
+        return cuts
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload or b"")
+                prev = 0
+                for idx, cut in enumerate(cuts_for(payload)):
+                    rows.append(
+                        (
+                            mid,
+                            idx,
+                            prev,
+                            cut - prev,
+                            hashlib.md5(payload[prev:cut]).hexdigest(),
+                        )
+                    )
+                    prev = cut
+            yield pd.DataFrame(
+                rows, columns=[id_col, "chunk_idx", "offset", "length", "digest"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def audio_features(
     df: DataFrame,
     id_col: str = "media_id",
@@ -217,6 +344,7 @@ def sample_video_frames(
     payload_col: str = "payload",
     duration_col: str = "duration_ms",
     fake: bool = False,
+    decoder: str = "none",
 ) -> DataFrame:
     """Frame-sample videos: one output row per sampled frame timestamp.
 
@@ -229,7 +357,18 @@ def sample_video_frames(
         F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
     ).alias("frame_ms")
     frames = df.select(F.col(id_col), F.col(payload_col), ts)
-    if not fake:
+    # decoder seam, like images, but OPT-IN (real video payloads only):
+    # decoder='ffmpeg' requires the binary, 'auto' uses it when on PATH and
+    # otherwise stays plumbing-only; the default ('none') never decodes, so
+    # timestamp-grid callers behave identically on every cluster.
+    if decoder not in ("none", "auto", "ffmpeg"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "ffmpeg" and not video_codec_available():
+        raise NotImplementedError("ffmpeg is not on PATH; decoder='ffmpeg' unavailable")
+    use_ffmpeg = not fake and (
+        decoder == "ffmpeg" or (decoder == "auto" and video_codec_available())
+    )
+    if not fake and not use_ffmpeg:
         return frames.select(id_col, "frame_ms")  # plumbing-only: no decode
 
     out_schema = T.StructType(
@@ -242,13 +381,19 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # timestamp PREPENDED: the stub reads only the first 64 bytes,
-            # so appending it would vanish for payloads >= 64B and every
-            # frame of a video would get identical features
-            feats = [
-                _fake_decode_image(int(ms).to_bytes(8, "little") + (p or b"")).ravel().tolist()
-                for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
-            ]
+            # fake path: timestamp PREPENDED — the stub reads only the first
+            # 64 bytes, so appending it would vanish for payloads >= 64B and
+            # every frame of a video would get identical features
+            if use_ffmpeg:
+                feats = [
+                    _ffmpeg_decode_frame(p or b"", int(ms)).ravel().tolist()
+                    for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
+                ]
+            else:
+                feats = [
+                    _fake_decode_image(int(ms).to_bytes(8, "little") + (p or b"")).ravel().tolist()
+                    for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
+                ]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "frame_ms": pdf["frame_ms"], "frame_feature": feats}
             )

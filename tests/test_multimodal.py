@@ -125,3 +125,76 @@ def test_image_decoder_seam(spark):
 
         with pytest.raises(NotImplementedError):
             decode_and_featurize_images(df)
+
+
+def test_cdc_chunks_content_defined_dedup(spark):
+    # The CDC property: payloads sharing a long byte range produce shared
+    # chunk digests even at different offsets (a head insertion only
+    # perturbs chunks near the edit) - fixed-size blocking cannot do this.
+    import random
+
+    from pangool_spark.operators.multimodal import cdc_chunks
+
+    rng = random.Random(99)
+    shared = bytes(rng.randrange(256) for _ in range(60_000))
+    prefix = bytes(rng.randrange(256) for _ in range(777))
+    df = spark.createDataFrame(
+        [(1, shared), (2, prefix + shared)], "media_id LONG, payload BINARY"
+    )
+    out = cdc_chunks(df, min_size=256, avg_size=1024, max_size=8192)
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    # chunks tile each payload exactly
+    for mid, size in ((1, len(shared)), (2, len(prefix) + len(shared))):
+        chunks = sorted(by_id[mid], key=lambda r: r.chunk_idx)
+        assert chunks[0].offset == 0
+        assert sum(c.length for c in chunks) == size
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.offset == a.offset + a.length
+        assert all(c.length <= 8192 for c in chunks)
+        # all but the final chunk respect min_size
+        assert all(c.length >= 256 for c in chunks[:-1])
+    # most chunk digests of payload 1 reappear in payload 2
+    d1 = {r.digest for r in by_id[1]}
+    d2 = {r.digest for r in by_id[2]}
+    assert len(d1 & d2) >= 0.6 * len(d1)
+
+
+def test_cdc_chunks_edges(spark):
+    from pangool_spark.operators.multimodal import cdc_chunks
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"tiny"), (3, bytes(200_000))],  # constant bytes: no cuts
+        "media_id LONG, payload BINARY",
+    )
+    rows = cdc_chunks(df, min_size=256, avg_size=1024, max_size=4096).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 1 not in by_id  # empty payload -> no chunks
+    assert len(by_id[2]) == 1 and by_id[2][0].length == 4
+    # constant payload never hits the divisor -> forced max_size cuts
+    assert all(c.length <= 4096 for c in by_id[3])
+    assert sum(c.length for c in by_id[3]) == 200_000
+
+
+def test_video_decoder_seam(spark):
+    from pangool_spark.operators.multimodal import (
+        sample_video_frames,
+        video_codec_available,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"xyz", 2500)], "media_id LONG, payload BINARY, duration_ms LONG"
+    )
+    # default: plumbing-only timestamp grid in every environment
+    out = sample_video_frames(df, every_ms=1000)
+    assert sorted(r.frame_ms for r in out.collect()) == [0, 1000, 2000]
+    assert out.columns == ["media_id", "frame_ms"]
+    if not video_codec_available():
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(df, decoder="ffmpeg")
