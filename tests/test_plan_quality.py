@@ -139,3 +139,13 @@ def test_prune_hot_shingles_single_pass(spark):
     plan = _plan(prune_hot_shingles(sh, 1))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf):
+    # the cross-side disjunction must ride the p_partkey equi-join as a
+    # residual - never degrade to a nested-loop/cartesian plan
+    from pangool_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["q19_discounted_revenue"](spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
