@@ -77,3 +77,22 @@ def test_sessionize_stream_matches_batch(spark, batch_df, stream_source):
 
 def test_stream_dedup_batch_path(batch_df):
     assert stream_dedup(batch_df).count() == 4
+
+
+def test_stream_dedup_real_stream(spark, stream_source):
+    # the streaming path for real: duplicates (same event_id) within the
+    # watermark horizon are dropped by the state store, output appends
+    path, schema = stream_source
+    sdf = read_stream(spark, path, schema)
+    deduped = stream_dedup(sdf, keys=["event_id"], ts_col="ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+    assert got.count() == 4
+    assert {r.event_id for r in got.collect()} == {1, 2, 3, 4}
