@@ -487,6 +487,67 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery. Spark-first: the
+    correlation compiles to a WINDOW average over l_partkey — one pass over
+    lineitem, no self-join, no re-scan (the classic decorrelation)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    w = Window.partitionBy("l_partkey")
+    with_avg = li.withColumn("__avg_qty__", F.avg("l_quantity").over(w))
+    return (
+        with_avg.join(F.broadcast(p.select("p_partkey")), with_avg.l_partkey == p.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty__"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), F.lit(0)
+                )
+                / 7.0
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "median_quantity_per_flag",
+    """
+    SELECT l_returnflag,
+           CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS median_qty,
+           CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def median_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (Spark's ``percentile`` = SQL
+    percentile_cont, linear interpolation — bit-matching DuckDB's). The
+    exact form shuffles each group's values; at 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, mergeable map-side) — the same
+    trade the catalog makes for approx_distinct vs kmv."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).cast("double").alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).cast("double").alias("p90_qty"),
+    )
+
+
+@query(
     "q18_large_volume_orders",
     """
     SELECT c.c_name, o.o_orderkey, o.o_totalprice,
