@@ -365,10 +365,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'N'
     GROUP BY l.l_linestatus
@@ -430,7 +430,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_type <> 'PROMO'
       AND l.l_suppkey NOT IN (
-        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        SELECT s_suppkey FROM supplier
+        WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL
       )
     GROUP BY p.p_brand, p.p_size
     """,
@@ -2295,3 +2296,61 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# driver-window ordering
+#
+# The correctness driver verifies the FIRST 50 registry entries in iteration
+# order. Rounds 1-4 registered the TPC-H shapes first, which silently pushed
+# the whole extension layer (similarity search, text analysis, multimodal,
+# curation) past the window — 15 of 65 queries had no hard correctness
+# signal. Rotate 15 stable-green shapes whose operator coverage is
+# duplicated by queries remaining in the window to the BACK so every
+# previously-unchecked query gets a driver row. The rotated queries stay
+# fully value-oracled and are still verified by tools/check_oracles.py
+# (pytest gate) every run — only the driver row moves.
+#
+# Redundancy justification (rotated → in-window query covering the operator):
+#   q4_order_priority        → semi_join_big_spenders (left-semi EXISTS)
+#   q6_forecast_revenue      → q1_pricing_summary (filter + agg)
+#   q13_customer_distribution→ customer_order_stats (left join + group count)
+#   q14_promo_revenue        → q12_shipmode_priority (conditional agg)
+#   q16_supplier_part_counts → anti_join_no_orders (anti / NOT IN)
+#   q17_small_quantity_rev.. → q2_top_acctbal_per_nation (decorrelation)
+#   q18_large_volume_orders  → q3/q5 (join + agg + HAVING-style filter)
+#   q19_discounted_revenue   → grep-style pushdown via q6 shape + q1 agg
+#   cube_orders              → rollup_lineitem + grouping_sets_lineitem
+#   distinct_parts_per_flag  → set_ops_custkeys (distinct semantics)
+#   pivot_orders             → grouping-set family (rollup/grouping_sets)
+#   approx_distinct_parts    → rows-only check (no hash signal to lose);
+#                              kmv_distinct_parts keeps the sketch row
+#   grep_parts               → map-only plan gate in test_plan_quality.py
+#   top_words_per_lang       → topk_orders_per_cust (top-k per group)
+#   lead_lag_events          → moving_avg_events + null_order_ranking
+_ROTATED_PAST_WINDOW = [
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "cube_orders",
+    "distinct_parts_per_flag",
+    "pivot_orders",
+    "approx_distinct_parts",
+    "grep_parts",
+    "top_words_per_lang",
+    "lead_lag_events",
+]
+
+
+def _apply_driver_window_order() -> None:
+    for registry in (QUERIES, ORACLES):
+        back = {n: registry.pop(n) for n in _ROTATED_PAST_WINDOW if n in registry}
+        registry.update(back)
+
+
+_apply_driver_window_order()
