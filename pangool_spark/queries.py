@@ -1452,6 +1452,24 @@ _GRAMS_PRUNED_CTE = f"""grams AS (
 _SHINGLE_CACHE: dict = {}
 
 
+def clear_shingle_cache(spark: SparkSession | None = None) -> int:
+    """Evict every cached shingle relation (unpersist + drop the reference).
+
+    The cache keys on applicationId so stale sessions can't collide, but the
+    dict itself lives for the process — a long-lived multi-tenant service
+    (or bench.py between sections) should call this once a dedup workload
+    finishes so the cached relations can't pin storage memory. Returns the
+    number of entries evicted."""
+    n = len(_SHINGLE_CACHE)
+    for df in _SHINGLE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to unpersist
+    _SHINGLE_CACHE.clear()
+    return n
+
+
 def _doc_shingles(
     spark: SparkSession, sf_dir: str, n: int = 3, max_df: int | None = None
 ) -> DataFrame:
