@@ -78,19 +78,44 @@ def exact_dedup(
     return df.join(reps, on=id_col, how="left_semi")
 
 
-def prune_hot_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+def prune_hot_shingles(
+    sh: DataFrame, max_df: int, strategy: str = "window"
+) -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df`` (stop-shingle
-    removal).
+    removal). Two strategies with opposite scale profiles:
 
-    SINGLE pass: a whole-partition window count over ``shingle`` then
-    filter — one exchange, and the input relation is read exactly once. The
-    earlier agg→broadcast-anti-join shape read the input twice (df-count
-    agg + anti-join), which forced callers to materialize the shingle
-    relation first or re-run its explode+distinct pipeline per read;
-    measured at sf0.1 the windowed form builds the pruned relation 3-4×
-    faster steady-state. The window's shuffle moves the full relation
-    once — at scale that is the same traffic as the distinct() that
-    produced it, and one barrier fewer than cache-then-join."""
+    ``window`` (default): a whole-partition window count over ``shingle``
+    then filter — one exchange, and the input relation is read exactly
+    once. The agg form reads the input twice (df-count agg + anti-join),
+    which forces callers to materialize the shingle relation first or
+    re-run its explode+distinct pipeline per read; measured at sf0.1 the
+    windowed form builds the pruned relation 3-4× faster steady-state.
+    SKEW CAVEAT: the window shuffles every occurrence of a shingle to one
+    task, and the hottest stop-shingles — the exact keys this function
+    exists to remove — can approach the document count. At that point the
+    hot key's partition becomes a straggler/spill task, so the windowed
+    form is right when the relation is modest or hot keys are bounded
+    (e.g. post-``distinct()`` shingles at bench scale).
+
+    ``agg``: two-pass groupBy-count + broadcast anti-join. The groupBy has
+    MAP-SIDE partial aggregation, so a shingle appearing in a billion docs
+    arrives at the reduce side as one pre-combined row per map task —
+    no single task ever holds the hot key's occurrences. The hot-shingle
+    list (by construction small: only keys with df > max_df) broadcasts
+    to an anti-join. This is the 100 TB path whenever max_df pruning
+    targets genuinely hot keys; it costs a second read of ``sh``, so
+    cache the relation first."""
+    if strategy == "agg":
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_df)
+            .select("shingle")
+        )
+        # the string-key join puts `shingle` first — restore input order
+        return sh.join(F.broadcast(hot), "shingle", "left_anti").select(sh.columns)
+    if strategy != "window":
+        raise ValueError(f"unknown prune strategy {strategy!r}: window|agg")
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("__df__", F.count(F.lit(1)).over(w))

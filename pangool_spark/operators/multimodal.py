@@ -146,6 +146,89 @@ def decode_and_featurize_images(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def synthesize_y4m(
+    frames: "list[np.ndarray]", fps: tuple[int, int] = (30, 1), colorspace: str = "mono"
+) -> bytes:
+    """Encode grayscale frames as an uncompressed Y4M (YUV4MPEG2) stream —
+    the public format ffmpeg emits with ``-f yuv4mpeg``. Used to build
+    deterministic real-video fixtures; ``_y4m_decode_frame`` is the decoder.
+    ``colorspace='420'`` pads neutral-gray chroma planes; ``'mono'`` writes
+    luma only."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
+    out = [head.encode("ascii")]
+    chroma = (
+        np.full(((h // 2) * (w // 2)), 128, dtype=np.uint8).tobytes() * 2
+        if colorspace.startswith("420")
+        else b""
+    )
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one geometry")
+        out.append(b"FRAME\n")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+        out.append(chroma)
+    return b"".join(out)
+
+
+def _y4m_decode_frame(payload: bytes, frame_ms: int) -> np.ndarray:
+    """REAL video decode for uncompressed Y4M (YUV4MPEG2) payloads — pure
+    numpy, no external binary, so this path runs for real in this container
+    (the video analog of the stdlib-``wave`` audio decode; ffmpeg stays the
+    seam for compressed codecs). Parses the stream header
+    (width/height/framerate/colorspace), indexes the FRAME at ``frame_ms``,
+    and pools its luma plane to the 8x8 grayscale contract shared by the
+    fake and ffmpeg decoders (block mean when the geometry divides evenly,
+    nearest-neighbor otherwise)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    header_end = payload.index(b"\n")
+    w = h = None
+    num, den = 30, 1
+    cs = b"420"
+    for tag in payload[:header_end].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            num, den = (int(x) for x in tag[1:].split(b":"))
+        elif tag[:1] == b"C":
+            cs = tag[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith(b"mono"):
+        frame_bytes = w * h
+    elif cs.startswith(b"420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith(b"422"):
+        frame_bytes = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith(b"444"):
+        frame_bytes = 3 * w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    idx = int(frame_ms * num // (1000 * den))
+    pos = header_end + 1
+    frame_start = None
+    for _ in range(idx + 1):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"frame {idx} out of range")
+        pos = payload.index(b"\n", pos) + 1  # FRAME line may carry params
+        frame_start = pos
+        pos += frame_bytes
+    y = np.frombuffer(payload[frame_start : frame_start + w * h], dtype=np.uint8)
+    if len(y) < w * h:
+        raise ValueError("truncated y4m frame")
+    y = y.reshape(h, w)
+    if h % 8 == 0 and w % 8 == 0:
+        g = y.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        g = y[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+    return g.astype(np.float32)
+
+
 def video_codec_available() -> bool:
     """True when an ffmpeg binary is on PATH — the video analog of
     ``image_codec_available``. ``sample_video_frames(decoder='auto')``
@@ -227,7 +310,8 @@ def cdc_chunks(
 
     def cuts_for(payload: bytes) -> list[int]:
         n = len(payload)
-        if n <= min_size:
+        if n <= min_size or n < w:
+            # n < w: too short for the gear window — one chunk, no hashing
             return [n] if n else []
         g = gear[np.frombuffer(payload, dtype=np.uint8)]
         # H[i] = hash of bytes [i, i+w); candidate cut AFTER byte i+w-1
@@ -240,6 +324,11 @@ def cdc_chunks(
             while c - prev > max_size:  # forced cuts inside long gaps
                 prev += max_size
                 cuts.append(prev)
+            if c - prev < min_size:
+                # the forced cuts moved prev past the min_size test above;
+                # a candidate this close after a forced cut would emit an
+                # undersized mid-payload chunk — wait for the next one
+                continue
             cuts.append(c)
             prev = c
         while n - prev > max_size:
@@ -358,17 +447,20 @@ def sample_video_frames(
     ).alias("frame_ms")
     frames = df.select(F.col(id_col), F.col(payload_col), ts)
     # decoder seam, like images, but OPT-IN (real video payloads only):
-    # decoder='ffmpeg' requires the binary, 'auto' uses it when on PATH and
-    # otherwise stays plumbing-only; the default ('none') never decodes, so
-    # timestamp-grid callers behave identically on every cluster.
-    if decoder not in ("none", "auto", "ffmpeg"):
+    # decoder='ffmpeg' requires the binary (compressed codecs), 'y4m' is the
+    # pure-numpy uncompressed decoder that runs everywhere, 'auto' prefers
+    # ffmpeg when on PATH and otherwise stays plumbing-only; the default
+    # ('none') never decodes, so timestamp-grid callers behave identically
+    # on every cluster.
+    if decoder not in ("none", "auto", "ffmpeg", "y4m"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "ffmpeg" and not video_codec_available():
         raise NotImplementedError("ffmpeg is not on PATH; decoder='ffmpeg' unavailable")
     use_ffmpeg = not fake and (
         decoder == "ffmpeg" or (decoder == "auto" and video_codec_available())
     )
-    if not fake and not use_ffmpeg:
+    use_y4m = not fake and decoder == "y4m"
+    if not fake and not use_ffmpeg and not use_y4m:
         return frames.select(id_col, "frame_ms")  # plumbing-only: no decode
 
     out_schema = T.StructType(
@@ -387,6 +479,11 @@ def sample_video_frames(
             if use_ffmpeg:
                 feats = [
                     _ffmpeg_decode_frame(p or b"", int(ms)).ravel().tolist()
+                    for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
+                ]
+            elif use_y4m:
+                feats = [
+                    _y4m_decode_frame(p or b"", int(ms)).ravel().tolist()
                     for p, ms in zip(pdf[payload_col], pdf["frame_ms"])
                 ]
             else:

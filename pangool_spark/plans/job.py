@@ -48,6 +48,73 @@ class PlanError(ValueError):
     """Invalid job declaration (mirrors reference builder exceptions)."""
 
 
+def _group_starts(pdf: pd.DataFrame, group_fields: Sequence[str]):
+    """Positions where a new group begins (null-safe: two nulls compare
+    equal, like the reference comparator). Always includes 0."""
+    import numpy as np
+
+    n = len(pdf)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for g in group_fields:
+        codes = pd.factorize(pdf[g], use_na_sentinel=False)[0]
+        change[1:] |= codes[1:] != codes[:-1]
+    return np.flatnonzero(change)
+
+
+def _complete_group_frames(batches, group_fields: Sequence[str]):
+    """Re-chunk an Arrow batch stream into frames containing only COMPLETE
+    groups.
+
+    The open tail group is buffered as a list of batch views and
+    concatenated exactly once — when its closing boundary arrives. The
+    previous concat-the-carry-into-every-batch pattern copied a
+    batch-spanning group O(span²): a group covering B consecutive Arrow
+    batches was re-copied into each of the B concats (measured ~0.4 s of
+    pure copying on a 200k-row group at 64k rows/batch). Group sizes are
+    unbounded at 100 TB, so the walk must be linear in rows regardless of
+    how many batches one group spans."""
+    buf: list[pd.DataFrame] = []
+
+    def row0_continues_buf(pdf: pd.DataFrame) -> bool:
+        prev = buf[-1].iloc[len(buf[-1]) - 1]
+        row0 = pdf.iloc[0]
+        for g in group_fields:
+            a, b = row0[g], prev[g]
+            if not (a == b or (pd.isna(a) and pd.isna(b))):
+                return False
+        return True
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        if buf:
+            if row0_continues_buf(pdf):
+                starts = _group_starts(pdf, group_fields)
+                if len(starts) == 1:
+                    # whole batch is inside the open group
+                    buf.append(pdf)
+                    continue
+                cut = int(starts[1])
+                buf.append(pdf.iloc[:cut])
+                yield pd.concat(buf, ignore_index=True)
+                buf = []
+                pdf = pdf.iloc[cut:].reset_index(drop=True)
+            else:
+                out = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+                buf = []
+                yield out.reset_index(drop=True)
+        starts = _group_starts(pdf, group_fields)
+        last_start = int(starts[-1])
+        buf = [pdf.iloc[last_start:]]
+        body = pdf.iloc[:last_start]
+        if len(body):
+            yield body.reset_index(drop=True)
+    if buf:
+        out = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+        yield out.reset_index(drop=True)
+
+
 def _sort_pandas(pdf: pd.DataFrame, elements: Sequence[SortElement]) -> pd.DataFrame:
     """Stable multi-key sort honoring per-key direction AND null order.
 
@@ -549,21 +616,14 @@ class JobBuilder:
             return None
 
         def run_partition(batches):
-            leftover: pd.DataFrame | None = None
             part_counters: dict[str, int] = {}
 
-            def reduce_groups(pdf: pd.DataFrame, hold_last: bool):
-                nonlocal leftover
-                if leftover is not None:
-                    pdf = pd.concat([leftover, pdf], ignore_index=True)
-                    leftover = None
-                if not len(pdf):
-                    return None
+            # _complete_group_frames buffers the batch-spanning tail group
+            # (linear in rows, however many batches one group spans), so
+            # every frame here holds only complete groups.
+            def reduce_frame(pdf: pd.DataFrame):
                 collector = Collector()
-                items = list(pdf.groupby(group_fields, sort=False, dropna=False))
-                if hold_last and items:
-                    leftover = items.pop()[1]
-                for key, sub in items:
+                for key, sub in pdf.groupby(group_fields, sort=False, dropna=False):
                     if not isinstance(key, tuple):
                         key = (key,)
                     reducer(key, sub.reset_index(drop=True), collector)
@@ -571,13 +631,8 @@ class JobBuilder:
                     part_counters[k] = part_counters.get(k, 0) + v
                 return collector_frame(collector)
 
-            for pdf in batches:
-                out = reduce_groups(pdf, hold_last=True)
-                if out is not None:
-                    yield out
-            if leftover is not None:
-                tail, leftover = leftover, None
-                out = reduce_groups(tail, hold_last=False)
+            for frame in _complete_group_frames(batches, group_fields):
+                out = reduce_frame(frame)
                 if out is not None:
                     yield out
             if part_counters:
@@ -594,59 +649,25 @@ class JobBuilder:
         group_fields: list,
         reducer: Callable,
     ) -> DataFrame:
-        """v2 reduce contract: group boundaries computed once per Arrow batch
+        """v2 reduce contract: group boundaries computed once per chunk
         (factorized codes → null-safe change mask), the reducer sees
-        (keys, offsets, rows) for the whole chunk. The last (possibly
-        batch-spanning) group of every batch is carried into the next, like
-        the per-group walk — partition boundaries are true group boundaries
+        (keys, offsets, rows) for the whole chunk. Chunks come from
+        ``_complete_group_frames``, which buffers the batch-spanning tail
+        group linearly — partition boundaries are true group boundaries
         because the shuffle hashes the group prefix."""
         import numpy as np
 
         out_columns = [f.name for f in out_struct.fields]
 
-        def boundaries(pdf: pd.DataFrame) -> "np.ndarray":
-            n = len(pdf)
-            change = np.zeros(n, dtype=bool)
-            change[0] = True
-            for g in group_fields:
-                codes = pd.factorize(pdf[g], use_na_sentinel=False)[0]
-                change[1:] |= codes[1:] != codes[:-1]
-            starts = np.flatnonzero(change)
-            return np.append(starts, n).astype(np.int64)
-
         def run_partition(batches):
-            leftover: pd.DataFrame | None = None
-
-            def reduce_chunk(pdf: pd.DataFrame, hold_last: bool):
-                nonlocal leftover
-                if leftover is not None:
-                    pdf = pd.concat([leftover, pdf], ignore_index=True)
-                    leftover = None
-                if not len(pdf):
-                    return None
-                offsets = boundaries(pdf)
-                if hold_last and len(offsets) > 1:
-                    last_start = offsets[-2]
-                    leftover = pdf.iloc[last_start:].reset_index(drop=True)
-                    pdf = pdf.iloc[:last_start]
-                    offsets = offsets[:-1]
-                    if not len(pdf):
-                        return None
+            for pdf in _complete_group_frames(batches, group_fields):
+                starts = _group_starts(pdf, group_fields)
+                offsets = np.append(starts, len(pdf)).astype(np.int64)
                 keys = pdf.iloc[offsets[:-1]][group_fields].reset_index(drop=True)
-                out = reducer(keys, offsets, pdf.reset_index(drop=True))
+                out = reducer(keys, offsets, pdf)
                 if out is None or not len(out):
-                    return None
-                return out[out_columns]
-
-            for pdf in batches:
-                out = reduce_chunk(pdf, hold_last=True)
-                if out is not None:
-                    yield out
-            if leftover is not None:
-                tail, leftover = leftover, None
-                out = reduce_chunk(tail, hold_last=False)
-                if out is not None:
-                    yield out
+                    continue
+                yield out[out_columns]
 
         return arranged.mapInPandas(run_partition, schema=out_struct)
 
@@ -705,72 +726,89 @@ class JobBuilder:
             return depth
 
         def run_partition(batches):
-            """Streaming callback walk with carry-over: only the currently
-            open innermost group is held in memory (vs the whole base-prefix
-            partition under groupBy().applyInPandas), and callbacks fire per
-            GROUP boundary, not per row."""
+            """Streaming callback walk: only the currently open innermost
+            group is buffered — as a LIST of batch views concatenated once
+            when the group closes, so the walk stays linear in rows even
+            when one group spans many Arrow batches (the old concat-the-
+            carry-into-every-batch form copied such a group O(span²)).
+            Callbacks fire per GROUP boundary, not per row."""
             import numpy as np
 
-            carry: pd.DataFrame | None = None
+            buf: list[pd.DataFrame] = []
             started = False
             part_counters: dict[str, int] = {}
 
-            def walk(pdf: pd.DataFrame, hold_last: bool):
-                nonlocal carry, started
-                if carry is not None:
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                    carry = None
-                else:
-                    pdf = pdf.reset_index(drop=True)
+            def emit_group(collector):
+                """Concat the buffered chunks (once), fire elements; returns
+                the group's last row as a dict for the close callbacks."""
+                frame = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
+                buf.clear()
+                last = frame.iloc[len(frame) - 1].to_dict()
+                group = {g: last[g] for g in group_fields}
+                reducer.on_group_elements(group, frame, collector)
+                return last
+
+            def cross_batch_depth(pdf: pd.DataFrame) -> int:
+                """Outermost level where batch row 0 differs from the last
+                buffered row (n_levels = same group continues)."""
+                prev = buf[-1].iloc[len(buf[-1]) - 1]
+                row0 = pdf.iloc[0]
+                for j, g in enumerate(group_fields):
+                    a, b = row0[g], prev[g]
+                    if not (a == b or (pd.isna(a) and pd.isna(b))):
+                        return j
+                return n_levels
+
+            def flush_counters(collector):
+                for k, v in collector.counters.items():
+                    part_counters[k] = part_counters.get(k, 0) + v
+
+            def walk(pdf: pd.DataFrame):
+                nonlocal started
                 if not len(pdf):
                     return None
                 collector = Collector(allow_named=False)
                 depths = _boundary_depths(pdf)
-                # row 0 of the first frame opens the partition; row 0 of
-                # later frames continues the group carried over (its
-                # boundary fired when the carried group opened).
-                depths[0] = n_levels
-                bounds = np.flatnonzero(depths < n_levels)
+                # row 0 of the first frame opens the partition; on later
+                # frames its depth comes from comparing against the
+                # buffered open group's last row.
+                depths[0] = cross_batch_depth(pdf) if buf else n_levels
                 if not started:
                     row0 = pdf.iloc[0].to_dict()
                     for depth in range(min_depth, n_levels):
                         reducer.on_open_group(depth, group_fields[depth], row0, collector)
                     started = True
                 group_start = 0
-                for i in bounds:
-                    last = pdf.iloc[i - 1].to_dict()
-                    group = {g: last[g] for g in group_fields}
-                    reducer.on_group_elements(group, pdf.iloc[group_start:i], collector)
+                for i in np.flatnonzero(depths < n_levels):
+                    i = int(i)
+                    if i > group_start:
+                        buf.append(pdf.iloc[group_start:i])
+                    last = emit_group(collector)
                     mismatch = max(int(depths[i]), min_depth)
                     for depth in range(n_levels - 1, mismatch - 1, -1):
                         reducer.on_close_group(depth, group_fields[depth], last, collector)
                     row = pdf.iloc[i].to_dict()
                     for depth in range(mismatch, n_levels):
                         reducer.on_open_group(depth, group_fields[depth], row, collector)
-                    group_start = int(i)
-                if hold_last:
-                    carry = pdf.iloc[group_start:]
-                else:
-                    last = pdf.iloc[len(pdf) - 1].to_dict()
-                    group = {g: last[g] for g in group_fields}
-                    reducer.on_group_elements(group, pdf.iloc[group_start:], collector)
-                    for depth in range(n_levels - 1, min_depth - 1, -1):
-                        reducer.on_close_group(depth, group_fields[depth], last, collector)
-                for k, v in collector.counters.items():
-                    part_counters[k] = part_counters.get(k, 0) + v
+                    group_start = i
+                buf.append(pdf.iloc[group_start:])
+                flush_counters(collector)
                 if collector.rows:
                     return pd.DataFrame(collector.rows, columns=out_columns)
                 return None
 
             for pdf in batches:
-                out = walk(pdf, hold_last=True)
+                out = walk(pdf)
                 if out is not None:
                     yield out
-            if carry is not None:
-                tail, carry = carry, None
-                out = walk(tail, hold_last=False)
-                if out is not None:
-                    yield out
+            if buf:
+                collector = Collector(allow_named=False)
+                last = emit_group(collector)
+                for depth in range(n_levels - 1, min_depth - 1, -1):
+                    reducer.on_close_group(depth, group_fields[depth], last, collector)
+                flush_counters(collector)
+                if collector.rows:
+                    yield pd.DataFrame(collector.rows, columns=out_columns)
             if part_counters:
                 from pyspark import TaskContext
 

@@ -1322,10 +1322,17 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join (§2.8): both sides persisted with
     ``bucketBy`` on the join key, then sort-merge-joined with ZERO join
     exchanges — the co-located-join capability the reference's
-    MapReduce model re-shuffled for on every job. The zero-Exchange
-    property is ASSERTED inside the query (plan gate, not just a test):
-    if the join subtree plans an Exchange, the query raises. The only
-    exchange in the returned plan is the final per-segment aggregation.
+    MapReduce model re-shuffled for on every job.
+
+    The MERGE hint pins sort-merge-join in the LOGICAL plan, so the
+    asserted property holds for the plan that actually executes — the
+    earlier form flipped autoBroadcastJoinThreshold around a plan
+    inspection and restored it before execution, which let the optimizer
+    re-plan the returned DataFrame as a broadcast join. The plan gate
+    runs on the final aggregated DataFrame and allows exactly ONE
+    exchange: the per-segment aggregation (its key differs from the
+    bucket key). Bucket tables are namespaced by applicationId so
+    concurrent sessions can't clobber each other's warehouse paths.
     """
     import shutil
 
@@ -1333,32 +1340,36 @@ def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    for t in ("bq_customer", "bq_orders"):
+    app = "".join(
+        ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId.lower()
+    )
+    tbl_c, tbl_o = f"bq_customer_{app}", f"bq_orders_{app}"
+    for t in (tbl_c, tbl_o):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    write_bucketed(c.select("c_custkey", "c_mktsegment"), tbl_c, ["c_custkey"], 8)
     write_bucketed(
-        c.select("c_custkey", "c_mktsegment"), "bq_customer", ["c_custkey"], 8
+        o.select("o_custkey", "o_orderkey", "o_totalprice"), tbl_o, ["o_custkey"], 8
     )
-    write_bucketed(
-        o.select("o_custkey", "o_orderkey", "o_totalprice"), "bq_orders", ["o_custkey"], 8
-    )
-    bc = read_bucketed(spark, "bq_customer")
-    bo = read_bucketed(spark, "bq_orders")
-    joined = bc.join(bo, bc.c_custkey == bo.o_custkey)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan:
-            raise RuntimeError(
-                "bucketed join planned an Exchange — co-location lost:\n" + plan
-            )
-        return joined.groupBy("c_mktsegment").agg(
+    bc = read_bucketed(spark, tbl_c)
+    bo = read_bucketed(spark, tbl_o)
+    agg = (
+        bc.hint("merge")
+        .join(bo, bc.c_custkey == bo.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
             F.count("o_orderkey").alias("n_orders"),
             _dsum("o_totalprice").alias("total_spent"),
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    if n_exchanges != 1:
+        raise RuntimeError(
+            f"bucketed join planned {n_exchanges} Exchanges (want 1: the "
+            "aggregation) — co-location lost:\n" + plan
+        )
+    return agg
 
 
 @query(
@@ -2155,6 +2166,69 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_frames_real_decode",
+    """
+    SELECT d.doc_id AS media_id,
+           CAST(u.k * 200 AS BIGINT) AS frame_ms,
+           CAST((d.doc_id * 7 + u.k * 31) % 256 AS DOUBLE) AS mean_intensity
+    FROM documents d, LATERAL unnest(range(0, 3)) AS u(k)
+    """,
+)
+def video_frames_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: one deterministic Y4M (YUV4MPEG2)
+    clip per document — 3 constant-luma 16x8 frames at 5 fps — is
+    synthesized in an Arrow batch step, then ``sample_video_frames``
+    runs the pure-numpy y4m decoder (header parse → frame index → luma
+    pool) on every sampled timestamp. Constant frames make the pooled
+    mean closed-form — frame k of doc d has luma (d*7 + k*31) % 256 —
+    so the whole decode path is value-oracled, exactly like the stdlib-
+    wave audio path (``audio_features_docs``). The ffmpeg seam stays the
+    escape hatch for compressed codecs."""
+    import pandas as pd  # noqa: F811
+
+    from pangool_spark.operators.multimodal import sample_video_frames, synthesize_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                synthesize_y4m(
+                    [
+                        np.full((8, 16), (int(m) * 7 + k * 31) % 256, dtype=np.uint8)
+                        for k in range(3)
+                    ],
+                    fps=(5, 1),
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "duration_ms": 600,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="media_id long, payload binary, duration_ms long"
+    )
+    frames = sample_video_frames(media, every_ms=200, decoder="y4m")
+    return frames.select(
+        "media_id",
+        "frame_ms",
+        F.expr(
+            "aggregate(frame_feature, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            " / size(frame_feature)"
+        ).alias("mean_intensity"),
+    )
+
+
+@query(
     "audio_features_docs",
     """
     SELECT doc_id AS media_id,
@@ -2346,7 +2420,10 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   grep_parts               → map-only plan gate in test_plan_quality.py
 #   top_words_per_lang       → topk_orders_per_cust (top-k per group)
 #   lead_lag_events          → moving_avg_events + null_order_ranking
+#   multimodal_video_frames  → video_frames_real_decode (same timestamp
+#                              grid PLUS a real y4m decode behind it)
 _ROTATED_PAST_WINDOW = [
+    "multimodal_video_frames",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q13_customer_distribution",

@@ -210,6 +210,16 @@ def test_prune_hot_shingles_bounds_fanout(spark):
         pruned.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0].m
     )
     assert df_counts <= 5
+    # the skew-safe agg strategy (map-side partial count + broadcast
+    # anti-join) must keep exactly the same rows as the windowed form
+    agg_pruned = prune_hot_shingles(sh, max_df=5, strategy="agg")
+    window_rows = {tuple(r) for r in pruned.collect()}
+    agg_rows = {tuple(r) for r in agg_pruned.collect()}
+    assert agg_rows == window_rows
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown prune strategy"):
+        prune_hot_shingles(sh, max_df=5, strategy="salted")
 
 
 def test_minhash_signature_matches_duckdb_oracle(spark):
