@@ -326,8 +326,10 @@ class JobBuilder:
         ``offsets`` is an int64 array of length n_groups+1 (group ``i``
         spans ``rows[offsets[i]:offsets[i+1]]``), and ``keys`` is a
         DataFrame of the group-key columns with one row per group. The
-        reducer returns the output rows for ALL groups at once — numpy
-        kernels like ``np.add.reduceat(col, offsets[:-1])`` replace the
+        reducer returns the output rows for ALL groups at once — or, on a
+        named-outputs job compiled via ``to_dataframes()``, a dict
+        ``{output_name: DataFrame}`` with ``""`` for the main output —
+        numpy kernels like ``np.add.reduceat(col, offsets[:-1])`` replace the
         per-group Python invocation (~0.5 ms/group floor), which dominates
         reduce time when groups are small and plentiful. Counters and named
         outputs stay on the per-group contract.
@@ -585,13 +587,8 @@ class JobBuilder:
         ).sortWithinPartitions(*sort_cols)
 
         if self._reducer_vectorized:
-            if emit_tagged:
-                raise PlanError(
-                    "vectorized reducers cannot drive named outputs; use the "
-                    "per-group collector contract for multiple-outputs jobs"
-                )
             return self._run_vectorized_reducer(
-                arranged, out_struct, group_fields, reducer
+                arranged, out_struct, group_fields, reducer, emit_tagged=emit_tagged
             )
 
         def collector_frame(collector: Collector):
@@ -648,23 +645,62 @@ class JobBuilder:
         out_struct: T.StructType,
         group_fields: list,
         reducer: Callable,
+        emit_tagged: bool = False,
     ) -> DataFrame:
         """v2 reduce contract: group boundaries computed once per chunk
         (factorized codes → null-safe change mask), the reducer sees
         (keys, offsets, rows) for the whole chunk. Chunks come from
         ``_complete_group_frames``, which buffers the batch-spanning tail
         group linearly — partition boundaries are true group boundaries
-        because the shuffle hashes the group prefix."""
+        because the shuffle hashes the group prefix.
+
+        With ``emit_tagged`` (named-outputs jobs), the reducer may return a
+        dict ``{output_name: DataFrame}`` (``""`` = main output) instead of
+        a single frame; each frame lands in its output's struct slot of the
+        tagged row stream — same one-shuffle multiple-outputs shape as the
+        per-group collector contract."""
         import numpy as np
 
         out_columns = [f.name for f in out_struct.fields]
+        slot_names = out_columns[1:] if emit_tagged else []
+
+        def tagged_frame(result):
+            if isinstance(result, pd.DataFrame):
+                result = {"": result}
+            parts = []
+            for name, frame in result.items():
+                slot = "__main__" if name == "" else name
+                if slot not in slot_names:
+                    raise PlanError(f"undeclared named output {name!r}")
+                if frame is None or not len(frame):
+                    continue
+                records = frame.to_dict("records")
+                part = pd.DataFrame({"__output__": [name] * len(records)})
+                for s in slot_names:
+                    part[s] = [r if s == slot else None for r in records]
+                parts.append(part)
+            if not parts:
+                return None
+            return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
 
         def run_partition(batches):
             for pdf in _complete_group_frames(batches, group_fields):
                 starts = _group_starts(pdf, group_fields)
                 offsets = np.append(starts, len(pdf)).astype(np.int64)
                 keys = pdf.iloc[offsets[:-1]][group_fields].reset_index(drop=True)
-                out = reducer(keys, offsets, pdf)
+                result = reducer(keys, offsets, pdf)
+                if result is None:
+                    continue
+                if emit_tagged:
+                    out = tagged_frame(result)
+                elif isinstance(result, dict):
+                    raise PlanError(
+                        "vectorized reducer returned a dict but the job has no "
+                        "named outputs; compile with to_dataframes() after "
+                        "add_named_output(...)"
+                    )
+                else:
+                    out = result
                 if out is None or not len(out):
                     continue
                 yield out[out_columns]

@@ -146,3 +146,83 @@ def test_solr_sink_propagates_send_errors(spark):
 
     with pytest.raises(Exception, match="index unavailable"):
         solr_sink(df, send_batch, batch_size=2)
+
+
+def test_vectorized_reducer_named_outputs_one_shuffle(spark):
+    """v2 (keys, offsets, rows) reducers can drive named outputs: return a
+    dict of frames, one per output. The whole job still runs in ONE
+    shuffle — plan-gated below."""
+    import numpy as np
+    import pandas as pd
+
+    counts = spark.createDataFrame(
+        [(1, "foo", 5), (1, "bar", 3), (1, "baz", 1), (2, "qux", 2), (3, "zap", 7)],
+        "topic INT, word STRING, count INT",
+    )
+
+    def reduce_fn(keys, offsets, rows):
+        sums = np.add.reduceat(rows["count"].to_numpy(), offsets[:-1])
+        n_rows = np.diff(offsets)
+        # main: rows of groups with >1 word; totals: every group
+        main_mask = n_rows > 1
+        return {
+            "": pd.DataFrame(
+                {"topic": keys["topic"][main_mask], "n_words": n_rows[main_mask]}
+            ),
+            "totals": pd.DataFrame({"topic": keys["topic"], "total": sums}),
+        }
+
+    jb = (
+        JobBuilder(spark, "vec_named")
+        .add_input(counts, "topic:int,word:string,count:int")
+        .set_group_by("topic")
+        .set_reducer(reduce_fn, "topic:int,n_words:long", vectorized=True)
+        .add_named_output("totals", "topic:int,total:long")
+    )
+    outs = jb.to_dataframes()
+    plan = outs[""]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert {(r.topic, r.n_words) for r in outs[""].collect()} == {(1, 3)}
+    assert {(r.topic, r.total) for r in outs["totals"].collect()} == {
+        (1, 9),
+        (2, 2),
+        (3, 7),
+    }
+
+
+def test_vectorized_reducer_dict_without_named_outputs_fails(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2.0)], "g INT, v DOUBLE")
+
+    def bad(keys, offsets, rows):
+        return {"": pd.DataFrame({"g": keys["g"], "n": [1] * len(keys)})}
+
+    jb = (
+        JobBuilder(spark, "vec_bad")
+        .add_input(df, "g:int,v:double")
+        .set_group_by("g")
+        .set_reducer(bad, "g:int,n:long", vectorized=True)
+    )
+    with pytest.raises(Exception, match="no.*named outputs|PythonException"):
+        jb.to_dataframe().collect()
+
+
+def test_vectorized_reducer_undeclared_output_fails(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, 2.0)], "g INT, v DOUBLE")
+
+    def bad(keys, offsets, rows):
+        return {"typo": pd.DataFrame({"g": keys["g"], "n": [1] * len(keys)})}
+
+    jb = (
+        JobBuilder(spark, "vec_typo")
+        .add_input(df, "g:int,v:double")
+        .set_group_by("g")
+        .set_reducer(bad, "g:int,n:long", vectorized=True)
+        .add_named_output("totals", "g:int,n:long")
+    )
+    outs = jb.to_dataframes()
+    with pytest.raises(Exception, match="undeclared named output"):
+        outs["totals"].collect()
