@@ -168,10 +168,18 @@ def ngram_jaccard_pairs(
         sh = prune_hot_shingles(sh, max_df).cache()
         sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # Join on a 64-bit hash of the shingle, not the string: the self-join
+    # shuffles every (id, key) row twice, and shingle strings are ~20-40
+    # bytes vs 8 for the hash — at 100 TB that is the difference between
+    # shuffling the corpus text and shuffling fixed-width keys. A 64-bit
+    # collision would merge two distinct shingles into one intersection
+    # count; at 10^9 distinct shingles the chance of even ONE collision is
+    # ~3% and its effect is one off-by-one n_common for one pair —
+    # accepted and documented (the string path never shuffles at all).
+    a = sh.select(F.col(id_col).alias("id_a"), F.xxhash64("shingle").alias("__sh__"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.xxhash64("shingle").alias("__sh__"))
     common = (
-        a.join(b, "shingle")
+        a.join(b, "__sh__")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

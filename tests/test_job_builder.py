@@ -301,7 +301,10 @@ def test_vectorized_reducer_contract(spark):
     assert got == exp
 
 
-def test_vectorized_reducer_rejects_named_outputs(spark):
+def test_vectorized_reducer_supports_named_outputs(spark):
+    # the v2 contract drives named outputs by returning {name: frame};
+    # full behavior is pinned in test_named_outputs.py — here just check
+    # the compile path no longer rejects the combination
     import pandas as pd
 
     df = spark.createDataFrame([(1, 2)], "k INT, v INT")
@@ -309,11 +312,17 @@ def test_vectorized_reducer_rejects_named_outputs(spark):
         JobBuilder(spark)
         .add_input(df, "k:int,v:int")
         .set_group_by("k")
-        .set_reducer(lambda k, o, r: pd.DataFrame(), "k:int", vectorized=True)
+        .set_reducer(
+            lambda k, o, r: {"": pd.DataFrame({"k": k["k"]}), "side": None},
+            "k:int",
+            vectorized=True,
+        )
         .add_named_output("side", "k:int")
     )
-    with pytest.raises(PlanError, match="vectorized"):
-        jb.to_dataframes()
+    outs = jb.to_dataframes()
+    assert set(outs) == {"", "side"}
+    assert [r.k for r in outs[""].collect()] == [1]
+    assert outs["side"].count() == 0
 
 
 def test_vectorized_reducer_null_group_keys(spark):
