@@ -117,6 +117,91 @@ def language_id(
     )
 
 
+# PII patterns kept to syntax with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB/Go): character classes, bounded repetition, \b —
+# no backreferences, no lookaround, so oracle parity is a dialect-safe
+# claim, not luck.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "card": r"\b\d{16}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact common PII (emails, IPv4 addresses, 16-digit card numbers,
+    international phone numbers) and count what was removed.
+
+    Training-data-pipeline staple: a chain of ``regexp_replace`` calls —
+    pure JVM-side column expressions, ZERO shuffles, so the operator is
+    a map-only projection that scales to any corpus size. Redaction
+    tokens (``<EMAIL>`` etc.) keep token positions stable for downstream
+    tokenizers. Counts come from ``regexp_count`` on the ORIGINAL text so
+    they are exact even when patterns overlap the redacted output.
+
+    Output: (id, redacted, n_email, n_ipv4, n_card, n_phone).
+    """
+    text = F.col(text_col)
+    redacted = text
+    # order matters: emails before phones so the digits in a local part
+    # can't be re-matched; each replacement target is a literal token
+    for kind in ("email", "ipv4", "card", "phone"):
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    cols = [
+        F.col(id_col),
+        redacted.alias("redacted"),
+    ]
+    for kind in ("email", "ipv4", "card", "phone"):
+        cols.append(
+            F.regexp_count(text, F.lit(PII_PATTERNS[kind])).alias(f"n_{kind}")
+        )
+    return df.select(*cols)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): the
+    fraction of duplicate tokens and duplicate word-bigrams per document.
+    Heavily repetitive documents (boilerplate, keyword stuffing, generated
+    spam) score high and get filtered before training.
+
+    Pure array expressions — tokens and bigrams never explode into rows,
+    so like ``quality_score`` this is a ZERO-shuffle projection: the
+    100 TB cost is one scan.
+
+    Output: (id, n_tokens, dup_token_ratio, dup_bigram_ratio) with ratios
+    0.0 for documents too short to have duplicates.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    staged = df.select(F.col(id_col), toks.alias("__toks__"))
+    n = F.size(F.col("__toks__"))
+    # guard: sequence(0, n-2) runs DESCENDING when n < 2 — gate on n >= 2
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(0, size(__toks__) - 2), "
+            "i -> concat(__toks__[i], ' ', __toks__[i + 1]))"
+        ),
+    ).otherwise(F.expr("array()"))
+    n_bi = F.size(bigrams)
+    dup_tok = F.when(
+        n > 1, (n - F.size(F.array_distinct(F.col("__toks__")))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    dup_bi = F.when(
+        n_bi > 1, (n_bi - F.size(F.array_distinct(bigrams))).cast("double") / n_bi
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        dup_tok.alias("dup_token_ratio"),
+        dup_bi.alias("dup_bigram_ratio"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out_col: str = "fingerprint"
 ) -> DataFrame:

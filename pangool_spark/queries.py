@@ -2106,6 +2106,91 @@ def _quality_oracle() -> str:
 
 ORACLES["quality_scores_docs"] = _quality_oracle()
 
+# PII injected deterministically from doc_id (the synthetic corpus has
+# none), built IDENTICALLY on both sides so the redaction itself — regex
+# dialect and all — is what the value hash verifies.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "' card 4111111111111111 tel +14155550123'"
+)
+
+
+@query(
+    "pii_redact_docs",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g'),
+             '\\b\\d{{16}}\\b', '<CARD>', 'g'),
+             '\\+\\d{{7,15}}\\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '\\b\\d{{16}}\\b')) AS INT) AS n_card,
+           CAST(len(regexp_extract_all(text, '\\+\\d{{7,15}}\\b')) AS INT) AS n_phone
+    FROM aug
+    """,
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus — emails, IPv4s, card numbers, phone
+    numbers replaced with typed tokens, plus per-kind counts. ZERO-shuffle
+    projection (``operators/text.py:pii_redact``); the patterns are
+    restricted to syntax with identical Java-regex/RE2 semantics so the
+    DuckDB oracle verifies the actual redaction output."""
+    from pangool_spark.operators.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" card 4111111111111111 tel +14155550123"),
+        ).alias("text"),
+    )
+    return pii_redact(aug)
+
+
+@query(
+    "repetition_stats_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CASE WHEN n > 1
+                THEN CAST(n - len(list_distinct(toks)) AS DOUBLE) / n
+                ELSE 0.0 END AS dup_token_ratio,
+           CASE WHEN len(bigrams) > 1
+                THEN CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                ELSE 0.0 END AS dup_bigram_ratio
+    FROM b
+    """,
+)
+def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rules family): duplicate
+    token and duplicate bigram fractions per document, as pure array
+    expressions — zero shuffles (``operators/text.py:repetition_stats``)."""
+    from pangool_spark.operators.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
 
 # ---------------------------------------------------------------------------
 # multimodal plumbing (extension layer)
@@ -2422,8 +2507,14 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   lead_lag_events          → moving_avg_events + null_order_ranking
 #   multimodal_video_frames  → video_frames_real_decode (same timestamp
 #                              grid PLUS a real y4m decode behind it)
+#   dedup_exact_docs         → curation_pipeline (runs exact_dedup as its
+#                              third stage, value-oracled end-to-end)
+#   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
+#                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
     "multimodal_video_frames",
+    "dedup_exact_docs",
+    "salted_agg_events",
     "q4_order_priority",
     "q6_forecast_revenue",
     "q13_customer_distribution",

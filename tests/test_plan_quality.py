@@ -149,3 +149,14 @@ def test_q19_disjunction_stays_equi_join(spark, sf):
     plan = _plan(QUERIES["q19_discounted_revenue"](spark, sf))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pii_and_repetition_are_zero_shuffle(spark, sf):
+    # both text-quality operators must stay map-only projections: any
+    # Exchange here would mean shuffling the corpus for a per-row score
+    from pangool_spark.operators.text import pii_redact, repetition_stats
+
+    docs = load_table(spark, sf, "documents")
+    for op in (pii_redact, repetition_stats):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan, plan

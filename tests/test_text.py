@@ -109,3 +109,49 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert out[(1, 1)].chunk_text == "w3 w4 w5 w6"  # 1-token overlap
     assert out[(1, 3)].chunk_text == "w9" and out[(1, 3)].n_chunk_tokens == 1
     assert out[(2, 0)].chunk_text == "solo"
+
+
+def test_pii_redact_patterns_and_counts(spark):
+    from pangool_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@site.org and 192.168.0.1 card 4111111111111111 tel +4915112345678"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.co and bad ip 999.1.1.1"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 1 and out[1].n_card == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].redacted and "<IPV4>" in out[1].redacted
+    assert "<CARD>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].redacted == "no pii here at all"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_card == out[2].n_phone == 0
+    # 999.1.1.1 still matches the \d{1,3} quad pattern (syntactic redaction,
+    # not semantic validation) — count reflects that
+    assert out[3].n_email == 2 and out[3].n_ipv4 == 1
+
+
+def test_repetition_stats_ratios(spark):
+    from pangool_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all dup tokens + bigrams
+            (2, "all words here are unique"),    # no dups
+            (3, "one"),                          # too short: ratios 0
+            (4, ""),                             # empty
+            (5, "a b a b a b"),                  # alternating: dup bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].dup_token_ratio == 0.75
+    assert out[1].dup_bigram_ratio == 2 / 3
+    assert out[2].dup_token_ratio == 0.0 and out[2].dup_bigram_ratio == 0.0
+    assert out[3].n_tokens == 1 and out[3].dup_token_ratio == 0.0
+    assert out[4].n_tokens == 0 and out[4].dup_bigram_ratio == 0.0
+    # "a b","b a","a b","b a","a b" -> 5 bigrams, 2 distinct -> 3/5
+    assert out[5].dup_bigram_ratio == 0.6
