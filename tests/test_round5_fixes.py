@@ -184,3 +184,75 @@ def test_sample_video_frames_y4m_end_to_end(spark):
     for _, r in out.iterrows():
         k = r["frame_ms"] // 200
         assert np.allclose(r["frame_feature"], 7 * r["media_id"] + k)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: batch-spanning groups through the real JobBuilder walks
+
+
+def test_reducers_with_groups_spanning_many_arrow_batches(spark):
+    """Force tiny Arrow batches so every group spans several of them; the
+    per-group, vectorized, and rollup walks must all stay correct (this is
+    the shape that was quadratic before round 5)."""
+    import pandas as pd
+
+    from pangool_spark.plans import JobBuilder
+    from pangool_spark.plans.job import RollupReducer
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(g, i) for g in ("a", "b", "c") for i in range(50)]
+        df = spark.createDataFrame(rows, "k STRING, v INT").coalesce(1)
+
+        # v1 per-group contract
+        def red(key, pdf, collector):
+            collector.write({"k": key[0], "total": int(pdf["v"].sum()), "n": len(pdf)})
+
+        jb = (
+            JobBuilder(spark, "span_v1")
+            .add_input(df, "k:string,v:int")
+            .set_group_by("k")
+            .set_reducer(red, "k:string,total:long,n:long")
+        )
+        got = {(r.k, r.total, r.n) for r in jb.to_dataframe().collect()}
+        want = {(g, sum(range(50)), 50) for g in ("a", "b", "c")}
+        assert got == want
+
+        # v2 vectorized contract
+        import numpy as np
+
+        def vred(keys, offsets, rows_):
+            sums = np.add.reduceat(rows_["v"].to_numpy(), offsets[:-1])
+            return pd.DataFrame(
+                {"k": keys["k"], "total": sums, "n": np.diff(offsets)}
+            )
+
+        jb2 = (
+            JobBuilder(spark, "span_v2")
+            .add_input(df, "k:string,v:int")
+            .set_group_by("k")
+            .set_reducer(vred, "k:string,total:long,n:long", vectorized=True)
+        )
+        assert {(r.k, r.total, r.n) for r in jb2.to_dataframe().collect()} == want
+
+        # rollup callback walk: per-group subtotals must see ALL rows of a
+        # spanning group exactly once
+        seen = []
+
+        class Rollup(RollupReducer):
+            def on_group_elements(self, group, rows_, collector):
+                collector.write(
+                    {"k": group["k"], "total": int(rows_["v"].sum()), "n": len(rows_)}
+                )
+
+        jb3 = (
+            JobBuilder(spark, "span_rollup")
+            .add_input(df, "k:string,v:int")
+            .set_group_by("k")
+            .set_rollup_from("k")
+            .set_rollup_reducer(Rollup(), "k:string,total:long,n:long")
+        )
+        assert {(r.k, r.total, r.n) for r in jb3.to_dataframe().collect()} == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
