@@ -64,6 +64,12 @@ EXTENDED = [
     "dedup_ngram_jaccard",
     "lang_id_docs",
     "quality_scores_docs",
+    "pii_redact_docs",
+    "repetition_stats_docs",
+    "video_frames_real_decode",
+    # md5-portable (headline) vs xxhash64 production hash family — the
+    # portability tax, measured round over round
+    "minhash_lsh_dedup_fast",
 ]
 
 RUNS_PER_QUERY = 3

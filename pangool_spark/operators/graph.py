@@ -30,8 +30,16 @@ def connected_components(
     components (rounds needed = graph diameter; 50 covers any realistic
     duplicate-cluster chain).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the symmetrized edge list ONCE: every round joins against
+    # it, and without the checkpoint each round re-executes the caller's
+    # full pair-generation lineage — twice, since the union reads `edges`
+    # two ways. (The pair pipelines feeding this are inverted-index joins;
+    # re-running one per round turned a 2-round propagation into the
+    # dominant cost of near_dedup_clusters.)
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("vertex"))
@@ -39,36 +47,41 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
-    changed = 0
+
+    # Labels are non-increasing (every update is a min), so the label SUM
+    # strictly decreases until the fixpoint: comparing one scalar per round
+    # replaces the old change-count join (2 joins + a count job per round
+    # → 1 join + 1 aggregate). Decimal sum: 10^9 vertices × 10^18 ids
+    # overflows int64, and a silent wrap would fake convergence.
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.vertex)
-            .groupBy(F.col("u").alias("vertex"))
-            .agg(F.min("component").alias("n_min"))
+        # each neighbor contributes its label to vertex u; the vertex's own
+        # label rides along via the union, so one min-aggregate computes
+        # least(self, min(neighbors)) without a second join
+        contributions = sym.join(labels, sym.v == labels.vertex).select(
+            F.col("u").alias("vertex"), "component"
         )
-        updated = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
-            )
+        labels = (
+            contributions.unionByName(labels.select("vertex", "component"))
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = new_sum
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds "
-            f"({changed} labels still changing); raise max_iterations"
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "raise max_iterations"
         )
     return labels
 

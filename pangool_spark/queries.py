@@ -1699,6 +1699,24 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("minhash_lsh_dedup_fast")  # rows-only: xxhash64 base hash has no
+# DuckDB replica; the portable md5 family above carries the value oracle,
+# and the two paths' planted-duplicate recall parity is pinned by pytest
+def minhash_lsh_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production hash family: identical MinHash+LSH plan with
+    xxhash64 as the base hash (one JVM codegen'd call vs md5 hex parse).
+    Registered so the bench records the md5-portability tax round over
+    round — the plan shape, shuffle count, and banding are byte-identical
+    to ``minhash_lsh_dedup``."""
+    from pangool_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.35,
+        shingles_df=_doc_shingles(spark, sf_dir), hash_family="fast",
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB replica of SimHash-64: per-token 64-bit hash from two md5 hex
     halves, ±1 per bit, fingerprint halves kept as 32-bit ints (BIGINT-safe),
@@ -2512,6 +2530,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "minhash_lsh_dedup_fast",  # rows-only by design: bench-comparison twin
     "multimodal_video_frames",
     "dedup_exact_docs",
     "salted_agg_events",
