@@ -52,11 +52,9 @@ def token_stats(
     )
 
 
-def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Heuristic document quality: length, mean word length, stopword ratio,
-    alpha ratio, uppercase ratio. All closed-form column expressions."""
+def quality_exprs(text_col: str = "text") -> "dict[str, Column]":
+    """The quality metrics as named COLUMN expressions (see
+    ``language_id_expr`` for why pipelines want expressions, not joins)."""
     text = F.col(text_col)
     tokens = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     n_tokens = F.size(tokens)
@@ -67,15 +65,50 @@ def quality_score(
     n_chars = F.length(text)
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "space_ratio": (
+            (n_chars - F.length(F.regexp_replace(text, r"\s", ""))).cast("double")
+            / safe_chars
+        ),
+        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+        "alpha_ratio": n_alpha.cast("double") / safe_chars,
+        "upper_ratio": n_upper.cast("double") / safe_chars,
+    }
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic document quality: length, mean word length, stopword ratio,
+    alpha ratio, uppercase ratio. All closed-form column expressions."""
+    exprs = quality_exprs(text_col)
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        ((n_chars - F.length(F.regexp_replace(text, r"\s", ""))).cast("double") / safe_chars).alias("space_ratio"),
-        (n_stop.cast("double") / safe_tokens).alias("stopword_ratio"),
-        (n_alpha.cast("double") / safe_chars).alias("alpha_ratio"),
-        (n_upper.cast("double") / safe_chars).alias("upper_ratio"),
+        F.col(id_col), *[c.alias(name) for name, c in exprs.items()]
     )
+
+
+def language_id_expr(text_col: str = "text") -> Column:
+    """The language-ID prediction as a single COLUMN expression, so
+    pipelines can compose it into an existing projection instead of
+    joining ``language_id``'s output back to the source (a self-join on
+    doc_id that shuffles the corpus twice for a per-row value)."""
+    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+    def hits(markers: Column) -> Column:
+        return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+    scored = []
+    for lang, ws in sorted(_LANG_MARKERS.items()):
+        scored.append(
+            F.struct(
+                hits(F.array(*[F.lit(w) for w in ws])).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scored))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def language_id(
@@ -97,24 +130,7 @@ def language_id(
     marker lists are constant-size array literals (~40 words total), so the
     per-token work is bounded and the whole operator is one projection.
     """
-    tokens = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-
-    def hits(markers: Column) -> Column:
-        return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
-
-    scored = []
-    for lang, ws in sorted(_LANG_MARKERS.items()):
-        scored.append(
-            F.struct(
-                hits(F.array(*[F.lit(w) for w in ws])).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    best = F.array_max(F.array(*scored))
-    return df.select(
-        F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(out_col),
-    )
+    return df.select(F.col(id_col), language_id_expr(text_col).alias(out_col))
 
 
 # PII patterns kept to syntax with IDENTICAL semantics in Java regex

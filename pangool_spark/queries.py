@@ -2460,14 +2460,20 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Documents shuffle only in the final anti-join semi-steps."""
     from pangool_spark.operators import anti_join
     from pangool_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
-    from pangool_spark.operators.text import language_id, quality_score
+    from pangool_spark.operators.text import language_id_expr, quality_exprs
 
     docs = load_table(spark, sf_dir, "documents")
-    langs = language_id(docs)
-    quality = quality_score(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    # language-ID + quality as COLUMN EXPRESSIONS on the one scan — the
+    # earlier form joined the two per-row projections back to docs on
+    # doc_id, shuffling the corpus twice for values computable in place
+    q = quality_exprs("text")
     filtered = (
-        docs.join(langs, "doc_id")
-        .join(quality, "doc_id")
+        docs.select(
+            "*",
+            language_id_expr("text").alias("lang_pred"),
+            q["n_tokens"].alias("n_tokens"),
+            q["alpha_ratio"].alias("alpha_ratio"),
+        )
         .filter(
             (F.col("lang_pred") == "en")
             & (F.col("alpha_ratio") >= 0.5)
