@@ -1717,6 +1717,164 @@ def minhash_lsh_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): a five-way join where the same
+    dimension (nation) enters TWICE under different roles — the alias
+    discipline the reference's co-group aliases existed for. All four
+    dimensions broadcast; lineitem shuffles once for the aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH volumes AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): six-way join + a ratio of conditional
+    to total sums per year — one aggregation pass, decimal-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey"))
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    volume = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    nat = F.when(
+        F.col("supp_nation") == "NATION_3", volume
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("c_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        # both sums are EXACT decimals; the division happens in double on
+        # both engines (a decimal division would round at engine-specific
+        # scales and break the value hash)
+        .agg(
+            (F.sum(nat).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(0.1 AS DECIMAL(3,1))
+                      * CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%a%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: supply cost modeled as
+    10% of retail price since the synthetic schema has no partsupp): filter
+    pushed into the part dimension, four broadcasts, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    # narrow widths on the cost factors keep the triple product inside
+    # decimal(38,_) on BOTH engines (18,2 × 18,2 × 18,2 would overflow
+    # DuckDB's width cap and silently lose exactness)
+    profit = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount")) - (
+        F.lit("0.1").cast("decimal(3,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB replica of SimHash-64: per-token 64-bit hash from two md5 hex
     halves, ±1 per bit, fingerprint halves kept as 32-bit ints (BIGINT-safe),
@@ -2536,6 +2694,9 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "q7_nation_volume",  # multi-join family: q5 (in-window) covers the
+    "q8_market_share",   # broadcast-join-agg operator; these add the
+    "q9_product_profit", # double-role-dimension + share-ratio SHAPES
     "minhash_lsh_dedup_fast",  # rows-only by design: bench-comparison twin
     "multimodal_video_frames",
     "dedup_exact_docs",

@@ -160,3 +160,14 @@ def test_pii_and_repetition_are_zero_shuffle(spark, sf):
     for op in (pii_redact, repetition_stats):
         plan = _plan(op(docs))
         assert "Exchange" not in plan, plan
+
+
+def test_q7_q9_broadcast_all_dimensions(spark, sf):
+    # multi-join TPC-H shapes: every dimension hop must broadcast; the
+    # fact table shuffles once (for the aggregation), never for a join
+    from pangool_spark.queries import QUERIES
+
+    for name in ("q7_nation_volume", "q8_market_share", "q9_product_profit"):
+        plan = _plan(QUERIES[name](spark, sf))
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert plan.count("BroadcastHashJoin") >= 4, (name, plan)
