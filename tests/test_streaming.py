@@ -96,3 +96,48 @@ def test_stream_dedup_real_stream(spark, stream_source):
     got = spark.table("dedup_stream")
     assert got.count() == 4
     assert {r.event_id for r in got.collect()} == {1, 2, 3, 4}
+
+
+def test_text_quality_ops_compose_with_streams(spark, tmp_path_factory):
+    """pii_redact / repetition_stats / language_id_expr are stateless
+    projections, so they must run unchanged on a streaming DataFrame —
+    the curation filter stage works as a streaming pre-filter."""
+    from pangool_spark.operators.text import (
+        language_id_expr,
+        pii_redact,
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog mail me x@y.io"),
+        (2, "spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    df.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+
+    def run_append(sdf_, name):
+        q = (
+            sdf_.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # projections have no aggregation state
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return spark.table(name)
+
+    redacted = pii_redact(sdf)
+    reps = repetition_stats(sdf)
+    langs = sdf.select("doc_id", language_id_expr("text").alias("lang"))
+    out1 = run_append(redacted, "pii_stream")
+    out2 = run_append(reps, "rep_stream")
+    out3 = run_append(langs, "lang_stream")
+
+    r = {row.doc_id: row for row in out1.collect()}
+    assert r[1].n_email == 1 and "<EMAIL>" in r[1].redacted
+    assert r[2].n_email == 0
+    s = {row.doc_id: row for row in out2.collect()}
+    assert s[2].dup_token_ratio == 0.8
+    assert {row.doc_id: row.lang for row in out3.collect()}[1] == "en"
