@@ -1875,6 +1875,95 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a derived revenue view consumed twice (per-supplier
+    totals AND their global max) — cached once so the aggregation runs a
+    single time; the scalar max broadcasts into the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias(
+                "rev_dec"
+            )
+        )
+        .cache()
+    )
+    top = revenue.agg(F.max("rev_dec").alias("rev_dec"))
+    return (
+        revenue.join(F.broadcast(top), "rev_dec")
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    SELECT SUBSTR(c.c_name, LENGTH(c.c_name), 1) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: country code modeled as a name character
+    since the synthetic customer has no phone column, and the NOT EXISTS
+    scoped to URGENT orders so the predicate selects real rows — every
+    synthetic customer has at least one order): scalar-subquery threshold
+    (avg positive balance) + anti-join + grouped counts. The scalar
+    collapses to one row and broadcasts; customers anti-join orders on the
+    bare key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("threshold"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(
+            F.expr("substr(c_name, length(c_name), 1)").alias("cntrycode")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB replica of SimHash-64: per-token 64-bit hash from two md5 hex
     halves, ±1 per bit, fingerprint halves kept as 32-bit ints (BIGINT-safe),
@@ -2694,6 +2783,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "q15_top_supplier",   # derived-view reuse + scalar max
+    "q22_global_sales_opportunity",  # scalar subquery + anti-join
     "q7_nation_volume",  # multi-join family: q5 (in-window) covers the
     "q8_market_share",   # broadcast-join-agg operator; these add the
     "q9_product_profit", # double-role-dimension + share-ratio SHAPES
