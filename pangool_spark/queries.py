@@ -1964,6 +1964,109 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q20_promo_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 2480
+    )
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped-quantity threshold stands in for
+    partsupp availability): an aggregated subquery feeding an IN — compiled
+    to a broadcast left-semi join against the post-HAVING aggregate, so the
+    supplier table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    heavy = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 2480)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(F.broadcast(heavy), "s_suppkey", "left_semi")
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CAST(MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                           THEN 1 ELSE 0 END) AS INT) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT a.l_suppkey AS s_suppkey, COUNT(*) AS numwait
+    FROM late a
+    WHERE a.is_late = 1
+      AND EXISTS (SELECT 1 FROM late b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late c
+                      WHERE c.l_orderkey = a.l_orderkey
+                        AND c.l_suppkey <> a.l_suppkey
+                        AND c.is_late = 1)
+    GROUP BY 1
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped > 30 days after the order
+    date, since the synthetic lineitem has no commit/receipt dates): per
+    (order, supplier) lateness flags, then the EXISTS / NOT EXISTS pair —
+    another supplier participated, no OTHER supplier was late — compiled to
+    a semi + anti join against the same flags relation. The flags relation
+    is cached: it feeds three plan branches (probe, exists, not-exists)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("int")
+            .alias("is_late")
+        )
+        .cache()
+    )
+    a = late.filter(F.col("is_late") == 1)
+    b = late.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    c = late.filter(F.col("is_late") == 1).select(
+        F.col("l_orderkey").alias("c_orderkey"), F.col("l_suppkey").alias("c_suppkey")
+    )
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.b_orderkey) & (a.l_suppkey != b.b_suppkey),
+            "left_semi",
+        )
+        .join(
+            c,
+            (a.l_orderkey == c.c_orderkey) & (a.l_suppkey != c.c_suppkey),
+            "left_anti",
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def _simhash_oracle(max_hamming: int = 3) -> str:
     """DuckDB replica of SimHash-64: per-token 64-bit hash from two md5 hex
     halves, ±1 per bit, fingerprint halves kept as 32-bit ints (BIGINT-safe),
@@ -2783,6 +2886,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "q20_promo_suppliers",  # IN-aggregate semi join
+    "q21_waiting_suppliers",  # EXISTS/NOT-EXISTS pair
     "q15_top_supplier",   # derived-view reuse + scalar max
     "q22_global_sales_opportunity",  # scalar subquery + anti-join
     "q7_nation_volume",  # multi-join family: q5 (in-window) covers the
