@@ -171,3 +171,35 @@ def test_q7_q9_broadcast_all_dimensions(spark, sf):
         plan = _plan(QUERIES[name](spark, sf))
         assert "SortMergeJoin" not in plan, (name, plan)
         assert plan.count("BroadcastHashJoin") >= 4, (name, plan)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
+    # 100 TB discipline: a fact table written partitionBy(key) must be
+    # pruned at runtime when joined against a filtered dimension — the
+    # scan's PartitionFilters carry a dynamicpruning subquery, so only the
+    # matching partition directories are read. Values self-verified
+    # against the unpartitioned computation.
+    o = load_table(spark, sf, "orders").withColumn("o_year", F.year("o_orderdate"))
+    path = str(tmp_path / "orders_by_year")
+    o.write.partitionBy("o_year").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    li = load_table(spark, sf, "lineitem")
+    dim = (
+        li.select(F.year("l_shipdate").alias("o_year"))
+        .distinct()
+        .filter(F.col("o_year").isin(1995, 1996))
+    )
+    joined = fact.join(dim, "o_year").groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+
+    expected = {
+        (r.o_year, r.n)
+        for r in o.join(dim, "o_year")
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r.o_year, r.n) for r in joined.collect()} == expected
