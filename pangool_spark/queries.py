@@ -1876,6 +1876,45 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value_dec
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE value_dec > (SELECT SUM(value_dec) * 0.00055 FROM pv)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem revenue stands in for partsupp
+    stock value): per-part totals filtered against a scaled GLOBAL total —
+    the aggregate feeds both sides, cached once; the scalar broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec2 = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))).alias(
+                "value_dec"
+            )
+        )
+        .cache()
+    )
+    threshold = pv.agg(
+        (F.sum("value_dec") * F.lit("0.00055").cast("decimal(7,5)")).alias("threshold")
+    )
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@query(
     "q15_top_supplier",
     """
     WITH revenue AS (
@@ -2886,6 +2925,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "q11_important_parts",  # group agg vs scaled global scalar
     "q20_promo_suppliers",  # IN-aggregate semi join
     "q21_waiting_suppliers",  # EXISTS/NOT-EXISTS pair
     "q15_top_supplier",   # derived-view reuse + scalar max
