@@ -1,0 +1,82 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+RNG-based sampling (``df.sample``/``sampleBy``) is seed-stable within one
+engine but not reproducible across engines, reruns with different
+partitioning, or documentation ("row X is in the sample because ...").
+Hash-based sampling is the reproducible alternative the large-pipeline
+world standardized on: a row's fate depends only on its KEY, so samples
+are stable under repartitioning, joinable across tables sharing the key,
+and auditable. All operators here are ZERO-shuffle projections/filters.
+
+The hash is the engine-portable 31-bit md5 prefix (``dedup.base_hash_31``)
+so every derived sample is value-oracle-checkable in DuckDB:
+``('0x' || substr(md5(key), 1, 8))::BIGINT & 2147483647``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pangool_spark.operators.dedup import base_hash_31
+
+#: hash buckets per key — fractions resolve to thresholds out of this
+_BUCKETS = 1_000_000
+
+
+def _bucket(key_col: str | Column) -> Column:
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return base_hash_31(c.cast("string")) % _BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash: deterministic,
+    partition-independent, and consistent across tables that share the
+    key (sampling customers here and orders by o_custkey with the same
+    fraction yields JOINABLE samples — RNG sampling cannot do that)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(key_col) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    labels: Sequence[str] = ("train", "val", "test"),
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a split (train/val/test by default) by key hash.
+
+    Deterministic and leakage-safe: every row with the same key lands in
+    the same split forever, across reruns and engines — the property that
+    matters when documents are re-crawled or pipelines re-run. Weights
+    are normalized; boundaries are integer bucket thresholds so the
+    assignment is exact and oracle-checkable."""
+    if len(weights) != len(labels):
+        raise ValueError("need one label per weight")
+    if any(w < 0 for w in weights) or sum(weights) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    total = float(sum(weights))
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    b = _bucket(key_col)
+    expr = F.lit(labels[-1])
+    for bound, label in zip(reversed(bounds), reversed(labels[:-1])):
+        expr = F.when(b < bound, F.lit(label)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_bounds_sql(weights: Sequence[float]) -> list[int]:
+    """The integer bucket thresholds ``hash_split`` uses, exposed so SQL
+    oracles replicate the exact boundaries."""
+    total = float(sum(weights))
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    return bounds

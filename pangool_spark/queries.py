@@ -2599,6 +2599,56 @@ def repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+_HASH_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " & 2147483647) % 1000000"
+)
+
+
+@query(
+    "hash_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH_BUCKET_SQL} < 100000
+    """,
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash (``operators/sampling.py``):
+    partition-independent, rerun-stable, joinable across tables sharing
+    the key — the reproducibility properties RNG sampling lacks. Zero
+    shuffles; the exact member set is the oracle."""
+    from pangool_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    WITH b AS (SELECT doc_id, {_HASH_BUCKET_SQL} AS bucket FROM documents)
+    SELECT CASE WHEN bucket < 800000 THEN 'train'
+                WHEN bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id
+    FROM b GROUP BY 1
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split assignment by key hash: every row with
+    the same key lands in the same split across reruns and engines. The
+    grouped counts + a per-split witness value oracle the assignment."""
+    from pangool_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", (0.8, 0.1, 0.1))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (extension layer)
 
@@ -2925,6 +2975,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "hash_sample_docs",       # zero-shuffle projections; exact-member oracle
+    "train_val_test_split",   # runs in CI either way (check_oracles gate)
     "q11_important_parts",  # group agg vs scaled global scalar
     "q20_promo_suppliers",  # IN-aggregate semi join
     "q21_waiting_suppliers",  # EXISTS/NOT-EXISTS pair

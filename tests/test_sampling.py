@@ -1,0 +1,52 @@
+"""Deterministic hash sampling / split assignment."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.data import load_table
+from pangool_spark.operators.sampling import hash_sample, hash_split
+
+
+def test_hash_sample_joinable_across_tables(spark, sf_dir):
+    # the defining property vs RNG sampling: sampling customers and
+    # sampling orders BY THE CUSTOMER KEY yields consistent membership —
+    # an order is in the sample iff its customer is
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c_keys = {r.c_custkey for r in hash_sample(c, "c_custkey", 0.2).collect()}
+    o_keys = {r.o_custkey for r in hash_sample(o, "o_custkey", 0.2)
+              .select("o_custkey").distinct().collect()}
+    all_o_keys = {r.o_custkey for r in o.select("o_custkey").distinct().collect()}
+    assert o_keys == c_keys & all_o_keys
+    # roughly the requested fraction
+    assert 0.1 < len(c_keys) / c.count() < 0.3
+
+
+def test_hash_split_stable_and_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = hash_split(docs.repartition(1), "doc_id", (0.8, 0.1, 0.1))
+    b = hash_split(docs.repartition(7), "doc_id", (0.8, 0.1, 0.1))
+    ma = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    mb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ma == mb  # partitioning-independent
+    assert set(ma.values()) == {"train", "val", "test"}
+    n = len(ma)
+    n_train = sum(1 for v in ma.values() if v == "train")
+    assert 0.7 < n_train / n < 0.9
+
+
+def test_sampling_validation_errors(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError, match="label per weight"):
+        hash_split(docs, "doc_id", (0.5, 0.5), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(docs, "doc_id", (-1.0, 2.0), labels=("a", "b"))
+
+
+def test_sampling_is_zero_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (hash_sample(docs, "doc_id", 0.5), hash_split(docs, "doc_id", (0.9, 0.1), labels=("a", "b"))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
