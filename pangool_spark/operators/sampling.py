@@ -71,6 +71,51 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign documents to fixed
+    token-budget bins (the training-prep step that turns documents into
+    context-length rows). Documents are sharded by key hash, ordered by
+    key within the shard, and bin k covers the contiguous run whose
+    cumulative pre-sum falls in [k*budget, (k+1)*budget) — the standard
+    greedy compromise (a bin may overrun by at most one document).
+
+    Scale shape: the running sum is a window per SHARD, so no global
+    single-task ordering exists; shards pack independently and in
+    parallel (``n_shards`` ≥ cluster parallelism). Assignment is
+    deterministic in the key alone — rerun- and engine-stable, like the
+    other hash-based operators here.
+
+    Output: (id, token count, shard, pack_id) — one row per document.
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+    from pyspark.sql import Window
+
+    shard = _bucket(id_col) % n_shards
+    w = (
+        Window.partitionBy("__shard__")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col), F.col(token_col), shard.alias("__shard__")
+    ).withColumn("__cum__", F.sum(token_col).over(w))
+    return staged.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.col("__shard__").alias("shard"),
+        F.floor((F.col("__cum__") - F.col(token_col)) / budget)
+        .cast("int")
+        .alias("pack_id"),
+    )
+
+
 def split_bounds_sql(weights: Sequence[float]) -> list[int]:
     """The integer bucket thresholds ``hash_split`` uses, exposed so SQL
     oracles replicate the exact boundaries."""

@@ -2649,6 +2649,41 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS INT) AS n_tokens,
+             CAST({_HASH_BUCKET_SQL} % 16 AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       - n_tokens) / 256.0) AS INT) AS pack_id
+    FROM toks
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training prep: documents → fixed token-budget
+    bins (budget 256, 16 shards at this scale), via a per-shard running
+    sum — no global ordering task exists, shards pack in parallel
+    (``operators/sampling.py:pack_sequences``). Per-document assignment is
+    deterministic in the key alone, so the full mapping is the oracle."""
+    from pangool_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    return pack_sequences(toks, budget=256, n_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (extension layer)
 
@@ -2975,6 +3010,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle
     "train_val_test_split",   # runs in CI either way (check_oracles gate)
     "q11_important_parts",  # group agg vs scaled global scalar

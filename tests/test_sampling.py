@@ -50,3 +50,33 @@ def test_sampling_is_zero_shuffle(spark, sf_dir):
     for df in (hash_sample(docs, "doc_id", 0.5), hash_split(docs, "doc_id", (0.9, 0.1), labels=("a", "b"))):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_bins_respect_budget_modulo_overrun(spark, sf_dir):
+    from pangool_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")).alias("n_tokens"),
+    )
+    out = pack_sequences(toks, budget=256, n_shards=8).toPandas()
+    assert len(out) == docs.count()  # one assignment per document
+    max_doc = out["n_tokens"].max()
+    for (_, _), grp in out.groupby(["shard", "pack_id"]):
+        total = grp["n_tokens"].sum()
+        # greedy contiguous packing: a bin holds < budget before its last
+        # doc, so it can overrun by at most that one document
+        assert total < 256 + max_doc
+    # consecutive pack ids within each shard (no gaps)
+    for _, grp in out.groupby("shard"):
+        ids = sorted(grp["pack_id"].unique())
+        assert ids == list(range(len(ids)))
+    # determinism under repartitioning
+    out2 = pack_sequences(toks.repartition(13), budget=256, n_shards=8).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pack_id"] == b["pack_id"]).all() and (a["shard"] == b["shard"]).all()
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(toks, budget=0)
