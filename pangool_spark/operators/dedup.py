@@ -17,14 +17,24 @@ from pyspark.sql import functions as F
 
 
 def shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Normalization: lowercase, collapse whitespace. Documents with fewer than
     ``n`` words yield their whole token string as one shingle so they still
     participate.
-    """
+
+    ``hashed=True`` replaces the shingle STRING with its xxhash64 before
+    the distinct, so the dedup pipeline's first shuffle moves (id, 8-byte
+    long) instead of (id, 20-40-byte string) — corpus text never shuffles
+    at all. Right for Jaccard-style consumers (joins/counts only need
+    equality); keep strings when downstream needs the text itself, e.g.
+    the md5-portable MinHash signatures. Collision effect mirrors the
+    pair join's: two distinct shingles merging is an off-by-one in one
+    intersection/size count, ~3% chance of ONE collision at 10^9 distinct
+    shingles."""
     from pyspark.ml.feature import NGram
 
     tokens = F.filter(
@@ -43,18 +53,19 @@ def shingles(
     # megamethod with erratic interpret-vs-JIT behavior; NGram is a plain
     # Scala UDF that JITs predictably (measured 0.8s vs 2-50s at sf0.1).
     grams = NGram(n=n, inputCol="__tokens__", outputCol="__grams__").transform(toks)
-    return (
-        grams.select(
-            F.col(id_col),
-            F.explode(
-                F.when(F.size("__grams__") > 0, F.col("__grams__")).otherwise(
-                    F.array(F.concat_ws(" ", "__tokens__"))
-                )
-            ).alias("shingle"),
+    exploded = grams.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size("__grams__") > 0, F.col("__grams__")).otherwise(
+                F.array(F.concat_ws(" ", "__tokens__"))
+            )
+        ).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    if hashed:
+        exploded = exploded.select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
         )
-        .filter(F.col("shingle") != "")
-        .distinct()
-    )
+    return exploded.distinct()
 
 
 def exact_dedup(
@@ -156,11 +167,13 @@ def ngram_jaccard_pairs(
     """
     # The shingle relation feeds three plan branches (two join sides +
     # sizes): cache + materialize it once, or each branch re-runs the
-    # explode/distinct pipeline.
+    # explode/distinct pipeline. Self-built relations are HASHED (see
+    # shingles(hashed=True)) — jaccard only needs key equality, so the
+    # string path would shuffle corpus text for nothing.
     if shingles_df is not None:
         sh = shingles_df
     else:
-        sh = shingles(df, id_col, text_col, n).cache()
+        sh = shingles(df, id_col, text_col, n, hashed=True).cache()
         sh.count()
     if max_df is not None:
         # cache the pruned relation too: it feeds three plan branches (two

@@ -1482,15 +1482,19 @@ def clear_shingle_cache(spark: SparkSession | None = None) -> int:
 
 
 def _doc_shingles(
-    spark: SparkSession, sf_dir: str, n: int = 3, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    max_df: int | None = None,
+    hashed: bool = False,
 ) -> DataFrame:
     from pangool_spark.operators.dedup import prune_hot_shingles, shingles
 
-    key = (spark.sparkContext.applicationId, sf_dir, n, max_df)
+    key = (spark.sparkContext.applicationId, sf_dir, n, max_df, hashed)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        base = shingles(docs, n=n)
+        base = shingles(docs, n=n, hashed=hashed)
         if max_df is not None:
             # Single-pass prune (window count over shingle): one read of the
             # UNcached base pipeline, so only the pruned relation needs a
@@ -1559,7 +1563,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, n=3, threshold=0.2,
-        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF, hashed=True),
     )
 
 
@@ -1594,7 +1598,7 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
         docs, n=3, threshold=0.5,
-        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF, hashed=True),
     )
     dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return anti_join(docs, dupes, "doc_id").select("doc_id", "lang", "source")
@@ -1639,7 +1643,7 @@ def near_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return near_dedup_clusters(
         docs, threshold=0.5,
-        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF),
+        shingles_df=_doc_shingles(spark, sf_dir, max_df=_SHINGLE_MAX_DF, hashed=True),
     ).select("doc_id", "lang")
 
 
