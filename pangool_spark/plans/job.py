@@ -658,54 +658,101 @@ class JobBuilder:
         dict ``{output_name: DataFrame}`` (``""`` = main output) instead of
         a single frame; each frame lands in its output's struct slot of the
         tagged row stream — same one-shuffle multiple-outputs shape as the
-        per-group collector contract."""
+        per-group collector contract, but built COLUMNAR via ``mapInArrow``
+        (``pa.StructArray`` per slot + typed null arrays), never dict-per-
+        row records."""
         import numpy as np
 
         out_columns = [f.name for f in out_struct.fields]
-        slot_names = out_columns[1:] if emit_tagged else []
 
-        def tagged_frame(result):
-            if isinstance(result, pd.DataFrame):
-                result = {"": result}
-            parts = []
-            for name, frame in result.items():
-                slot = "__main__" if name == "" else name
-                if slot not in slot_names:
-                    raise PlanError(f"undeclared named output {name!r}")
-                if frame is None or not len(frame):
-                    continue
-                records = frame.to_dict("records")
-                part = pd.DataFrame({"__output__": [name] * len(records)})
-                for s in slot_names:
-                    part[s] = [r if s == slot else None for r in records]
-                parts.append(part)
-            if not parts:
-                return None
-            return parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-
-        def run_partition(batches):
+        def chunks_of(batches):
+            """(keys, offsets, rows) per complete-group chunk."""
             for pdf in _complete_group_frames(batches, group_fields):
                 starts = _group_starts(pdf, group_fields)
                 offsets = np.append(starts, len(pdf)).astype(np.int64)
                 keys = pdf.iloc[offsets[:-1]][group_fields].reset_index(drop=True)
+                yield keys, offsets, pdf
+
+        if not emit_tagged:
+
+            def run_partition(batches):
+                for keys, offsets, pdf in chunks_of(batches):
+                    out = reducer(keys, offsets, pdf)
+                    if isinstance(out, dict):
+                        raise PlanError(
+                            "vectorized reducer returned a dict but the job has "
+                            "no named outputs; compile with to_dataframes() "
+                            "after add_named_output(...)"
+                        )
+                    if out is None or not len(out):
+                        continue
+                    yield out[out_columns]
+
+            return arranged.mapInPandas(run_partition, schema=out_struct)
+
+        # tagged path: one Arrow RecordBatch per (chunk, output) — the
+        # output's rows become a StructArray in its slot, every other slot
+        # is a typed null array, so multiple-outputs rows stay columnar
+        # end-to-end (the dict-per-row form paid a Python object per cell)
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        def nullable_struct(dt):
+            # pandas-built StructArrays always carry nullable children; a
+            # cast to the not-null variant refuses, and Spark's Arrow
+            # reader accepts the nullable form
+            import pyarrow as pa
+
+            at = to_arrow_type(dt)
+            return pa.struct([pa.field(f.name, f.type, nullable=True) for f in at])
+
+        slot_names = out_columns[1:]
+        slot_arrow = {
+            f.name: nullable_struct(f.dataType) for f in out_struct.fields[1:]
+        }
+        slot_fields = {
+            f.name: [sf.name for sf in f.dataType.fields]
+            for f in out_struct.fields[1:]
+        }
+
+        def run_partition_arrow(record_batches):
+            import pyarrow as pa
+
+            def pandas_batches():
+                for rb in record_batches:
+                    yield pa.Table.from_batches([rb]).to_pandas()
+
+            for keys, offsets, pdf in chunks_of(pandas_batches()):
                 result = reducer(keys, offsets, pdf)
                 if result is None:
                     continue
-                if emit_tagged:
-                    out = tagged_frame(result)
-                elif isinstance(result, dict):
-                    raise PlanError(
-                        "vectorized reducer returned a dict but the job has no "
-                        "named outputs; compile with to_dataframes() after "
-                        "add_named_output(...)"
-                    )
-                else:
-                    out = result
-                if out is None or not len(out):
-                    continue
-                yield out[out_columns]
+                if isinstance(result, pd.DataFrame):
+                    result = {"": result}
+                for name, frame in result.items():
+                    slot = "__main__" if name == "" else name
+                    if slot not in slot_arrow:
+                        raise PlanError(f"undeclared named output {name!r}")
+                    if frame is None or not len(frame):
+                        continue
+                    n = len(frame)
+                    arrays = [pa.array([name] * n, type=pa.string())]
+                    for s in slot_names:
+                        if s == slot:
+                            sub = pa.Table.from_pandas(
+                                frame[slot_fields[s]], preserve_index=False
+                            )
+                            arr = pa.StructArray.from_arrays(
+                                [
+                                    sub.column(i).combine_chunks()
+                                    for i in range(sub.num_columns)
+                                ],
+                                names=sub.column_names,
+                            ).cast(slot_arrow[s])
+                        else:
+                            arr = pa.nulls(n, type=slot_arrow[s])
+                        arrays.append(arr)
+                    yield pa.RecordBatch.from_arrays(arrays, names=out_columns)
 
-        return arranged.mapInPandas(run_partition, schema=out_struct)
+        return arranged.mapInArrow(run_partition_arrow, schema=out_struct)
 
     def _compile_rollup(self, union: DataFrame, out_struct: T.StructType) -> DataFrame:
         """Callback-form rollup: one shuffle on the base prefix, then a sorted

@@ -226,3 +226,40 @@ def test_vectorized_reducer_undeclared_output_fails(spark):
     outs = jb.to_dataframes()
     with pytest.raises(Exception, match="undeclared named output"):
         outs["totals"].collect()
+
+
+def test_vectorized_named_outputs_preserve_rich_types(spark):
+    # the Arrow-native tagged path must carry timestamps/binary/doubles
+    # with full fidelity, like the per-group collector path does
+    import datetime
+
+    import pandas as pd
+
+    ts = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+
+    def vred(keys, offsets, rows):
+        import numpy as np
+
+        return {
+            "": pd.DataFrame(
+                {"k": keys["g"].astype("int64"), "when": [ts] * len(keys), "blob": [b"\x00\xfe"] * len(keys)}
+            ),
+            "counts": pd.DataFrame(
+                {"k": keys["g"].astype("int64"), "n": np.diff(offsets)}
+            ),
+        }
+
+    jb = (
+        JobBuilder(spark, "vec_rich")
+        .add_input(
+            spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 9.0)], "g INT, v DOUBLE"),
+            "g:int,v:double",
+        )
+        .set_group_by("g")
+        .set_reducer(vred, "k:long,when:timestamp,blob:bytes", vectorized=True)
+        .add_named_output("counts", "k:long,n:long")
+    )
+    outs = jb.to_dataframes()
+    main = {r.k: r for r in outs[""].collect()}
+    assert main[1].when == ts and bytes(main[1].blob) == b"\x00\xfe"
+    assert {(r.k, r.n) for r in outs["counts"].collect()} == {(1, 2), (2, 1)}
