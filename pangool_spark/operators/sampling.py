@@ -71,6 +71,28 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    fraction of rows, chosen by key hash (e.g. language rebalancing —
+    downsample the dominant language, keep the rest whole). Strata absent
+    from ``fractions`` default to 0.0 (dropped), mirroring
+    ``DataFrame.sampleBy``; pass 1.0 to keep a stratum whole. Same
+    zero-shuffle, rerun-stable, cross-table-joinable properties as
+    ``hash_sample``."""
+    for stratum, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {stratum!r} must be in [0, 1]")
+    b = _bucket(key_col)
+    threshold = F.lit(0)
+    for stratum, f in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(f * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

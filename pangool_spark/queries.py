@@ -2654,6 +2654,30 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ({_HASH_BUCKET_SQL}) <
+          CASE lang WHEN 'en' THEN 200000
+                    WHEN 'de' THEN 500000
+                    WHEN 'fr' THEN 1000000
+                    ELSE 0 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing by per-stratum deterministic sampling: keep
+    20% of English, 50% of German, all French, drop the rest — the
+    corpus-mix lever of a training pipeline, as a zero-shuffle filter
+    with the exact member set as the oracle."""
+    from pangool_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5, "fr": 1.0}
+    ).select("doc_id", "lang")
+
+
+@query(
     "pack_sequences_docs",
     f"""
     WITH toks AS (
@@ -3014,6 +3038,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle
     "train_val_test_split",   # runs in CI either way (check_oracles gate)

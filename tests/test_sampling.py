@@ -80,3 +80,21 @@ def test_pack_sequences_bins_respect_budget_modulo_overrun(spark, sf_dir):
 
     with pytest.raises(ValueError, match="positive"):
         pack_sequences(toks, budget=0)
+
+
+def test_stratified_hash_sample_per_stratum_fractions(spark, sf_dir):
+    from pangool_spark.operators.sampling import hash_sample, stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.2, "fr": 1.0})
+    per_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_lang.get("fr", 0) == totals.get("fr", 0)      # kept whole
+    assert 0.05 < per_lang.get("en", 0) / totals["en"] < 0.4  # ~20%
+    assert set(per_lang) <= {"en", "fr"}                      # others dropped
+    # per-stratum choice agrees with the flat sampler at the same fraction
+    flat = {r.doc_id for r in hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", 0.2).collect()}
+    strat = {r.doc_id for r in out.filter(F.col("lang") == "en").select("doc_id").collect()}
+    assert flat == strat
+    with pytest.raises(ValueError, match="must be in"):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 2.0})
