@@ -70,6 +70,7 @@ EXTENDED = [
     # md5-portable (headline) vs xxhash64 production hash family — the
     # portability tax, measured round over round
     "minhash_lsh_dedup_fast",
+    "pack_sequences_docs",
 ]
 
 RUNS_PER_QUERY = 3

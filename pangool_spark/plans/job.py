@@ -694,7 +694,33 @@ class JobBuilder:
         # output's rows become a StructArray in its slot, every other slot
         # is a typed null array, so multiple-outputs rows stay columnar
         # end-to-end (the dict-per-row form paid a Python object per cell)
-        from pyspark.sql.pandas.types import to_arrow_type
+        try:
+            from pyspark.sql.pandas.types import to_arrow_type
+        except ImportError:  # pragma: no cover - semi-internal module path
+            # fall back to the row-dict pandas form: slower, same results
+            def run_tagged_pandas(batches):
+                for keys, offsets, pdf in chunks_of(batches):
+                    result = reducer(keys, offsets, pdf)
+                    if result is None:
+                        continue
+                    if isinstance(result, pd.DataFrame):
+                        result = {"": result}
+                    parts = []
+                    for name, frame in result.items():
+                        slot = "__main__" if name == "" else name
+                        if slot not in out_columns[1:]:
+                            raise PlanError(f"undeclared named output {name!r}")
+                        if frame is None or not len(frame):
+                            continue
+                        records = frame.to_dict("records")
+                        part = pd.DataFrame({"__output__": [name] * len(records)})
+                        for s in out_columns[1:]:
+                            part[s] = [r if s == slot else None for r in records]
+                        parts.append(part)
+                    if parts:
+                        yield pd.concat(parts, ignore_index=True)[out_columns]
+
+            return arranged.mapInPandas(run_tagged_pandas, schema=out_struct)
 
         def nullable_struct(dt):
             # pandas-built StructArrays always carry nullable children; a
