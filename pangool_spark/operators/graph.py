@@ -20,16 +20,32 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Label propagation: every vertex adopts the minimum label among itself
-    and its neighbors until fixpoint. Output: (vertex, component) where
-    component = min vertex id in the component.
+    """Connected components. Output: (vertex, component) where component =
+    min vertex id in the component.
+
+    ``algorithm``:
+
+    - ``label`` (default): label propagation — every vertex adopts the
+      minimum label among itself and its neighbors until fixpoint. One
+      join + one aggregate per round, but rounds = graph DIAMETER.
+      Right for duplicate clusters, whose diameters are tiny.
+    - ``star``: the alternating large-star/small-star algorithm
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) — O(log² n) rounds regardless of diameter, each round two
+      join+aggregate passes over the shrinking edge set. Right for
+      high-diameter graphs (long chains, meshes) where label propagation
+      would need hundreds of rounds; at 100 TB the round count, not the
+      per-round cost, is the scale limit.
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iterations`` — a truncated propagation would silently split
-    components (rounds needed = graph diameter; 50 covers any realistic
-    duplicate-cluster chain).
+    ``max_iterations`` — a truncated run would silently split components.
     """
+    if algorithm == "star":
+        return _alternating_stars(edges, src, dst, max_iterations)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: label|star")
     # Materialize the symmetrized edge list ONCE: every round joins against
     # it, and without the checkpoint each round re-executes the caller's
     # full pair-generation lineage — twice, since the union reads `edges`
@@ -84,6 +100,99 @@ def connected_components(
             "raise max_iterations"
         )
     return labels
+
+
+def _alternating_stars(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14 §3).
+
+    One round = large-star then small-star, each a groupBy-min + join over
+    the current edge set:
+
+    - large-star: every vertex u links each STRICTLY LARGER neighbor to
+      m(u) = min(N(u) ∪ {u});
+    - small-star: orient edges (big, small); every vertex u links each
+      smaller neighbor AND ITSELF to its minimum neighbor.
+
+    At fixpoint each component is a star rooted at its minimum vertex, so
+    the final edge list IS the (vertex, component) mapping. Convergence is
+    detected by comparing (edge count, decimal sum of per-edge xxhash64)
+    across rounds — the paper's per-round change counter costs an extra
+    subtract-join; a 128-bit-ish scalar fingerprint is one aggregate, and
+    a false "converged" needs a sum collision across two iterations of the
+    same shrinking edge multiset (~2⁻⁶⁴)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_vertices = (
+        e.select(F.col("u").alias("vertex"))
+        .unionByName(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min(N(u) ∪ {u}): neighbors' min, clamped by u itself
+        m = sym.groupBy("u").agg(F.min("v").alias("__mn__"))
+        m = m.select("u", F.least("u", "__mn__").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient (big, small): u > v for every edge
+        oriented = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        # all neighbors here are < u, so m = min neighbor (< u always)
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = oriented.join(m, "u")
+        link_neighbors = with_m.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        link_self = m.select("u", F.col("m").alias("v"))
+        return link_neighbors.unionByName(link_self).distinct()
+
+    prev = fingerprint(e)
+    converged = False
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = fingerprint(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iterations} "
+            "rounds; raise max_iterations"
+        )
+    # Fixpoint edge set = stars (non-root → root), oriented big→small by
+    # small_star. Roots and isolated-after-filter vertices map to themselves.
+    star_edges = e.groupBy(F.col("u").alias("vertex")).agg(
+        F.min("v").alias("__comp__")
+    )
+    return all_vertices.join(star_edges, "vertex", "left").select(
+        "vertex", F.coalesce("__comp__", "vertex").alias("component")
+    )
 
 
 def cluster_representatives(components: DataFrame) -> DataFrame:

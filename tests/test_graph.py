@@ -34,3 +34,58 @@ def test_near_dedup_clusters_transitive(spark):
     ids = sorted(r.doc_id for r in out.select("doc_id").collect())
     # 1,2,3 chain-merge into one cluster (rep=1); 9 survives
     assert ids == [1, 9]
+
+
+def test_star_matches_label_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 60))
+        ]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+        by_label = {
+            r.vertex: r.component
+            for r in connected_components(df, algorithm="label").collect()
+        }
+        by_star = {
+            r.vertex: r.component
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert by_star == by_label, f"trial {trial}"
+
+
+def test_star_handles_high_diameter_chain(spark):
+    # A 120-vertex path: label propagation needs 119 rounds (would raise at
+    # max_iterations=50); alternating stars converge in O(log n).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a LONG, id_b LONG"
+    )
+    comps = {
+        r.vertex: r.component
+        for r in connected_components(edges, algorithm="star", max_iterations=12).collect()
+    }
+    assert set(comps) == set(range(120))
+    assert set(comps.values()) == {0}
+
+
+def test_star_on_string_vertex_ids(spark):
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        "id_a STRING, id_b STRING",
+    )
+    comps = {
+        r.vertex: r.component
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert comps == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "x": "x",
+        "y": "x",
+    }
