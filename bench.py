@@ -71,6 +71,7 @@ EXTENDED = [
     # portability tax, measured round over round
     "minhash_lsh_dedup_fast",
     "pack_sequences_docs",
+    "decontaminate_docs",
 ]
 
 RUNS_PER_QUERY = 3

@@ -565,6 +565,68 @@ def near_dedup_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document count of distinct word ``n``-grams shared with a
+    benchmark/eval corpus → (id, n_overlap), only documents with ≥1 hit.
+
+    Scale shape: the benchmark side collapses to a DISTINCT set of 8-byte
+    shingle hashes — for real eval suites that is tiny next to a 100 TB
+    training corpus, so it broadcasts and the membership probe runs
+    MAP-SIDE against the corpus shingle stream (no corpus-wide shuffle).
+    Only the matched (id, hash) rows reach the per-document count, whose
+    partial aggregation makes even a benchmark-quoting-spam document
+    arrive at the reduce side pre-combined. Set
+    ``broadcast_benchmark=False`` to fall back to a shuffle equi-join when
+    the benchmark set is itself huge.
+
+    Hashing note: overlap is equality-only, so both sides use xxhash64
+    shingles (corpus text never shuffles); a collision inflates one
+    document's overlap count by one.
+    """
+    bench_sh = shingles(
+        benchmark, id_col=benchmark.columns[0],
+        text_col=bench_text_col or text_col, n=n, hashed=True,
+    ).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, n=n, hashed=True)
+    return (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing
+    ``min_overlap``+ distinct word ``n``-grams with an eval corpus (the
+    13-gram discipline popularized by the GPT-3 appendix; no reference
+    counterpart — training-data extension layer). Returns the surviving
+    rows of ``docs``; the drop is a broadcast-able anti-join on ids."""
+    hits = contamination_overlap(
+        docs, benchmark, id_col, text_col, bench_text_col, n,
+        broadcast_benchmark,
+    ).filter(F.col("n_overlap") >= min_overlap).select(id_col)
+    return docs.join(hits, id_col, "left_anti")
+
+
 def choose_embedding_dedup_method(threshold: float) -> str:
     """Strategy selection for ``embedding_cosine_dups(method="auto")``.
 

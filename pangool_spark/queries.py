@@ -2996,6 +2996,41 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_docs",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    bench AS (
+      SELECT DISTINCT shingle FROM grams_all WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_overlap
+      FROM grams_all g JOIN bench USING (shingle)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY g.doc_id
+      HAVING COUNT(*) >= 5
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat every 97th document as the held-out
+    eval set, drop corpus documents sharing ≥5 distinct 3-grams with it
+    (n=3 instead of the production 13 so the synthetic corpus actually
+    overlaps). The benchmark shingle-hash set broadcasts — the corpus-side
+    probe is map-side, only matched (id, hash) rows shuffle."""
+    from pangool_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return decontaminate(
+        corpus, benchmark, n=3, min_overlap=5
+    ).select("doc_id", "lang", "source")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3038,6 +3073,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    "decontaminate_docs",     # broadcast n-gram overlap vs bench anti-join
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

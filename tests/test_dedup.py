@@ -319,3 +319,43 @@ def test_minhash_fast_hash_family(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         minhash_signatures(docs, hash_family="nope").collect()
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from pangool_spark.operators.dedup import contamination_overlap, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "qid LONG, text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quiz answer: the capital of france is paris obviously check"),
+            (2, "a completely unrelated document about spark shuffles and joins"),
+            (3, "france is lovely in spring"),  # shares < min_overlap 3-grams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    overlap = {
+        r.doc_id: r.n_overlap
+        for r in contamination_overlap(docs, bench, n=3).collect()
+    }
+    assert overlap[1] >= 4 and 2 not in overlap
+    out = decontaminate(docs, bench, n=3, min_overlap=3)
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [2, 3]
+    # survivors keep the full input schema
+    assert out.columns == docs.columns
+
+
+def test_decontaminate_broadcast_plan(spark):
+    from pangool_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame([(1, "a b c d e f")], "qid LONG, text STRING")
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id LONG, text STRING")
+    plan = contamination_overlap(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # shuffle-join fallback for huge benchmark sets
+    plan2 = contamination_overlap(
+        docs, bench, n=3, broadcast_benchmark=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" in plan2
