@@ -72,6 +72,7 @@ EXTENDED = [
     "minhash_lsh_dedup_fast",
     "pack_sequences_docs",
     "decontaminate_docs",
+    "semantic_dedup_embeddings",
 ]
 
 RUNS_PER_QUERY = 3

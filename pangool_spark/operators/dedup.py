@@ -565,6 +565,49 @@ def near_dedup_clusters(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every embedding to its nearest centroid, then drop near-duplicates
+    (cosine ≥ ``threshold``) WITHIN each cluster, keeping the minimum id.
+
+    Scale shape: clustering turns the corpus-wide O(n²) pair space into
+    per-cell O((n/k)²)·k — one equi-join on the cell id, never a cartesian.
+    Production sizing: k grows with the corpus (SemDeDup uses ~10⁴-10⁵
+    clusters for web scale) so cells stay task-sized; hot cells are split
+    by AQE skew handling. Centroids are plan literals here — at real scale
+    they come from a sampled k-means fit (see ``ivf_assign``).
+
+    Deviation from the paper: SemDeDup keeps the item with the LOWEST
+    cosine to the centroid per duplicate group; we keep the minimum id —
+    deterministic, oracle-replicable, and equivalent for dedup purposes.
+    Returns the surviving rows of ``df``.
+    """
+    from pangool_spark.operators._udfs import cosine_udf
+    from pangool_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col, out_col="__cell__")
+    a = assigned.select(
+        "__cell__", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")
+    )
+    b = assigned.select(
+        "__cell__", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__")
+    )
+    losers = (
+        a.join(b, "__cell__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_udf("__va__", "__vb__") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def contamination_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -3031,6 +3031,43 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _semantic_dedup_oracle(threshold: float = 0.4) -> str:
+    sims = ", ".join(
+        f"list_cosine_similarity(embedding::DOUBLE[], [{', '.join(str(float(x)) for x in c)}]::DOUBLE[]) AS s{i}"
+        for i, c in enumerate(_IVF_CENTROIDS)
+    )
+    n_cells = len(_IVF_CENTROIDS)
+    best = "GREATEST(" + ", ".join(f"s{i}" for i in range(n_cells)) + ")"
+    cell_case = (
+        "CASE "
+        + " ".join(f"WHEN {best} = s{i} THEN {i}" for i in range(n_cells - 1))
+        + f" ELSE {n_cells - 1} END"
+    )
+    return f"""
+    WITH sims AS (SELECT vec_id, embedding, {sims} FROM embeddings),
+    assigned AS (SELECT vec_id, embedding, {cell_case} AS cell FROM sims),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.vec_id = e.vec_id)
+    """
+
+
+@query("semantic_dedup_embeddings", _semantic_dedup_oracle())
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup shape: nearest-centroid clustering bounds the pair space to
+    within-cell (equi-join on cell, no cartesian); cosine ≥ 0.4 dupes drop
+    keeping the min id. The first-best tie-break matches `ivf_assign_cells`'
+    oracle exactly."""
+    from pangool_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.4).select("vec_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3074,6 +3111,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
     "decontaminate_docs",     # broadcast n-gram overlap vs bench anti-join
+    "semantic_dedup_embeddings",  # within-cell pairs; cell assign = ivf_assign_cells
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

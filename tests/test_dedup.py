@@ -359,3 +359,31 @@ def test_decontaminate_broadcast_plan(spark):
         docs, bench, n=3, broadcast_benchmark=False
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan2 or "SortMergeJoin" in plan2
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from pangool_spark.operators.dedup import semantic_dedup
+
+    # two orthogonal 4-d cells; vec 1≈2 in cell 0, vec 10 alone in cell 1,
+    # vec 3 in cell 0 but dissimilar to 1/2
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [1.0, 0.11, 0.0, 0.0]),   # dup of 1 → dropped (higher id)
+        (3, [0.6, 0.0, 0.8, 0.0]),    # cell 0 but cosine(1,3) ≈ 0.6
+        (10, [0.1, 1.0, 0.0, 0.0]),   # cell 1, survives
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = semantic_dedup(df, centroids, threshold=0.95)
+    assert sorted(r.vec_id for r in out.select("vec_id").collect()) == [1, 3, 10]
+    assert out.columns == df.columns
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    from pangool_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    plan = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], 0.99)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
