@@ -537,13 +537,18 @@ def near_dedup_clusters(
     method: str = "jaccard",
     max_df: int | None = None,
     shingles_df: DataFrame | None = None,
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     """Cluster-aware near-dedup: pair detection → connected components →
     keep one representative (min id) per duplicate CLUSTER.
 
     Greedy pair-dropping misses transitive duplicates (a≈b, b≈c, a̸≈c keeps
-    a and c); label propagation merges the chain. Output: the surviving
-    rows of ``df``.
+    a and c); connected components merge the chain. ``cc_algorithm``
+    selects ``label`` (propagation, rounds = cluster diameter — the
+    default; duplicate clusters are shallow) or ``star`` (alternating
+    large/small-star, O(log² n) rounds) — see
+    ``operators.graph.connected_components``. Output: the surviving rows
+    of ``df``.
     """
     from pangool_spark.operators.graph import connected_components
 
@@ -557,7 +562,7 @@ def near_dedup_clusters(
         )
     else:
         raise ValueError(f"unknown method {method!r}")
-    comps = connected_components(pairs, "id_a", "id_b")
+    comps = connected_components(pairs, "id_a", "id_b", algorithm=cc_algorithm)
     # drop every clustered vertex that is not its component's min
     losers = comps.filter(F.col("vertex") != F.col("component")).select(
         F.col("vertex").alias(id_col)

@@ -9,7 +9,7 @@ to 100 TB document tables without Arrow transfer cost.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
@@ -50,6 +50,65 @@ def token_stats(
         F.size(ws_tokens).alias("n_tokens"),
         F.size(bpe_tokens).alias("n_bpe_tokens"),
     )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF terms: (id, term, tf, df_t, tf_idf) with
+    tf = raw in-document count and tf_idf = tf · ln(N / df_t).
+
+    Shuffle profile: one partial-aggregated shuffle for (doc, term) counts,
+    one for document frequency, then an equi-join on term. Stop-word terms
+    are the hot keys of that join — both aggregations pre-combine map-side
+    so no task ever holds a hot term's raw occurrences, and AQE's skew-join
+    splits the hot post-agg partitions. The corpus size N rides in via a
+    broadcast one-row cross join, keeping the whole plan collect-free.
+    ``top_k`` keeps only the k highest-scoring terms per document
+    (tie-break on term) via WindowGroupLimit.
+    """
+    terms = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                        " ",
+                    ),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n_docs__"))
+    scored = (
+        terms.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_t",
+            (F.col("tf") * F.log(F.col("__n_docs__") / F.col("df_t"))).alias("tf_idf"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tf_idf").desc(), F.col("term").asc()
+        )
+        scored = (
+            scored.withColumn("__rk__", F.row_number().over(w))
+            .filter(F.col("__rk__") <= top_k)
+            .drop("__rk__")
+        )
+    return scored
 
 
 def quality_exprs(text_col: str = "text") -> "dict[str, Column]":

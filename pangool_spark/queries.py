@@ -3068,6 +3068,37 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.4).select("vec_id")
 
 
+@query(
+    "tf_idf_docs",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+      FROM corpus
+    ),
+    tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfs AS (SELECT term, COUNT(*) AS df_t FROM tfs GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM corpus)
+    SELECT doc_id, term, tf, df_t,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df_t), 6) AS tf_idf
+    FROM tfs JOIN dfs USING (term) CROSS JOIN n
+    """,
+)
+def tf_idf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF over a deterministic corpus slice: two
+    partial-aggregated shuffles + a term equi-join; corpus size N rides in
+    as a broadcast scalar, no collect. Rounded to 6 decimals — ln() may
+    differ by 1 ulp between libm implementations."""
+    from pangool_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = tf_idf(docs)
+    return out.select(
+        "doc_id", "term", "tf", "df_t", F.round("tf_idf", 6).alias("tf_idf")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3112,6 +3143,7 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _ROTATED_PAST_WINDOW = [
     "decontaminate_docs",     # broadcast n-gram overlap vs bench anti-join
     "semantic_dedup_embeddings",  # within-cell pairs; cell assign = ivf_assign_cells
+    "tf_idf_docs",            # two partial-agg shuffles + term equi-join
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

@@ -155,3 +155,41 @@ def test_repetition_stats_ratios(spark):
     assert out[4].n_tokens == 0 and out[4].dup_bigram_ratio == 0.0
     # "a b","b a","a b","b a","a b" -> 5 bigrams, 2 distinct -> 3/5
     assert out[5].dup_bigram_ratio == 0.6
+
+
+def test_tf_idf_known_values(spark):
+    import math
+
+    from pangool_spark.operators.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {(r.doc_id, r.term): r for r in tf_idf(docs).collect()}
+    # 'apple': tf=2 in doc 1, df=1, N=3 → 2*ln(3)
+    r = rows[(1, "apple")]
+    assert r.tf == 2 and r.df_t == 1
+    assert abs(r.tf_idf - 2 * math.log(3.0)) < 1e-12
+    # 'banana' appears in 2 docs → ln(3/2)
+    assert abs(rows[(2, "banana")].tf_idf - math.log(1.5)) < 1e-12
+
+
+def test_tf_idf_top_k(spark):
+    from pangool_spark.operators.text import tf_idf
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c common"), (2, "d d e f common")],
+        "doc_id LONG, text STRING",
+    )
+    out = tf_idf(docs, top_k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.term)
+    assert all(len(v) == 2 for v in per_doc.values())
+    # 'common' (df=2 → idf=0) never wins a top-2 slot
+    assert all("common" not in v for v in per_doc.values())
