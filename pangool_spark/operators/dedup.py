@@ -591,24 +591,46 @@ def semantic_dedup(
     Deviation from the paper: SemDeDup keeps the item with the LOWEST
     cosine to the centroid per duplicate group; we keep the minimum id —
     deterministic, oracle-replicable, and equivalent for dedup purposes.
-    Returns the surviving rows of ``df``.
+    Returns the surviving rows of ``df``. Ids must be integral (the
+    grouped-map schema pins LONG, same contract as
+    ``similarity.blocked_cosine_pairs``).
+
+    Kernel: vectors shuffle ONCE on the cell id; each cell runs a
+    row-chunked dense matmul (peak intermediate = a
+    ``_MATMUL_CHUNK``×|cell| float64 panel, not |cell|²) and emits only
+    loser ids — a within-cell pair never materializes as a join row.
     """
-    from pangool_spark.operators._udfs import cosine_udf
-    from pangool_spark.operators.similarity import ivf_assign
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pangool_spark.operators.similarity import _MATMUL_CHUNK, ivf_assign
 
     assigned = ivf_assign(df, centroids, id_col, vec_col, out_col="__cell__")
-    a = assigned.select(
-        "__cell__", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__")
-    )
-    b = assigned.select(
-        "__cell__", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__")
-    )
+
+    out_schema = T.StructType([T.StructField(id_col, T.LongType(), False)])
+
+    def cell_losers(key, pdf):
+        # ascending-id order so "exists a smaller near-dup" = upper triangle
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({id_col: []}).astype({id_col: np.int64})
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        loser = np.zeros(len(ids), dtype=bool)
+        for s in range(0, len(ids), _MATMUL_CHUNK):
+            e = min(s + _MATMUL_CHUNK, len(ids))
+            sims = (mat[s:e] @ mat.T) / np.outer(norms[s:e], norms)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = (ii + s) < jj
+            loser[jj[keep]] = True
+        return pd.DataFrame({id_col: ids[loser]})
+
     losers = (
-        a.join(b, "__cell__")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_udf("__va__", "__vb__") >= F.lit(threshold))
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        assigned.select("__cell__", id_col, vec_col)
+        .groupBy("__cell__")
+        .applyInPandas(cell_losers, schema=out_schema)
     )
     return df.join(losers, id_col, "left_anti")
 
