@@ -138,6 +138,41 @@ def pack_sequences(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic epoch-seeded global shuffle: every row gets a
+    (shard, position) from the portable hash of ``key:epoch``.
+
+    Training loops need the corpus in a random-looking order that is (a)
+    reproducible for resume/debugging, (b) DIFFERENT each epoch, and (c)
+    computed without a global single-task sort. Hashing the key with the
+    epoch baked in gives an independent permutation per epoch; positions
+    are dense per shard (readers consume shards independently, so a
+    global row number — one task at 100 TB — is never needed). One
+    shuffle: the per-shard ordering window. Ties on the 31-bit hash
+    break on the key, keeping the order total and engine-replicable.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    h = base_hash_31(F.concat(F.col(key_col).cast("string"), F.lit(f":{epoch}")))
+    staged = df.withColumn("__h__", h).withColumn(
+        shard_col, (F.col("__h__") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h__"), F.col(key_col))
+    return (
+        staged.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__h__")
+    )
+
+
 def split_bounds_sql(weights: Sequence[float]) -> list[int]:
     """The integer bucket thresholds ``hash_split`` uses, exposed so SQL
     oracles replicate the exact boundaries."""

@@ -3099,6 +3099,31 @@ def tf_idf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "epoch_shuffle_docs",
+    """
+    WITH hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT & 2147483647 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+    FROM hashed
+    """,
+)
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-3 deterministic corpus shuffle into 16 shards: portable-hash
+    order, per-shard dense positions (no global single-task sort), one
+    window exchange."""
+    from pangool_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, "doc_id", n_shards=16, epoch=3).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3144,6 +3169,7 @@ _ROTATED_PAST_WINDOW = [
     "decontaminate_docs",     # broadcast n-gram overlap vs bench anti-join
     "semantic_dedup_embeddings",  # within-cell pairs; cell assign = ivf_assign_cells
     "tf_idf_docs",            # two partial-agg shuffles + term equi-join
+    "epoch_shuffle_docs",     # portable-hash per-shard ordering window
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

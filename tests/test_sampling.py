@@ -98,3 +98,25 @@ def test_stratified_hash_sample_per_stratum_fractions(spark, sf_dir):
     assert flat == strat
     with pytest.raises(ValueError, match="must be in"):
         stratified_hash_sample(docs, "doc_id", "lang", {"en": 2.0})
+
+
+def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
+    from pangool_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id LONG, text STRING"
+    )
+    a1 = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 8, epoch=0).collect()}
+    a2 = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 8, epoch=0).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 8, epoch=1).collect()}
+    assert a1 == a2                        # rerun-stable
+    assert a1 != b                         # epochs permute differently
+    # dense per-shard positions starting at 1
+    by_shard = {}
+    for shard, pos in a1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # repartitioning the input does not change the assignment
+    c = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(docs.repartition(7), "doc_id", 8, epoch=0).collect()}
+    assert c == a1
