@@ -697,6 +697,58 @@ def decontaminate(
     return docs.join(hits, id_col, "left_anti")
 
 
+def contamination_filter(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """STATELESS decontamination: the benchmark's distinct shingle hashes
+    are collected driver-side (eval suites are small by contract — same
+    bounded-broadcast policy as ``knn_bruteforce``'s query set) and probed
+    per row inside an Arrow-batched UDF. Zero shuffles, no aggregation
+    state — so unlike ``decontaminate`` (groupBy + anti-join) this form
+    runs UNCHANGED on a streaming DataFrame as an ingest-time filter.
+
+    Matches ``decontaminate`` row-for-row on batch input: per-row distinct
+    n-gram xxhash64 set vs the same benchmark set, drop when the overlap
+    reaches ``min_overlap``.
+    """
+    from pangool_spark.operators._udfs import membership_overlap_udf
+
+    bench_set = frozenset(
+        r[0]
+        for r in shingles(
+            benchmark, id_col=benchmark.columns[0],
+            text_col=bench_text_col or text_col, n=n, hashed=True,
+        ).select("shingle").distinct().collect()
+    )
+    overlap_count = membership_overlap_udf(bench_set)
+
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+    # mirror shingles(): docs shorter than n contribute their whole token
+    # string as one shingle
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashed = F.array_distinct(
+        F.transform(
+            F.filter(grams, lambda g: g != ""), lambda g: F.xxhash64(g)
+        )
+    )
+    return docs.filter(overlap_count(hashed) < min_overlap)
+
+
 def choose_embedding_dedup_method(threshold: float) -> str:
     """Strategy selection for ``embedding_cosine_dups(method="auto")``.
 

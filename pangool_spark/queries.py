@@ -3124,6 +3124,20 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
+# rows-only driver check pins schema + distributed execution; VALUES are
+# pinned by tests/test_text.py ordering/edge-case assertions (same
+# justification class as approx_distinct_parts' HLL sketch).
+@query("compression_quality_docs")
+def compression_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style compressibility signal: zlib ratio per document via an
+    Arrow-batched UDF — zero shuffles, map-side only."""
+    from pangool_spark.operators.text import compression_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_quality(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -3170,6 +3184,7 @@ _ROTATED_PAST_WINDOW = [
     "semantic_dedup_embeddings",  # within-cell pairs; cell assign = ivf_assign_cells
     "tf_idf_docs",            # two partial-agg shuffles + term equi-join
     "epoch_shuffle_docs",     # portable-hash per-shard ordering window
+    "compression_quality_docs",  # rows-only by design (deflate not in SQL)
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

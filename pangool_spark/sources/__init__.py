@@ -3,8 +3,11 @@
 from pangool_spark.sources.csv import read_csv, write_csv, read_fixed_width
 from pangool_spark.sources.tuplefile import read_tuples, write_tuples
 from pangool_spark.sources.avro import read_avro, write_avro
+from pangool_spark.sources.jsonl import read_jsonl, write_jsonl
 
 __all__ = [
+    "read_jsonl",
+    "write_jsonl",
     "read_csv",
     "write_csv",
     "read_fixed_width",

@@ -384,3 +384,44 @@ def test_avro_decimal_through_cogroup(spark, tmp):
     )
     rows = {r.k: (r.name, r.total) for r in jb.to_dataframe().collect()}
     assert rows == {1: ("alpha", 12.75), 2: ("beta", 7.0)}
+
+
+def test_jsonl_roundtrip_with_evolution(spark, tmp):
+    import os
+
+    from pangool_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    path = os.path.join(tmp, "docs_jsonl")
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "json lines")], "doc_id LONG, text STRING"
+    )
+    write_jsonl(df, path)
+    # gzip by default: files carry the .gz extension but re-read transparently
+    assert any(f.endswith(".gz") for f in os.listdir(path))
+    target = Schema.parse("doc", "doc_id:long,text:string,score:double?")
+    back = read_jsonl(spark, path, schema=target)
+    rows = {r.doc_id: r for r in back.collect()}
+    assert rows[1].text == "hello world" and rows[1].score is None
+    assert back.schema.fieldNames() == ["doc_id", "text", "score"]
+
+
+def test_jsonl_corrupt_line_policies(spark, tmp):
+    import os
+
+    from pangool_spark.sources.jsonl import read_jsonl
+
+    path = os.path.join(tmp, "bad_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("not json at all\n")
+        f.write('{"doc_id": 2, "text": "fine"}\n')
+    target = Schema.parse("doc", "doc_id:long,text:string")
+    dropped = read_jsonl(spark, path, schema=target, on_corrupt="drop")
+    assert sorted(r.doc_id for r in dropped.collect()) == [1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, path, schema=target, on_corrupt="strict").collect()
+    with _pytest.raises(ValueError):
+        read_jsonl(spark, path, schema=target, on_corrupt="nope")

@@ -141,3 +141,43 @@ def test_text_quality_ops_compose_with_streams(spark, tmp_path_factory):
     s = {row.doc_id: row for row in out2.collect()}
     assert s[2].dup_token_ratio == 0.8
     assert {row.doc_id: row.lang for row in out3.collect()}[1] == "en"
+
+
+def test_contamination_filter_stream_matches_batch(spark, tmp_path_factory):
+    """contamination_filter is a stateless projection-filter, so it serves
+    as a streaming ingest decontaminator; its batch output must agree with
+    the stateful decontaminate() operator row-for-row."""
+    from pangool_spark.operators.dedup import contamination_filter, decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "qid LONG, text STRING"
+    )
+    rows = [
+        (1, "prefix alpha beta gamma delta epsilon zeta suffix"),  # contaminated
+        (2, "totally unrelated words about shuffle exchange plans"),
+        (3, "alpha beta something else entirely here"),  # only 1 shared 3-gram? none
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    batch_stateless = sorted(
+        r.doc_id for r in contamination_filter(docs, bench, n=3, min_overlap=2).collect()
+    )
+    batch_stateful = sorted(
+        r.doc_id for r in decontaminate(docs, bench, n=3, min_overlap=2).collect()
+    )
+    assert batch_stateless == batch_stateful == [2, 3]
+
+    path = str(tmp_path_factory.mktemp("decontam_stream"))
+    docs.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(docs.schema).parquet(path)
+    q = (
+        contamination_filter(sdf, bench, n=3, min_overlap=2)
+        .writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.table("decontam_stream").collect())
+    assert got == [2, 3]

@@ -193,3 +193,25 @@ def test_tf_idf_top_k(spark):
     assert all(len(v) == 2 for v in per_doc.values())
     # 'common' (df=2 → idf=0) never wins a top-2 slot
     assert all("common" not in v for v in per_doc.values())
+
+
+def test_compression_quality_orders_repetitive_below_prose(spark):
+    from pangool_spark.operators.text import compression_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 200),  # highly repetitive → tiny ratio
+            (2, "The quick brown fox jumps over the lazy dog while the engine "
+                "shuffles partitions across executors during a wide transform."),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in compression_quality(docs).collect()}
+    assert rows[1].compression_ratio < 0.1 < rows[2].compression_ratio
+    assert rows[3].compression_ratio == 1.0
+    assert rows[4].compression_ratio is None
+    # zero shuffles: pure map-side projection
+    plan = compression_quality(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
