@@ -73,6 +73,7 @@ EXTENDED = [
     "pack_sequences_docs",
     "decontaminate_docs",
     "semantic_dedup_embeddings",
+    "training_prep_pipeline",
 ]
 
 RUNS_PER_QUERY = 3

@@ -3124,6 +3124,79 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "training_prep_pipeline",
+    f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    exact_kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id, md5({_NORM_SQL}) AS dg FROM corpus) GROUP BY dg
+    ),
+    deduped AS (SELECT c.doc_id, c.text FROM corpus c JOIN exact_kept USING (doc_id)),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS t
+      FROM documents
+    ), {_GRAMS_ALL_CTE},
+    bench AS (SELECT DISTINCT shingle FROM grams_all WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id FROM grams_all g
+      JOIN bench USING (shingle)
+      JOIN deduped d ON d.doc_id = g.doc_id
+      GROUP BY g.doc_id HAVING COUNT(*) >= 5
+    ),
+    clean AS (
+      SELECT d.doc_id FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+    ),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN {_HASH_BUCKET_SQL} < 900000 THEN 'train'
+                  WHEN {_HASH_BUCKET_SQL} < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean
+    ),
+    train_h AS (
+      SELECT doc_id, split,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT & 2147483647 AS h
+      FROM assigned WHERE split = 'train'
+    )
+    SELECT doc_id, split, CAST(h % 16 AS INT) AS shard,
+           ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+    FROM train_h
+    UNION ALL
+    SELECT doc_id, split, CAST(NULL AS INT) AS shard, CAST(NULL AS BIGINT) AS pos
+    FROM assigned WHERE split <> 'train'
+    """,
+)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-curation half of a pre-training data pipeline, one composed
+    plan: exact dedup → benchmark decontamination (every 97th doc is the
+    held-out eval set) → leakage-safe 90/5/5 hash split → epoch-1
+    deterministic shuffle of the train split into 16 shards. Counterpart
+    to `curation_pipeline` (which owns the filter/near-dedup half). Every
+    stage is hash-deterministic, so the full (doc → split/shard/pos)
+    mapping is the oracle."""
+    from pangool_spark.operators.dedup import decontaminate, exact_dedup
+    from pangool_spark.operators.sampling import epoch_shuffle, hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    clean = decontaminate(exact_dedup(corpus), bench, n=3, min_overlap=5)
+    split = hash_split(clean, "doc_id", (0.9, 0.05, 0.05))
+    train = epoch_shuffle(
+        split.filter(F.col("split") == "train"), "doc_id", 16, epoch=1
+    ).select("doc_id", "split", "shard", "pos")
+    rest = split.filter(F.col("split") != "train").select(
+        "doc_id",
+        "split",
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("long").alias("pos"),
+    )
+    return train.unionByName(rest)
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3185,6 +3258,7 @@ _ROTATED_PAST_WINDOW = [
     "tf_idf_docs",            # two partial-agg shuffles + term equi-join
     "epoch_shuffle_docs",     # portable-hash per-shard ordering window
     "compression_quality_docs",  # rows-only by design (deflate not in SQL)
+    "training_prep_pipeline", # composes 4 already-oracled hash-det. stages
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

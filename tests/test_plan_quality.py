@@ -203,3 +203,43 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf, tmp_path):
         .collect()
     }
     assert {(r.o_year, r.n) for r in joined.collect()} == expected
+
+
+def test_epoch_shuffle_single_exchange(spark, sf):
+    from pangool_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(epoch_shuffle(docs, "doc_id", 16, epoch=1))
+    # one hashpartitioning exchange for the per-shard window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan  # no global sort ever
+
+
+def test_contamination_filter_zero_exchange(spark, sf):
+    from pangool_spark.operators.dedup import contamination_filter
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    plan = _plan(contamination_filter(docs, bench, n=3, min_overlap=5))
+    assert "Exchange" not in plan  # pure map-side probe
+
+
+def test_semantic_dedup_single_exchange_before_kernel(spark, sf):
+    from pangool_spark.operators.dedup import semantic_dedup
+    from pangool_spark.queries import _IVF_CENTROIDS
+
+    emb = load_table(spark, sf, "embeddings")
+    plan = _plan(semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.4))
+    # vectors shuffle once on the cell id into the grouped-map kernel;
+    # no join shape anywhere except the final anti-join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_tf_idf_partial_aggregation(spark, sf):
+    from pangool_spark.operators.text import tf_idf
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(tf_idf(docs))
+    # both aggs pre-combine map-side (hot stop-terms never concentrate raw)
+    assert plan.count("partial_count") >= 2
