@@ -17,7 +17,7 @@ from typing import Callable, Sequence
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,3 +81,77 @@ def cogroup_join(
         .cogroup(right.groupBy(*[F.col(c) for c in on]))
         .applyInPandas(run, schema=struct)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    prefix: str = "asof_",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """As-of join: attach to every left row the LATEST right row with the
+    same key and ``right.ts <= left.ts`` (``<`` when ``allow_exact=False``)
+    — the time-series primitive (kdb `aj`, pandas ``merge_asof``) the
+    reference has no counterpart for.
+
+    Spark-first shape: NOT a range join (whose candidate set is every
+    right row earlier than the left row — quadratic per hot key). The two
+    sides are tagged and UNIONED, shuffled ONCE on the key, sorted by
+    (ts, side) within partitions, and the match is a running
+    ``last(payload, ignorenulls)`` window — O(n log n) per key, one
+    exchange, and whole-stage-codegen'd end to end. At equal timestamps
+    the right row sorts before (``allow_exact``) or after (strict) the
+    left row, which is exactly the ≤ / < distinction. Among right rows
+    sharing (key, ts) the last by ``right_cols`` order wins —
+    deterministic only if (key, ts) is unique on the right, which callers
+    should guarantee (dedup first) for reproducible output.
+
+    Output: all left columns, plus each right payload column as
+    ``{prefix}{col}`` and the matched timestamp as ``{prefix}{ts_col}``
+    (all NULL when no earlier right row exists — a LEFT as-of join).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols], F.col(ts_col).alias(ts_col)
+    )
+    left_struct = F.struct(*[F.col(c).alias(c) for c in left.columns])
+    r_side, l_side = (0, 1) if allow_exact else (2, 1)
+    tagged_r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts__"),
+        F.lit(r_side).alias("__side__"),
+        F.lit(None).cast(
+            left.select(left_struct).schema[0].dataType
+        ).alias("__left__"),
+        payload.alias("__payload__"),
+    )
+    tagged_l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("__ts__"),
+        F.lit(l_side).alias("__side__"),
+        left_struct.alias("__left__"),
+        F.lit(None).cast(
+            right.select(payload).schema[0].dataType
+        ).alias("__payload__"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn("__match__", F.last("__payload__", ignorenulls=True).over(w))
+        .filter(F.col("__side__") == 1)
+    )
+    out_cols = [F.col(f"__left__.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match__.{c}").alias(f"{prefix}{c}") for c in right_cols
+    ]
+    out_cols.append(F.col(f"__match__.{ts_col}").alias(f"{prefix}{ts_col}"))
+    return matched.select(*out_cols)

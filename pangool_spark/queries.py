@@ -3197,6 +3197,38 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.unionByName(rest)
 
 
+@query(
+    "asof_join_events",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.value AS asof_value, c.ts AS asof_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with the user's most recent prior-or-equal
+    click — the as-of join, implemented as tagged-union + one keyed window
+    (one exchange, no range-join candidate blowup) and oracled against
+    DuckDB's native ASOF JOIN."""
+    from pangool_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, on="user_id", ts_col="ts")
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3259,6 +3291,7 @@ _ROTATED_PAST_WINDOW = [
     "epoch_shuffle_docs",     # portable-hash per-shard ordering window
     "compression_quality_docs",  # rows-only by design (deflate not in SQL)
     "training_prep_pipeline", # composes 4 already-oracled hash-det. stages
+    "asof_join_events",       # one-exchange tagged-union window form
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

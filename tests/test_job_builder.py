@@ -349,3 +349,53 @@ def test_vectorized_reducer_null_group_keys(spark):
     )
     got = {r.k: r.total for r in jb.to_dataframe().collect()}
     assert got == {None: 3, 1: 7, 2: 5}
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as dt
+
+    from pangool_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt(2024, 1, 1, 12, 0, 0)),
+            (2, 10, dt(2024, 1, 1, 12, 5, 0)),
+            (3, 20, dt(2024, 1, 1, 9, 0, 0)),   # before any right row → NULL
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, dt(2024, 1, 1, 11, 0, 0), 1.0),
+            (10, dt(2024, 1, 1, 12, 0, 0), 2.0),   # exact tie with left #1
+            (10, dt(2024, 1, 1, 12, 4, 0), 3.0),
+            (20, dt(2024, 1, 1, 10, 0, 0), 9.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, price DOUBLE",
+    )
+    rows = {r.event_id: r for r in asof_join(left, right, "user_id").collect()}
+    assert rows[1].asof_price == 2.0      # allow_exact: ties match
+    assert rows[2].asof_price == 3.0      # latest earlier row wins
+    assert rows[3].asof_price is None and rows[3].asof_ts is None
+    # strict: the equal-ts right row no longer matches
+    strict = {
+        r.event_id: r
+        for r in asof_join(left, right, "user_id", allow_exact=False).collect()
+    }
+    assert strict[1].asof_price == 1.0
+
+
+def test_asof_join_single_exchange(spark):
+    from datetime import datetime as dt
+
+    from pangool_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, dt(2024, 1, 1))], "event_id LONG, user_id LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [(10, dt(2024, 1, 1), 1.0)], "user_id LONG, ts TIMESTAMP, price DOUBLE"
+    )
+    plan = asof_join(left, right, "user_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # window form, not a join at all
