@@ -83,3 +83,35 @@ def cluster_by(df: DataFrame, keys: Sequence[str], n_partitions: int | None = No
     parts = [F.col(k) for k in keys]
     out = df.repartition(n_partitions, *parts) if n_partitions else df.repartition(*parts)
     return out.sortWithinPartitions(*parts)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_keys: Sequence[str],
+    n_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Write parquet RANGE-CLUSTERED on ``cluster_keys`` so point/range
+    scans prune at the FILE and ROW-GROUP level.
+
+    ``repartitionByRange`` gives each output file a disjoint key range,
+    and the within-partition sort makes every row group's parquet
+    min/max stats a tight, non-overlapping interval — so a filtered read
+    skips whole files (footer min/max) and whole row groups before any IO.
+    On an unclustered write every file spans the full key range and
+    nothing prunes. This is the scan-side complement to
+    ``write_bucketed`` (which optimizes the JOIN side): cluster the
+    columns you FILTER by, bucket the columns you JOIN by.
+
+    Range boundaries come from Spark's reservoir sampling of the keys, so
+    file sizes stay balanced under skew (a hot key concentrates into its
+    own range instead of silently bloating one hash bucket).
+    """
+    keys = [F.col(k) for k in cluster_keys]
+    staged = (
+        df.repartitionByRange(n_files, *keys)
+        if n_files
+        else df.repartitionByRange(*keys)
+    )
+    staged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)

@@ -3229,6 +3229,31 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="user_id", ts_col="ts")
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+@query(
+    "column_profile_docs",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS "min", CAST(MAX({c}) AS VARCHAR) AS "max"
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def column_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of every documents column (count /
+    nulls / exact NDV / min / max) — one scan, one Expand aggregate, no
+    per-column jobs."""
+    from pangool_spark.operators.profile import column_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return column_profile(docs, _PROFILE_COLS)
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3292,6 +3317,7 @@ _ROTATED_PAST_WINDOW = [
     "compression_quality_docs",  # rows-only by design (deflate not in SQL)
     "training_prep_pipeline", # composes 4 already-oracled hash-det. stages
     "asof_join_events",       # one-exchange tagged-union window form
+    "column_profile_docs",    # one-scan Expand aggregate profile
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

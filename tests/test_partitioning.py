@@ -76,3 +76,53 @@ def test_cluster_by_sorts_within_partitions(spark):
     out = cluster_by(df, ["k"], n_partitions=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan and "Sort [k" in plan
+
+def test_write_clustered_produces_disjoint_rowgroup_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from pangool_spark.operators.partitioning import write_clustered
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    # randomize input order so clustering, not arrival order, does the work
+    shuffled = df.orderBy(F.rand(seed=1))
+    path = str(tmp_path / "clustered")
+    write_clustered(shuffled, path, ["k"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            ranges.append((col.statistics.min, col.statistics.max))
+    assert len(ranges) >= 8
+    ranges.sort()
+    # tight, pairwise-disjoint min/max intervals = file/row-group pruning works
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping row-group ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # and the data round-trips complete
+    assert spark.read.parquet(path).count() == 20000
+
+
+def test_column_profile_exact_and_single_scan(spark):
+    from pangool_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5), (4, "a", 9.0)],
+        "k LONG, s STRING, v DOUBLE",
+    )
+    prof = {r.column: r for r in column_profile(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_null == 0
+    assert prof["k"].n_distinct == 3 and prof["k"].min == "1" and prof["k"].max == "4"
+    assert prof["s"].n_null == 1 and prof["s"].n_distinct == 2
+    assert prof["v"].n_null == 1 and prof["v"].min == "1.5"
+    # one pass: exactly one scan of the input relation in the plan
+    plan = column_profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    # approx mode drops the Expand (scale path for wide tables)
+    approx_plan = column_profile(df, exact=False)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" not in approx_plan
