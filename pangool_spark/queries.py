@@ -3254,6 +3254,38 @@ def column_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(docs, _PROFILE_COLS)
 
 
+@query(
+    "funnel_events",
+    """
+    WITH f AS (
+      SELECT user_id, ts,
+             CASE event_type WHEN 'view' THEN 'a' WHEN 'click' THEN 'b'
+                             WHEN 'purchase' THEN 'c' END AS l
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    seqs AS (
+      SELECT user_id, string_agg(l, '' ORDER BY ts, l) AS s FROM f GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN regexp_matches(s, 'a.*b.*c') THEN 3
+                WHEN regexp_matches(s, 'a.*b') THEN 2
+                WHEN regexp_matches(s, 'a') THEN 1
+                ELSE 0 END AS steps_completed
+    FROM seqs
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel depth per user: one shuffle, then a
+    JVM expression fold over each user's time-sorted funnel events. The
+    oracle states the same semantics independently (ordered event string +
+    subsequence regexes) — greedy cursor advance ≡ subsequence
+    embeddability, so the two formulations must agree exactly."""
+    from pangool_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3318,6 +3350,7 @@ _ROTATED_PAST_WINDOW = [
     "training_prep_pipeline", # composes 4 already-oracled hash-det. stages
     "asof_join_events",       # one-exchange tagged-union window form
     "column_profile_docs",    # one-scan Expand aggregate profile
+    "funnel_events",          # one-shuffle expression-fold sequence match
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

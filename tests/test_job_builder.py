@@ -399,3 +399,33 @@ def test_asof_join_single_exchange(spark):
     plan = asof_join(left, right, "user_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # window form, not a join at all
+
+
+def test_funnel_ordering_semantics(spark):
+    from datetime import datetime as dt
+
+    from pangool_spark.operators.funnel import funnel
+
+    t = lambda m: dt(2024, 1, 1, 12, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE click → depth 2 only
+        (2, t(0), "view"), (2, t(1), "purchase"), (2, t(2), "click"),
+        # user 3: starts mid-funnel → depth 0 prefix never opens
+        (3, t(0), "click"), (3, t(1), "purchase"),
+        # user 4: repeats help (view, view, click)
+        (4, t(0), "view"), (4, t(1), "view"), (4, t(2), "click"),
+        # user 5: unrelated events only → absent from output
+        (5, t(0), "signup"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, event_type STRING")
+    got = {r.user_id: r.steps_completed for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 0, 4: 2}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel(ev, [])
+    with _pytest.raises(ValueError):
+        funnel(ev, ["view", "view"])
