@@ -3286,6 +3286,48 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+@query(
+    "cohort_retention_events",
+    """
+    WITH signups AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+           CAST(date_diff('day', CAST(s.signup_ts AS DATE), CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN signups s USING (user_id)
+    WHERE e.ts >= s.signup_ts
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-signup week, counted
+    distinct per activity-week offset. Two partial-agg shuffles + one
+    equi-join on user_id (signup side is the small aggregate — Catalyst
+    broadcasts it); the classic product-analytics matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    return (
+        ev.join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy(
+            F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3351,6 +3393,7 @@ _ROTATED_PAST_WINDOW = [
     "asof_join_events",       # one-exchange tagged-union window form
     "column_profile_docs",    # one-scan Expand aggregate profile
     "funnel_events",          # one-shuffle expression-fold sequence match
+    "cohort_retention_events",  # join + double partial-agg matrix
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle
