@@ -146,6 +146,105 @@ def decode_and_featurize_images(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def _resize_nearest(img: "np.ndarray", tw: int, th: int) -> "np.ndarray":
+    """Deterministic nearest-neighbor resize (floor-center sampling):
+    out[y, x] = in[(y*H)//th, (x*W)//tw]."""
+    h, w = img.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return img[np.ix_(ys, xs)]
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int],
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    decoder: str = "auto",
+) -> DataFrame:
+    """Resize image payloads to ``target`` (width, height) → (id, payload,
+    width, height) with payload = raw row-major 8-bit grayscale bytes.
+
+    Decoders behind the SAME Arrow plumbing (mirrors
+    ``decode_and_featurize_images``'s seam):
+
+    - ``'raw'`` — REAL in-container path: payload is raw L8 bytes with
+      dimensions in ``width_col``/``height_col`` (the binary+metadata
+      multimodal column model); pure-numpy nearest-neighbor resize,
+      deterministic and value-testable.
+    - ``'pil'`` — real compressed-codec decode (PNG/JPEG) via PIL when
+      importable.
+    - ``'fake'`` — the deterministic 8×8 stub decode, then resize.
+    - ``'auto'`` — PIL when importable, else the raw path.
+
+    Nearest-neighbor (not bilinear) keeps the kernel integer-exact, so the
+    same bytes come out on every engine/BLAS — the property every other
+    oracle-checked operator here preserves.
+    """
+    tw, th = int(target[0]), int(target[1])
+    if tw <= 0 or th <= 0:
+        raise ValueError("target dims must be positive")
+    if decoder == "auto":
+        decoder = "pil" if image_codec_available() else "raw"
+    if decoder == "pil" and not image_codec_available():
+        raise NotImplementedError(
+            "PIL is not available; use decoder='raw' for raw-grayscale "
+            "payloads or 'fake' for the stub"
+        )
+    if decoder not in ("raw", "pil", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    cols = [id_col, payload_col] + (
+        [width_col, height_col] if decoder == "raw" else []
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                if decoder == "pil":
+                    # full-resolution decode, PIL's own resampler
+                    import io
+
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(payload)) as im:
+                        resized = np.asarray(
+                            im.convert("L").resize((tw, th), Image.NEAREST),
+                            dtype=np.uint8,
+                        )
+                else:
+                    if decoder == "raw":
+                        w, h = int(row[width_col]), int(row[height_col])
+                        img = np.frombuffer(payload, dtype=np.uint8)[: w * h].reshape(h, w)
+                    else:
+                        img = _fake_decode_image(payload).astype(np.uint8)
+                    resized = _resize_nearest(img, tw, th)
+                ids.append(row[id_col])
+                payloads.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": payloads,
+                    "width": [tw] * len(ids),
+                    "height": [th] * len(ids),
+                }
+            )
+
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
 def synthesize_y4m(
     frames: "list[np.ndarray]", fps: tuple[int, int] = (30, 1), colorspace: str = "mono"
 ) -> bytes:

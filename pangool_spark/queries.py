@@ -3328,6 +3328,37 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_POSITIONS = [16 * y + 2 * x + 1 for y in range(4) for x in range(4)]
+
+@query(
+    "resize_images_raw",
+    f"""
+    SELECT doc_id AS media_id,
+           hex(array_to_string(list_transform(
+               [{", ".join(map(str, _RESIZE_POSITIONS))}],
+               p -> substr(text, p, 1)), '')) AS resized_hex
+    FROM documents WHERE length(text) >= 64
+    """,
+)
+def resize_images_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: treat each document's first 64 utf8
+    bytes as an 8×8 raw grayscale image, nearest-neighbor downsample to
+    4×4 in the Arrow kernel, and compare the exact resized BYTES (hex)
+    against the oracle's closed-form floor-sampling (out[y,x] =
+    in[2y, 2x] → the 16 sampled character positions)."""
+    from pangool_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
+    out = resize_images(media, (4, 4), decoder="raw")
+    return out.select("media_id", F.hex("payload").alias("resized_hex"))
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3394,6 +3425,7 @@ _ROTATED_PAST_WINDOW = [
     "column_profile_docs",    # one-scan Expand aggregate profile
     "funnel_events",          # one-shuffle expression-fold sequence match
     "cohort_retention_events",  # join + double partial-agg matrix
+    "resize_images_raw",      # exact-bytes oracle for the raw resize kernel
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

@@ -198,3 +198,45 @@ def test_video_decoder_seam(spark):
 
         with pytest.raises(NotImplementedError):
             sample_video_frames(df, decoder="ffmpeg")
+
+
+def test_resize_raw_gray_real_decode(spark):
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import resize_images
+
+    # 4x4 gradient: pixel value = 16*row + col
+    img = np.array([[16 * r + c for c in range(4)] for r in range(4)], dtype=np.uint8)
+    const = np.full((3, 5), 7, dtype=np.uint8)  # non-square constant
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes()), 4, 4), (2, bytearray(const.tobytes()), 5, 3)],
+        "media_id LONG, payload BINARY, width INT, height INT",
+    )
+    out = {r.media_id: r for r in resize_images(df, (8, 8), decoder="raw").collect()}
+    assert all(r.width == 8 and r.height == 8 for r in out.values())
+    got = np.frombuffer(bytes(out[1].payload), dtype=np.uint8).reshape(8, 8)
+    # nearest-neighbor floor sampling: out[y,x] = in[y//2, x//2]
+    exp = img[np.ix_((np.arange(8) * 4) // 8, (np.arange(8) * 4) // 8)]
+    assert (got == exp).all()
+    # constant image stays constant under any resampling
+    got2 = np.frombuffer(bytes(out[2].payload), dtype=np.uint8)
+    assert (got2 == 7).all()
+
+
+def test_resize_images_decoder_seams(spark):
+    import pytest as _pytest
+
+    from pangool_spark.operators.multimodal import image_codec_available, resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01" * 16), 4, 4)],
+        "media_id LONG, payload BINARY, width INT, height INT",
+    )
+    # fake stub is deterministic and runs anywhere
+    r = resize_images(df, (4, 4), decoder="fake").collect()[0]
+    assert r.width == 4 and len(bytes(r.payload)) == 16
+    if not image_codec_available():
+        with _pytest.raises(NotImplementedError):
+            resize_images(df, (4, 4), decoder="pil").collect()
+    with _pytest.raises(ValueError):
+        resize_images(df, (0, 4), decoder="raw")
