@@ -74,6 +74,13 @@ EXTENDED = [
     "decontaminate_docs",
     "semantic_dedup_embeddings",
     "training_prep_pipeline",
+    "tf_idf_docs",
+    "epoch_shuffle_docs",
+    "asof_join_events",
+    "funnel_events",
+    "cohort_retention_events",
+    "column_profile_docs",
+    "resize_images_raw",
 ]
 
 RUNS_PER_QUERY = 3
