@@ -1,0 +1,63 @@
+"""Catalog-wide regression net, cheap enough for every pytest run.
+
+The driver's value gate runs at sf0.01 out-of-band; this test pins the two
+failure modes that historically slipped between rounds WITHOUT paying for
+value hashing:
+
+- a query that no longer ANALYZES (missing column, bad import, schema
+  drift) — caught by building every DataFrame;
+- Spark/oracle COLUMN-NAME drift (the q12 class of driver red: the compare
+  sorts columns by name, so one unaliased aggregate hash-mismatches even
+  with identical values) — caught by running every oracle on DuckDB at
+  sf0.001 (500-row tables, milliseconds each) and comparing column sets.
+"""
+
+import pytest
+
+from pangool_spark.queries import ORACLES, QUERIES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_catalog_is_well_formed():
+    assert set(ORACLES) <= set(QUERIES)
+    # rows-only entries are the documented, justified exceptions
+    assert set(QUERIES) - set(ORACLES) == {
+        "approx_distinct_parts",
+        "minhash_lsh_dedup_fast",
+        "compression_quality_docs",
+    }
+
+
+def test_every_query_analyzes_and_matches_oracle_columns(spark, sf_dir, duck):
+    problems = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            scols = sorted(df.columns)
+        except Exception as exc:  # noqa: BLE001 — collect every failure
+            problems.append(f"{name}: spark analysis failed: {exc!r:.150}")
+            continue
+        if name not in ORACLES:
+            continue
+        try:
+            rel = duck.execute(ORACLES[name])
+            dcols = sorted(d[0] for d in rel.description)
+        except Exception as exc:  # noqa: BLE001
+            problems.append(f"{name}: oracle SQL failed: {exc!r:.150}")
+            continue
+        if scols != dcols:
+            problems.append(f"{name}: columns spark={scols} oracle={dcols}")
+    assert not problems, "\n".join(problems)
