@@ -91,11 +91,14 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     prefix: str = "asof_",
     allow_exact: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: attach to every left row the LATEST right row with the
     same key and ``right.ts <= left.ts`` (``<`` when ``allow_exact=False``)
     — the time-series primitive (kdb `aj`, pandas ``merge_asof``) the
-    reference has no counterpart for.
+    reference has no counterpart for. ``direction='forward'`` mirrors:
+    the EARLIEST right row with ``right.ts >= left.ts`` (``>`` when
+    strict), via the same one-exchange plan with the sort reversed.
 
     Spark-first shape: NOT a range join (whose candidate set is every
     right row earlier than the left row — quadratic per hot key). The two
@@ -113,6 +116,8 @@ def asof_join(
     ``{prefix}{col}`` and the matched timestamp as ``{prefix}{ts_col}``
     (all NULL when no earlier right row exists — a LEFT as-of join).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}: backward|forward")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -139,9 +144,15 @@ def asof_join(
             right.select(payload).schema[0].dataType
         ).alias("__payload__"),
     )
+    # forward = backward mirrored in time: sort ts DESC so "running last
+    # non-null payload" becomes "earliest right row at-or-after the left
+    # row"; the side tie-order keeps the same ≤/< meaning under the flip.
+    ts_order = (
+        F.col("__ts__").asc() if direction == "backward" else F.col("__ts__").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
+        .orderBy(ts_order, F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -35,7 +35,9 @@ def asof_cases(draw):
             continue
         used.add((k, t))
         right.append((k, t, float(j)))
-    return left, right, draw(st.booleans())
+    return left, right, draw(st.booleans()), draw(
+        st.sampled_from(["backward", "forward"])
+    )
 
 
 @settings(
@@ -45,7 +47,7 @@ def asof_cases(draw):
 )
 @given(asof_cases())
 def test_asof_join_matches_pandas_merge_asof(spark, case):
-    left_rows, right_rows, allow_exact = case
+    left_rows, right_rows, allow_exact, direction = case
     left = spark.createDataFrame(left_rows, "event_id LONG, k LONG, ts LONG")
     right = spark.createDataFrame(
         right_rows or [(99, -1, 0.0)], "k LONG, ts LONG, price DOUBLE"
@@ -53,7 +55,8 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     got = {
         r.event_id: (r.asof_price, r.asof_ts)
         for r in asof_join(
-            left, right, on="k", ts_col="ts", allow_exact=allow_exact
+            left, right, on="k", ts_col="ts",
+            allow_exact=allow_exact, direction=direction,
         ).collect()
     }
 
@@ -63,7 +66,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     ).sort_values("ts")
     exp_df = pd.merge_asof(
         lp, rp, on="ts", by="k", allow_exact_matches=allow_exact,
-        suffixes=("", "_r"), direction="backward",
+        suffixes=("", "_r"), direction=direction,
     )
     # pandas drops the matched right ts; recover it by re-joining on price
     for _, row in exp_df.iterrows():
