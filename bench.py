@@ -81,6 +81,7 @@ EXTENDED = [
     "cohort_retention_events",
     "column_profile_docs",
     "resize_images_raw",
+    "lm_perplexity_docs",
 ]
 
 RUNS_PER_QUERY = 3

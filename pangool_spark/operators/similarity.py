@@ -590,3 +590,37 @@ def ivf_assign(
         cand = F.struct(score.alias("score"), F.lit(ci).alias("cell"))
         best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
     return df.withColumn(out_col, best["cell"])
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fit k-means and return centroids as plain lists — the concrete
+    "at real scale centroids come from a sampled k-means fit" path that
+    ``ivf_assign`` / ``ivf_topk`` / ``semantic_dedup`` document.
+
+    Spark-first: MLlib's KMeans (k-means||, JVM, seeded) rather than a
+    hand-rolled Lloyd loop. ``sample_fraction`` fits on a deterministic
+    sample (seeded) — at 100 TB the fit runs on a few million vectors,
+    never the corpus; assignment afterwards is the cheap broadcast pass.
+    Returned centroids are plan literals, so downstream queries stay
+    deterministic GIVEN the fit (the fit itself is seeded but depends on
+    partitioning — pin centroids when oracle-checking downstream ops).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "features"
+        )
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]

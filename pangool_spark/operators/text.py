@@ -277,6 +277,68 @@ def repetition_stats(
     )
 
 
+def lm_perplexity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-bigram language-model perplexity per document — the
+    CCNet/FineWeb-style fluency signal (docs whose character transitions
+    are improbable under the corpus's own statistics are noise/gibberish),
+    self-trained in the same plan: no external model file.
+
+    Two aggregation passes over exploded bigrams (both partial-combined
+    map-side: the model is |alphabet|² rows, vanishing next to the corpus)
+    build P(c₂|c₁) = cnt(c₁c₂)/cnt(c₁·); the tiny model broadcasts back
+    onto the document bigram stream; per-doc avg ln P and its exp(-·)
+    perplexity close the plan. Scores are float aggregates (reduction
+    order nondeterministic) — quality-signal semantics, verified by
+    ordering properties rather than a value oracle, like
+    ``compression_quality``.
+
+    Output: (id, n_bigrams, avg_logprob, perplexity); documents shorter
+    than 2 normalized chars are absent.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # Bigrams via adjacent-slice zip of the char ARRAY — linear per doc.
+    # (substr(i, 2) inside a positional transform is O(len) per call →
+    # O(len²) per document, the exact trap the winnowing kernel fixed.)
+    chars = F.split(F.col("__t__"), "")
+    bigram_arr = F.zip_with(
+        F.slice(chars, F.lit(1), F.size(chars) - 1),
+        F.slice(chars, F.lit(2), F.size(chars) - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    doc_bg = (
+        df.select(F.col(id_col), norm.alias("__t__"))
+        .filter(F.length("__t__") >= 2)
+        .select(F.col(id_col), F.explode(bigram_arr).alias("bigram"))
+    )
+    bg_counts = doc_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__nb__"))
+    prefix_counts = (
+        doc_bg.select(F.substring("bigram", 1, 1).alias("__c1__"))
+        .groupBy("__c1__")
+        .agg(F.count(F.lit(1)).alias("__nc__"))
+    )
+    model = bg_counts.join(
+        prefix_counts, F.substring("bigram", 1, 1) == F.col("__c1__")
+    ).select(
+        "bigram", (F.log(F.col("__nb__") / F.col("__nc__"))).alias("__lp__")
+    )
+    return (
+        doc_bg.join(F.broadcast(model), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("__lp__").alias("avg_logprob"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
+    )
+
+
 def compression_quality(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

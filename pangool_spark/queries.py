@@ -3359,6 +3359,21 @@ def resize_images_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", F.hex("payload").alias("resized_hex"))
 
 
+# No oracle by design: float aggregates over a nondeterministic reduction
+# order (the model join + per-doc avg) — quality-signal semantics pinned by
+# ordering-property tests instead, same justification class as
+# compression_quality_docs.
+@query("lm_perplexity_docs")
+def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained character-bigram LM perplexity per document (CCNet-style
+    fluency filter): two partial-agg passes build the |alphabet|² model,
+    which broadcasts back onto the bigram stream."""
+    from pangool_spark.operators.text import lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs)
+
+
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
 # rows-only driver check pins schema + distributed execution; VALUES are
 # pinned by tests/test_text.py ordering/edge-case assertions (same
@@ -3433,6 +3448,7 @@ _ROTATED_PAST_WINDOW = [
     "moving_avg_events",      # r04-green; window family stays covered
     "windowed_agg_events",    # r04-green; streaming trio stays covered
     "anti_join_no_orders",    # r04-green; anti-join exercised by dedup suite
+    "lm_perplexity_docs",     # rows-only by design (float-agg order)
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

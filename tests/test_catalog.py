@@ -38,6 +38,7 @@ def test_catalog_is_well_formed():
         "approx_distinct_parts",
         "minhash_lsh_dedup_fast",
         "compression_quality_docs",
+        "lm_perplexity_docs",
     }
 
 

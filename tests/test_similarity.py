@@ -84,3 +84,31 @@ def test_ivf_assign(spark):
     )
     out = {r.vec_id: r.cell for r in ivf_assign(emb, [[1.0, 0.0], [0.0, 1.0]]).collect()}
     assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_kmeans_centroids_feed_ivf_and_semantic_dedup(spark):
+    import numpy as np
+
+    from pangool_spark.operators.dedup import semantic_dedup
+    from pangool_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    rng = np.random.RandomState(0)
+    blob_a = rng.normal([10, 0, 0, 0], 0.1, (30, 4))
+    blob_b = rng.normal([0, 10, 0, 0], 0.1, (30, 4))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([blob_a, blob_b]))]
+    # planted near-dup pair inside blob A
+    rows.append((100, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    cents = kmeans_centroids(df, k=2, max_iter=10)
+    assert len(cents) == 2 and len(cents[0]) == 4
+    # the two centers land near the blob means (order unknown)
+    norms = sorted(round(max(c), 0) for c in cents)
+    assert norms == [10.0, 10.0]
+
+    assigned = ivf_assign(df, cents)
+    n_cells = assigned.select("cell").distinct().count()
+    assert n_cells == 2
+
+    survivors = {r.vec_id for r in semantic_dedup(df, cents, threshold=0.999).collect()}
+    assert 0 in survivors and 100 not in survivors  # planted dup dropped

@@ -215,3 +215,28 @@ def test_compression_quality_orders_repetitive_below_prose(spark):
     # zero shuffles: pure map-side projection
     plan = compression_quality(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_perplexity_flags_gibberish(spark):
+    from pangool_spark.operators.text import lm_perplexity
+
+    prose = "the quick brown fox jumps over the lazy dog and then the dog sleeps"
+    docs = spark.createDataFrame(
+        [
+            (1, prose),
+            (2, "the dog and the fox and the dog"),   # common transitions
+            (3, "zq xj qz jx zx qj zzq xxj"),          # rare transitions
+            (4, "a"),                                  # too short → absent
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert 4 not in rows
+    # gibberish is less probable than common-transition text under the
+    # corpus's own bigram statistics
+    assert rows[3].avg_logprob < rows[2].avg_logprob
+    assert rows[3].perplexity > rows[2].perplexity
+    # bigram accounting: len(normalized)-1 per doc
+    assert rows[1].n_bigrams == len(prose) - 1
+    # sanity: probabilities, so avg logprob ≤ 0 and perplexity ≥ 1
+    assert all(r.avg_logprob <= 0 and r.perplexity >= 1 for r in rows.values())
