@@ -1,38 +1,71 @@
 """Tuple-file viewer utility.
 
 Ref ``EX/TupleViewer.java:25-34``: dump a tuple file's schema and contents
-for debugging. Spark-first: reads through ``read_tuples`` (so sidecar
-schemas, evolution, and globbing all apply) and returns formatted lines
-instead of printing, so it is scriptable and testable.
+for debugging. Two paths:
+
+- ``view_tuples(spark, path)`` — Spark-first: reads through
+  ``read_tuples`` (sidecar schemas, evolution, globbing all apply) and
+  returns formatted lines.
+- ``view_tuples(path)`` / the CLI — pyarrow footer-only fast path: no JVM,
+  answers in milliseconds like the reference's local reader (spinning up a
+  Spark session to eyeball ten rows is the wrong tool).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import sys
 
-from pangool_spark.sources.tuplefile import read_tuples
+from pyspark.sql import SparkSession
 
 
 def view_tuples(
-    spark: SparkSession, path: str, limit: int = 20, truncate: int = 60
+    spark_or_path: "SparkSession | str",
+    path: str | None = None,
+    limit: int = 20,
+    truncate: int = 60,
 ) -> str:
-    """Render schema + up to ``limit`` rows of a tuple file as text."""
-    df = read_tuples(spark, path)
+    """Render schema + up to ``limit`` rows of a tuple file as text.
+
+    Pass ``(spark, path)`` for the Spark read (evolution-aware), or just
+    ``(path)`` for the sessionless pyarrow fast path.
+    """
+    if isinstance(spark_or_path, str):
+        return _view_tuples_arrow(spark_or_path, limit)
+    from pangool_spark.sources.tuplefile import read_tuples
+
+    df = read_tuples(spark_or_path, path)
     header = df.schema.simpleString()
     body = df._show_string(limit, truncate, False)
     return f"{path}\n{header}\n{body}"
 
 
-def main() -> None:  # pragma: no cover - thin CLI
-    import sys
+def _view_tuples_arrow(path: str, n: int) -> str:
+    import pyarrow.dataset as ds
 
-    from pangool_spark.session import get_spark
+    dataset = ds.dataset(path, format="parquet")
+    schema = dataset.schema
+    lines = [f"schema ({len(schema)} fields):"]
+    for field in schema:
+        nullable = "?" if field.nullable else ""
+        lines.append(f"  {field.name}: {field.type}{nullable}")
+    rows = dataset.head(n).to_pylist()
+    lines.append(f"first {n} rows of {path}:")
+    if not rows:
+        lines.append("  (empty)")
+    for row in rows:
+        lines.append("  " + ", ".join(f"{k}={v!r}" for k, v in row.items()))
+    return "\n".join(lines)
 
-    if len(sys.argv) < 2:
-        raise SystemExit("usage: python -m pangool_spark.viewer <path> [limit]")
-    spark = get_spark("tuple_viewer")
-    print(view_tuples(spark, sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 20))
+
+def main(argv: list[str] | None = None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print("usage: python -m pangool_spark.viewer <path> [limit]", file=sys.stderr)
+        return 2
+    n = int(args[1]) if len(args) > 1 else 20
+    print(view_tuples(args[0], limit=n))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -425,3 +425,19 @@ def test_jsonl_corrupt_line_policies(spark, tmp):
         read_jsonl(spark, path, schema=target, on_corrupt="strict").collect()
     with _pytest.raises(ValueError):
         read_jsonl(spark, path, schema=target, on_corrupt="nope")
+
+
+def test_tuple_viewer_cli(spark, tmp, capsys):
+    import os
+
+    from pangool_spark.viewer import main, view_tuples
+
+    path = os.path.join(tmp, "view_me")
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a INT, b STRING")
+    write_tuples(df, path)
+    out = view_tuples(path, limit=5)
+    assert "a: int32" in out and "b: string" in out
+    assert "a=1" in out and "b='x'" in out and "b=None" in out
+    assert main([path, "1"]) == 0
+    assert "schema (2 fields)" in capsys.readouterr().out
+    assert main([]) == 2
