@@ -82,6 +82,7 @@ EXTENDED = [
     "column_profile_docs",
     "resize_images_raw",
     "lm_perplexity_docs",
+    "incremental_dedup_batch",
 ]
 
 RUNS_PER_QUERY = 3

@@ -217,6 +217,112 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def ngram_jaccard_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    new_shingles: DataFrame | None = None,
+    ref_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new ingest batch and an existing reference
+    corpus — the incremental regime: at 100 TB you never re-pair the
+    historical corpus against itself, you compare the day's increment
+    against the standing shingle index (which this function's
+    ``ref_shingles`` argument lets you persist and reuse across batches).
+
+    Same inverted-index equi-join + size-ratio prune as
+    ``ngram_jaccard_pairs``, but the two join sides are different
+    relations, so candidate traffic is |new|·fanout, not |corpus|².
+    ``max_df`` prunes hot shingles by their document frequency in the
+    REFERENCE index, and the same hot-shingle set is removed from the new
+    side, keeping both sizes over one shingle universe (exact,
+    oracle-checkable Jaccard). Id spaces must be disjoint.
+
+    Output: (id_new, id_ref, jaccard).
+    """
+    if new_shingles is not None:
+        new_sh = new_shingles
+    else:
+        new_sh = shingles(new_df, id_col, text_col, n, hashed=True).cache()
+        new_sh.count()
+    if ref_shingles is not None:
+        ref_sh = ref_shingles
+    else:
+        ref_sh = shingles(ref_df, id_col, text_col, n, hashed=True).cache()
+        ref_sh.count()
+    if max_df is not None:
+        hot = (
+            ref_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_df)
+            .select("shingle")
+        )
+        ref_sh = ref_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+            ref_sh.columns
+        ).cache()
+        new_sh = new_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+            new_sh.columns
+        ).cache()
+        ref_sh.count(), new_sh.count()
+    sizes_new = new_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_ref = ref_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ref"))
+    a = new_sh.select(F.col(id_col).alias("id_new"), F.xxhash64("shingle").alias("__sh__"))
+    b = ref_sh.select(F.col(id_col).alias("id_ref"), F.xxhash64("shingle").alias("__sh__"))
+    common = (
+        a.join(b, "__sh__")
+        .groupBy("id_new", "id_ref")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes_new.withColumnRenamed(id_col, "id_new"), "id_new")
+        .join(sizes_ref.withColumnRenamed(id_col, "id_ref"), "id_ref")
+        .filter(
+            F.least("n_new", "n_ref") >= F.lit(threshold) * F.greatest("n_new", "n_ref")
+        )
+        .select(
+            "id_new",
+            "id_ref",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_new") + F.col("n_ref") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Admit only the batch rows that duplicate NOTHING in the standing
+    corpus: exact content-digest matches and n-gram-Jaccard ≥ threshold
+    near-dups are both dropped. The daily-ingest composition of
+    ``exact_dedup``'s digest anti-join and ``ngram_jaccard_against``.
+    (Batch-internal duplicates are deliberately out of scope — run
+    ``exact_dedup``/``near_dedup_survivors`` on the batch first.)"""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    seen = corpus.select(F.md5(normalized).alias("__digest__")).distinct()
+    fresh = (
+        batch.withColumn("__digest__", F.md5(normalized))
+        .join(seen, "__digest__", "left_anti")
+        .drop("__digest__")
+    )
+    near = ngram_jaccard_against(
+        fresh, corpus, id_col, text_col, n, threshold, max_df=max_df
+    ).select(F.col("id_new").alias(id_col)).distinct()
+    return fresh.join(near, id_col, "left_anti")
+
+
 MINHASH_PRIME = (1 << 31) - 1
 
 

@@ -3359,6 +3359,49 @@ def resize_images_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", F.hex("payload").alias("resized_hex"))
 
 
+@query(
+    "incremental_dedup_batch",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    seen AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS dg FROM documents WHERE doc_id < 400
+    ),
+    fresh AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id >= 400 AND md5({_NORM_SQL}) NOT IN (SELECT dg FROM seen)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams_all GROUP BY doc_id),
+    near AS (
+      SELECT DISTINCT a.doc_id AS id_new FROM grams_all a
+      JOIN grams_all b ON a.shingle = b.shingle
+      JOIN fresh f ON f.doc_id = a.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      WHERE b.doc_id < 400
+      GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.5
+    )
+    SELECT f.doc_id, f.lang, f.source FROM fresh f
+    WHERE NOT EXISTS (SELECT 1 FROM near WHERE near.id_new = f.doc_id)
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup regime: docs with id ≥ 400 are the new batch,
+    the rest the standing corpus; batch rows exactly or nearly (3-gram
+    Jaccard ≥ 0.5) duplicating the CORPUS are dropped. The pair join runs
+    new-batch × index — never corpus × corpus — which is what makes dedup
+    sustainable at a 100 TB standing corpus with daily increments."""
+    from pangool_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        threshold=0.5,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # No oracle by design: float aggregates over a nondeterministic reduction
 # order (the model join + per-doc avg) — quality-signal semantics pinned by
 # ordering-property tests instead, same justification class as
@@ -3449,6 +3492,7 @@ _ROTATED_PAST_WINDOW = [
     "windowed_agg_events",    # r04-green; streaming trio stays covered
     "anti_join_no_orders",    # r04-green; anti-join exercised by dedup suite
     "lm_perplexity_docs",     # rows-only by design (float-agg order)
+    "incremental_dedup_batch",  # batch × index join, never corpus²
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

@@ -387,3 +387,30 @@ def test_semantic_dedup_no_cartesian(spark):
     )
     plan = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], 0.99)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_against_corpus(spark):
+    from pangool_spark.operators.dedup import incremental_dedup, ngram_jaccard_against
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different historical document about query planning"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick brown fox jumps over the lazy dog again today"),  # exact dup (normalized)
+            (11, "the quick brown fox jumps over the sleepy dog again today"), # near dup of 1
+            (12, "a brand new document with entirely novel content and words"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = incremental_dedup(batch, corpus, threshold=0.5)
+    assert sorted(r.doc_id for r in out.collect()) == [12]
+    assert out.columns == batch.columns
+    # the pair stage reports which corpus doc the near-dup hit
+    pairs = ngram_jaccard_against(batch, corpus, threshold=0.5).collect()
+    assert {(p.id_new, p.id_ref) for p in pairs} >= {(11, 1)}
+    assert all(0 < p.jaccard <= 1 for p in pairs)
