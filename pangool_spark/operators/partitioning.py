@@ -115,3 +115,60 @@ def write_clustered(
         else df.repartitionByRange(*keys)
     )
     staged.sortWithinPartitions(*keys).write.mode(mode).parquet(path)
+
+
+def diagnose_skew(
+    df: DataFrame, keys: Sequence[str], top: int = 10
+) -> DataFrame:
+    """Hot-key report for a prospective shuffle key: the ``top`` heaviest
+    key groups with row count and share of total — the question to ask
+    BEFORE a groupBy/join ships 100 TB on that key (answers whether you
+    need ``salted_agg``, AQE skew-join, or a different key). One
+    partial-agg shuffle + a broadcast scalar; deterministic tie-break on
+    the key values.
+
+    Output: keys..., n_rows, share (of all rows), rank.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.select(F.count(F.lit(1)).alias("__total__"))
+    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_rows") / F.col("__total__"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(*keys, "n_rows", "share", "rank")
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    mode: str = "error",
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb`` files — the
+    small-files maintenance job every long-lived 100 TB table needs
+    (footer/open overhead and scheduler pressure scale with FILE COUNT,
+    not bytes; streaming sinks and fine-grained partitioning leave
+    thousands of KB-sized parts behind).
+
+    File count is computed from the dataset's actual on-disk bytes, and
+    the rewrite uses ``coalesce`` (narrow — no shuffle: existing
+    partitions concatenate into fewer write tasks). Returns the target
+    file count.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+
+    files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
+    return n_files

@@ -3402,6 +3402,29 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+@query(
+    "skew_report_lineitem",
+    """
+    SELECT l_suppkey, n_rows,
+           CAST(n_rows AS DOUBLE) / (SELECT COUNT(*) FROM lineitem) AS share,
+           CAST(rn AS INT) AS rank
+    FROM (
+      SELECT l_suppkey, COUNT(*) AS n_rows,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, l_suppkey ASC) AS rn
+      FROM lineitem GROUP BY l_suppkey
+    ) WHERE rn <= 10
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report for lineitem's supplier key — the pre-shuffle skew
+    question, answered with one partial-agg shuffle and a deterministic
+    tie-break."""
+    from pangool_spark.operators.partitioning import diagnose_skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return diagnose_skew(li, ["l_suppkey"], top=10)
+
+
 # No oracle by design: float aggregates over a nondeterministic reduction
 # order (the model join + per-doc avg) — quality-signal semantics pinned by
 # ordering-property tests instead, same justification class as
@@ -3493,6 +3516,7 @@ _ROTATED_PAST_WINDOW = [
     "anti_join_no_orders",    # r04-green; anti-join exercised by dedup suite
     "lm_perplexity_docs",     # rows-only by design (float-agg order)
     "incremental_dedup_batch",  # batch × index join, never corpus²
+    "skew_report_lineitem",   # partial-agg + broadcast-scalar hot-key report
     "stratified_sample_docs", # per-stratum member-set oracle
     "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
     "hash_sample_docs",       # zero-shuffle projections; exact-member oracle

@@ -126,3 +126,28 @@ def test_column_profile_exact_and_single_scan(spark):
     # approx mode drops the Expand (scale path for wide tables)
     approx_plan = column_profile(df, exact=False)._jdf.queryExecution().optimizedPlan().toString()
     assert "Expand" not in approx_plan
+
+
+def test_diagnose_skew_reports_hot_keys(spark):
+    from pangool_spark.operators.partitioning import diagnose_skew
+
+    rows = [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k LONG")
+    out = diagnose_skew(df, ["k"], top=2).collect()
+    assert [(r.k, r.n_rows, r.rank) for r in out] == [(1, 70, 1), (2, 20, 2)]
+    assert abs(out[0].share - 0.7) < 1e-12
+
+
+def test_compact_small_files(spark, tmp_path):
+    import glob
+
+    from pangool_spark.operators.partitioning import compact_small_files
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    spark.range(0, 10000).repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 32
+    n = compact_small_files(spark, src, dst, target_mb=128)
+    assert n == 1
+    assert len(glob.glob(dst + "/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == 10000
