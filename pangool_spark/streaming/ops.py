@@ -177,3 +177,29 @@ def stream_dedup(
         df = df.withWatermark(ts_col, watermark)
         return df.dropDuplicatesWithinWatermark(list(keys))
     return df.dropDuplicates(list(keys))
+
+
+def stream_dedup_against(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming INCREMENTAL exact dedup: drop arriving documents whose
+    normalized content digest already exists in a STANDING (static)
+    corpus — the ingest-time half of ``dedup.incremental_dedup``.
+
+    Shape: a stream-static LEFT ANTI join on the 16-byte md5 digest. The
+    static side is the (small) distinct digest relation, not the corpus
+    itself, so it broadcasts; no streaming state at all (unlike
+    ``stream_dedup``, which keeps per-key state for WITHIN-stream dupes —
+    compose both for the full ingest pipeline). Works identically on a
+    batch DataFrame, which is how the parity test pins it against
+    ``incremental_dedup``'s exact stage.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    seen = corpus.select(F.md5(norm).alias("__digest__")).distinct()
+    return (
+        stream.withColumn("__digest__", F.md5(norm))
+        .join(F.broadcast(seen), "__digest__", "left_anti")
+        .drop("__digest__")
+    )

@@ -181,3 +181,34 @@ def test_contamination_filter_stream_matches_batch(spark, tmp_path_factory):
     q.awaitTermination(60)
     got = sorted(r.doc_id for r in spark.table("decontam_stream").collect())
     assert got == [2, 3]
+
+
+def test_stream_dedup_against_standing_corpus(spark, tmp_path_factory):
+    from pangool_spark.streaming.ops import stream_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "already ingested document text")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALREADY   ingested document text"),  # dup after normalization
+            (11, "genuinely new arrival"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # batch path parity
+    assert [r.doc_id for r in stream_dedup_against(batch, corpus).collect()] == [11]
+    # real micro-batch stream
+    path = str(tmp_path_factory.mktemp("ingest_stream"))
+    batch.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        stream_dedup_against(sdf, corpus)
+        .writeStream.format("memory")
+        .queryName("ingest_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert [r.doc_id for r in spark.table("ingest_dedup").collect()] == [11]
