@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pangool_spark.operators.norm import content_digest, normalized_tokens
+
 
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
@@ -37,10 +39,7 @@ def shingles(
     shingles."""
     from pyspark.ml.feature import NGram
 
-    tokens = F.filter(
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
-        lambda t: t != "",
-    )
+    tokens = normalized_tokens(text_col)
     # Spread the explode fan-out across the cluster BEFORE it happens: a
     # compact source (few parquet files) otherwise runs the whole shingle
     # generation in as many tasks as input splits.
@@ -77,8 +76,7 @@ def exact_dedup(
     representative is the min (or max) id. Returns the surviving rows of
     ``df``.
     """
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    digest = F.md5(normalized).alias("__digest__")
+    digest = content_digest(text_col).alias("__digest__")
     keep_fn = F.min if keep == "min" else F.max
     reps = (
         df.select(digest, F.col(id_col))
@@ -303,22 +301,37 @@ def incremental_dedup(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    seen_digests: DataFrame | None = None,
+    ref_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only the batch rows that duplicate NOTHING in the standing
     corpus: exact content-digest matches and n-gram-Jaccard ≥ threshold
     near-dups are both dropped. The daily-ingest composition of
     ``exact_dedup``'s digest anti-join and ``ngram_jaccard_against``.
     (Batch-internal duplicates are deliberately out of scope — run
-    ``exact_dedup``/``near_dedup_survivors`` on the batch first.)"""
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    seen = corpus.select(F.md5(normalized).alias("__digest__")).distinct()
+    ``exact_dedup``/``near_dedup_survivors`` on the batch first.)
+
+    ``seen_digests`` (a (__digest__) relation) and ``ref_shingles`` (a
+    ``shingles(hashed=...)`` relation) are the PERSISTED-INDEX inputs: the
+    standing corpus's digest set and shingle index should be computed once,
+    stored, and passed here per batch — without them every daily call
+    re-shingles and re-digests the whole corpus, which defeats the
+    incremental regime. Build them with ``content_digest`` / ``shingles``
+    and append the admitted batch's rows after each ingest.
+    """
+    seen = (
+        seen_digests
+        if seen_digests is not None
+        else corpus.select(content_digest(text_col).alias("__digest__")).distinct()
+    )
     fresh = (
-        batch.withColumn("__digest__", F.md5(normalized))
+        batch.withColumn("__digest__", content_digest(text_col))
         .join(seen, "__digest__", "left_anti")
         .drop("__digest__")
     )
     near = ngram_jaccard_against(
-        fresh, corpus, id_col, text_col, n, threshold, max_df=max_df
+        fresh, corpus, id_col, text_col, n, threshold,
+        max_df=max_df, ref_shingles=ref_shingles,
     ).select(F.col("id_new").alias(id_col)).distinct()
     return fresh.join(near, id_col, "left_anti")
 
@@ -834,10 +847,7 @@ def contamination_filter(
     )
     overlap_count = membership_overlap_udf(bench_set)
 
-    toks = F.filter(
-        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
-        lambda t: t != "",
-    )
+    toks = normalized_tokens(text_col)
     # mirror shingles(): docs shorter than n contribute their whole token
     # string as one shingle
     grams = F.when(

@@ -122,15 +122,18 @@ def _alternating_stars(
     subtract-join; a 128-bit-ish scalar fingerprint is one aggregate, and
     a false "converged" needs a sum collision across two iterations of the
     same shrinking edge multiset (~2⁻⁶⁴)."""
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertex universe from the UNFILTERED list: a vertex whose only edges
+    # are self-loops must still appear (as its own singleton component),
+    # matching the label algorithm's contract on identical input
+    all_vertices = (
+        raw.select(F.col("u").alias("vertex"))
+        .unionByName(raw.select(F.col("v").alias("vertex")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_vertices = (
-        e.select(F.col("u").alias("vertex"))
-        .unionByName(e.select(F.col("v").alias("vertex")))
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

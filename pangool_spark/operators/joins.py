@@ -155,10 +155,25 @@ def asof_join(
         .orderBy(ts_order, F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # SQL equality semantics for the join key: a NULL key matches NOTHING
+    # (Window.partitionBy would otherwise group all NULL keys into one
+    # partition and match them to each other — unlike DuckDB ASOF JOIN and
+    # pandas merge_asof). Null-keyed left rows bypass the window and come
+    # back with NULL payloads; null-keyed right rows are dropped outright.
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
     matched = (
-        tagged_r.unionByName(tagged_l)
+        tagged_r.filter(~null_key)
+        .unionByName(tagged_l.filter(~null_key))
         .withColumn("__match__", F.last("__payload__", ignorenulls=True).over(w))
         .filter(F.col("__side__") == 1)
+        .unionByName(
+            tagged_l.filter(null_key).withColumn(
+                "__match__", F.col("__payload__")  # typed NULL struct
+            )
+        )
     )
     out_cols = [F.col(f"__left__.{c}").alias(c) for c in left.columns]
     out_cols += [

@@ -132,7 +132,9 @@ def diagnose_skew(
     from pyspark.sql import Window
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = df.select(F.count(F.lit(1)).alias("__total__"))
+    # denominator from the aggregate itself (|distinct keys| rows), NOT a
+    # second full scan of the input table
+    total = counts.agg(F.sum("n_rows").alias("__total__"))
     w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
     return (
         counts.crossJoin(F.broadcast(total))
@@ -156,19 +158,28 @@ def compact_small_files(
     not bytes; streaming sinks and fine-grained partitioning leave
     thousands of KB-sized parts behind).
 
-    File count is computed from the dataset's actual on-disk bytes, and
-    the rewrite uses ``coalesce`` (narrow — no shuffle: existing
-    partitions concatenate into fewer write tasks). Returns the target
-    file count.
+    File count is computed from the dataset's actual on-disk bytes via the
+    Hadoop FileSystem API — so any scheme Spark can read (file://, hdfs://,
+    s3a://) works, not just the driver's local disk. The rewrite uses
+    ``coalesce`` (narrow — no shuffle: existing partitions concatenate into
+    fewer write tasks). Returns the target file count.
     """
-    import glob as _glob
     import math
-    import os as _os
 
-    files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-    if not files:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"no such path {path}")
+    total_bytes, n_parquet = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total_bytes += status.getLen()
+            n_parquet += 1
+    if n_parquet == 0:
         raise FileNotFoundError(f"no parquet files under {path}")
-    total_bytes = sum(_os.path.getsize(f) for f in files)
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
     return n_files

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pangool_spark.operators.norm import normalized_text, normalized_tokens
+
 # Tiny per-language stopword marker lists for the n-gram/stopword heuristic
 # language id. Deliberately small + deterministic (no external model).
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -73,15 +75,7 @@ def tf_idf(
     terms = (
         df.select(
             F.col(id_col),
-            F.explode(
-                F.filter(
-                    F.split(
-                        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-                        " ",
-                    ),
-                    lambda t: t != "",
-                )
-            ).alias("term"),
+            F.explode(normalized_tokens(text_col)).alias("term"),
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -297,7 +291,7 @@ def lm_perplexity(
     Output: (id, n_bigrams, avg_logprob, perplexity); documents shorter
     than 2 normalized chars are absent.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = normalized_text(text_col)
     # Bigrams via adjacent-slice zip of the char ARRAY — linear per doc.
     # (substr(i, 2) inside a positional transform is O(len) per call →
     # O(len²) per document, the exact trap the winnowing kernel fixed.)
@@ -367,7 +361,7 @@ def fingerprint(
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key. Content-defined
     rolling-hash chunking lives in ``dedup.shingle`` (n-gram shingles)."""
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    normalized = normalized_text(text_col)
     return df.select(F.col(id_col), F.md5(normalized).alias(out_col))
 
 

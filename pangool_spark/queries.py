@@ -3337,7 +3337,9 @@ _RESIZE_POSITIONS = [16 * y + 2 * x + 1 for y in range(4) for x in range(4)]
            hex(array_to_string(list_transform(
                [{", ".join(map(str, _RESIZE_POSITIONS))}],
                p -> substr(text, p, 1)), '')) AS resized_hex
-    FROM documents WHERE length(text) >= 64
+    FROM documents
+    WHERE length(text) >= 64
+      AND NOT regexp_matches(substr(text, 1, 64), '[^\\x00-\\x7F]')
     """,
 )
 def resize_images_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3345,10 +3347,17 @@ def resize_images_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes as an 8×8 raw grayscale image, nearest-neighbor downsample to
     4×4 in the Arrow kernel, and compare the exact resized BYTES (hex)
     against the oracle's closed-form floor-sampling (out[y,x] =
-    in[2y, 2x] → the 16 sampled character positions)."""
+    in[2y, 2x] → the 16 sampled character positions). Both sides pin the
+    window to ASCII explicitly: the Spark side samples BYTES and the
+    oracle samples CHARACTERS, equivalent only when char == byte — the
+    guard keeps the oracle honest if the corpus ever grows multi-byte
+    text."""
     from pangool_spark.operators.multimodal import resize_images
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 64)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        & ~F.substring("text", 1, 64).rlike("[^\\x00-\\x7F]")
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),

@@ -196,10 +196,11 @@ def stream_dedup_against(
     batch DataFrame, which is how the parity test pins it against
     ``incremental_dedup``'s exact stage.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    seen = corpus.select(F.md5(norm).alias("__digest__")).distinct()
+    from pangool_spark.operators.norm import content_digest
+
+    seen = corpus.select(content_digest(text_col).alias("__digest__")).distinct()
     return (
-        stream.withColumn("__digest__", F.md5(norm))
+        stream.withColumn("__digest__", content_digest(text_col))
         .join(F.broadcast(seen), "__digest__", "left_anti")
         .drop("__digest__")
     )

@@ -40,9 +40,20 @@ def view_tuples(
 
 
 def _view_tuples_arrow(path: str, n: int) -> str:
+    import glob as _glob
+
     import pyarrow.dataset as ds
 
-    dataset = ds.dataset(path, format="parquet")
+    # pyarrow does not expand globs, but the Spark path always did (and the
+    # CLI advertises it) — expand here so `viewer '/data/part-*.parquet'`
+    # keeps working
+    source: "str | list[str]" = path
+    if any(ch in path for ch in "*?["):
+        matches = sorted(_glob.glob(path))
+        if not matches:
+            raise FileNotFoundError(f"no files match {path}")
+        source = matches
+    dataset = ds.dataset(source, format="parquet")
     schema = dataset.schema
     lines = [f"schema ({len(schema)} fields):"]
     for field in schema:

@@ -414,3 +414,31 @@ def test_incremental_dedup_against_corpus(spark):
     pairs = ngram_jaccard_against(batch, corpus, threshold=0.5).collect()
     assert {(p.id_new, p.id_ref) for p in pairs} >= {(11, 1)}
     assert all(0 < p.jaccard <= 1 for p in pairs)
+
+
+def test_incremental_dedup_with_persisted_index(spark):
+    from pangool_spark.operators.dedup import incremental_dedup, shingles
+    from pangool_spark.operators.norm import content_digest
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely different historical document about query planning"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick brown fox jumps over the lazy dog again today"),
+            (11, "the quick brown fox jumps over the sleepy dog again today"),
+            (12, "a brand new document with entirely novel content and words"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # persisted-index path: digests + shingle index computed once up front
+    seen = corpus.select(content_digest("text").alias("__digest__")).distinct()
+    idx = shingles(corpus, hashed=True)
+    via_index = incremental_dedup(
+        batch, corpus, threshold=0.5, seen_digests=seen, ref_shingles=idx
+    )
+    assert sorted(r.doc_id for r in via_index.collect()) == [12]

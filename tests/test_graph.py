@@ -89,3 +89,13 @@ def test_star_on_string_vertex_ids(spark):
         "x": "x",
         "y": "x",
     }
+
+
+def test_star_keeps_self_loop_only_vertices(spark):
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "id_a LONG, id_b LONG")
+    for algo in ("label", "star"):
+        comps = {
+            r.vertex: r.component
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert comps == {1: 1, 2: 1, 5: 5}, algo

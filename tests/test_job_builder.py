@@ -429,3 +429,23 @@ def test_funnel_ordering_semantics(spark):
         funnel(ev, [])
     with _pytest.raises(ValueError):
         funnel(ev, ["view", "view"])
+
+
+def test_asof_join_null_keys_match_nothing(spark):
+    from datetime import datetime as dt
+
+    from pangool_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, dt(2024, 1, 1, 12)), (2, 10, dt(2024, 1, 1, 12))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(None, dt(2024, 1, 1, 11), 9.9), (10, dt(2024, 1, 1, 11), 1.0)],
+        "user_id LONG, ts TIMESTAMP, price DOUBLE",
+    )
+    rows = {r.event_id: r for r in asof_join(left, right, "user_id").collect()}
+    # SQL equality: NULL keys never match (DuckDB ASOF / merge_asof parity)
+    assert rows[1].asof_price is None and rows[1].asof_ts is None
+    assert rows[2].asof_price == 1.0
+    assert len(rows) == 2  # null-keyed left row is preserved, not dropped

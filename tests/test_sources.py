@@ -441,3 +441,18 @@ def test_tuple_viewer_cli(spark, tmp, capsys):
     assert main([path, "1"]) == 0
     assert "schema (2 fields)" in capsys.readouterr().out
     assert main([]) == 2
+
+
+def test_tuple_viewer_glob_path(spark, tmp):
+    import os
+
+    from pangool_spark.viewer import view_tuples
+
+    path = os.path.join(tmp, "glob_me")
+    write_tuples(spark.createDataFrame([(7, "z")], "a INT, b STRING"), path)
+    out = view_tuples(os.path.join(path, "*.parquet"), limit=5)
+    assert "a=7" in out
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        view_tuples(os.path.join(path, "nope-*.parquet"))
