@@ -317,7 +317,11 @@ def incremental_dedup(
     stored, and passed here per batch — without them every daily call
     re-shingles and re-digests the whole corpus, which defeats the
     incremental regime. Build them with ``content_digest`` / ``shingles``
-    and append the admitted batch's rows after each ingest.
+    and append the admitted batch's rows after each ingest — but
+    MATERIALIZE the returned DataFrame (checkpoint/collect/write) BEFORE
+    appending: the plan reads the index lazily, so appending first makes
+    every admitted row anti-join against its own freshly-written digest on
+    re-evaluation (see the lifecycle test).
     """
     seen = (
         seen_digests

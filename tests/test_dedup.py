@@ -442,3 +442,60 @@ def test_incremental_dedup_with_persisted_index(spark):
         batch, corpus, threshold=0.5, seen_digests=seen, ref_shingles=idx
     )
     assert sorted(r.doc_id for r in via_index.collect()) == [12]
+
+
+def test_incremental_dedup_index_lifecycle_across_batches(spark, tmp_path):
+    """The operational loop: persist the standing digest+shingle index,
+    reload it, ingest batch 1, APPEND the admitted rows' index entries,
+    then ingest batch 2 — a batch-2 doc duplicating an ADMITTED batch-1
+    doc must be caught by the appended index without ever re-reading the
+    corpus text."""
+    import os
+
+    from pangool_spark.operators.dedup import incremental_dedup, shingles
+    from pangool_spark.operators.norm import content_digest
+    from pangool_spark.sources.tuplefile import read_tuples, write_tuples
+
+    dig_path = os.path.join(str(tmp_path), "digests")
+    idx_path = os.path.join(str(tmp_path), "shingle_index")
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id LONG, text STRING",
+    )
+    write_tuples(
+        corpus.select(content_digest("text").alias("__digest__")).distinct(), dig_path
+    )
+    write_tuples(shingles(corpus, hashed=True), idx_path)
+
+    def ingest(batch):
+        seen = read_tuples(spark, dig_path)
+        idx = read_tuples(spark, idx_path)
+        admitted = incremental_dedup(
+            batch, corpus, threshold=0.5, seen_digests=seen, ref_shingles=idx
+        ).localCheckpoint(eager=True)  # MATERIALIZE before appending: the
+        # plan lazily re-reads the index paths, so writing first would make
+        # each admitted row anti-join against its own freshly-written digest
+        # append the admitted rows' index entries for the next batch
+        write_tuples(
+            admitted.select(content_digest("text").alias("__digest__")).distinct(),
+            dig_path, mode="append",
+        )
+        write_tuples(shingles(admitted, hashed=True), idx_path, mode="append")
+        return sorted(r.doc_id for r in admitted.collect())
+
+    batch1 = spark.createDataFrame(
+        [(10, "a totally new training document about shuffle planning")],
+        "doc_id LONG, text STRING",
+    )
+    assert ingest(batch1) == [10]
+
+    batch2 = spark.createDataFrame(
+        [
+            (20, "A totally NEW training document about shuffle planning"),  # exact dup of 10
+            (21, "a totally new training document about shuffle exchanges"), # near dup of 10
+            (22, "something else entirely unrelated to anything prior"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    assert ingest(batch2) == [22]
