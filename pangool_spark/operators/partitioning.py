@@ -183,3 +183,67 @@ def compact_small_files(
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
     return n_files
+
+
+def zorder_value(
+    cols: Sequence[str],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) key over numeric columns: each value is bucketed
+    into ``2^bits`` levels over its [min, max] range, and the bucket bits
+    of all columns are interleaved into one LONG. Rows close in EVERY
+    dimension get close z-values, so range-clustering by this key gives
+    file/row-group pruning on ALL the interleaved columns at once —
+    1-D clustering prunes only its leading column (Delta's OPTIMIZE
+    ZORDER, as a plain column expression).
+
+    Ranges are caller-supplied (one cheap agg, or known domain bounds):
+    the expression stays deterministic and usable in any plan. Bit budget:
+    ``bits × len(cols)`` ≤ 63.
+    """
+    if not cols or len(cols) != len(mins) or len(cols) != len(maxs):
+        raise ValueError("cols/mins/maxs must be same nonzero length")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*len(cols) must fit a LONG, got {bits * len(cols)}")
+    levels = 1 << bits
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        b = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * levels)
+        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(levels - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for ci, b in enumerate(buckets):
+            src = F.shiftright(b, bit).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(src, bit * n + ci))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "error",
+) -> None:
+    """``write_clustered`` generalized to multiple filter dimensions:
+    range-partition + sort on the Morton key so every file covers a small
+    HYPER-RECTANGLE of the key space — filters on ANY z-ordered column
+    prune files, not just the first."""
+    z = zorder_value(cols, mins, maxs, bits).alias("__z__")
+    staged = df.withColumn("__z__", z)
+    staged = (
+        staged.repartitionByRange(n_files, "__z__")
+        if n_files
+        else staged.repartitionByRange("__z__")
+    )
+    staged.sortWithinPartitions("__z__").drop("__z__").write.mode(mode).parquet(path)

@@ -151,3 +151,63 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(dst + "/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == 10000
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pangool_spark.operators.partitioning import write_clustered, write_zordered
+
+    # 64x64 grid, shuffled arrival order
+    df = (
+        spark.range(0, 4096)
+        .select((F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+        .orderBy(F.rand(seed=3))
+    )
+
+    def file_boxes(path):
+        boxes = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+            xs, ys = [], []
+            for rg in range(md.num_row_groups):
+                sx = md.row_group(rg).column(cols["x"]).statistics
+                sy = md.row_group(rg).column(cols["y"]).statistics
+                xs += [sx.min, sx.max]
+                ys += [sy.min, sy.max]
+            boxes.append(((min(xs), max(xs)), (min(ys), max(ys))))
+        return boxes
+
+    def files_hit(boxes, dim, lo, hi):
+        return sum(1 for b in boxes if not (b[dim][1] < lo or b[dim][0] > hi))
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], mins=[0, 0], maxs=[64, 64], bits=6, n_files=16)
+    write_clustered(df, lpath, ["x"], n_files=16)
+
+    zboxes, lboxes = file_boxes(zpath), file_boxes(lpath)
+    assert len(zboxes) >= 8 and len(lboxes) >= 8
+    # filter on the SECOND dimension: x-clustering prunes nothing, z-order
+    # touches only the files whose y-range intersects
+    y_query = files_hit(zboxes, 1, 0, 15)
+    y_query_linear = files_hit(lboxes, 1, 0, 15)
+    assert y_query_linear == len(lboxes)          # every file spans all y
+    assert y_query <= len(zboxes) // 2            # z-order prunes ≥ half
+    # and the first dimension still prunes too
+    assert files_hit(zboxes, 0, 0, 15) <= len(zboxes) // 2
+    # data integrity
+    assert spark.read.parquet(zpath).count() == 4096
+
+
+def test_zorder_value_validation(spark):
+    import pytest as _pytest
+
+    from pangool_spark.operators.partitioning import zorder_value
+
+    with _pytest.raises(ValueError):
+        zorder_value(["a"], [0], [1, 2])
+    with _pytest.raises(ValueError):
+        zorder_value(["a", "b", "c"], [0] * 3, [1] * 3, bits=22)
