@@ -243,3 +243,23 @@ def test_tf_idf_partial_aggregation(spark, sf):
     plan = _plan(tf_idf(docs))
     # both aggs pre-combine map-side (hot stop-terms never concentrate raw)
     assert plan.count("partial_count") >= 2
+
+
+def test_funnel_single_exchange(spark, sf):
+    from pangool_spark.operators.funnel import funnel
+    from pangool_spark.data import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    # one hash exchange for the per-key grouping; the fold is an expression
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cohort_retention_broadcasts_signup_aggregate(spark, sf):
+    from pangool_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cohort_retention_events"](spark, sf))
+    # the per-user signup aggregate is small → broadcast side of the join;
+    # the raw events table never shuffles for the join itself
+    assert "BroadcastHashJoin" in plan
