@@ -537,6 +537,85 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_against(
+    new_df: DataFrame,
+    ref_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int | None = 16,
+    threshold: float = 0.5,
+    new_signatures: DataFrame | None = None,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs between a NEW batch and a PERSISTED
+    signature index — the sketch-index counterpart of
+    ``ngram_jaccard_against``: the standing corpus keeps only
+    ``num_hashes`` longs per document (built once with
+    ``minhash_signatures`` and stored), so incremental near-dedup never
+    re-reads or re-shingles corpus text at all.
+
+    ``ref_signatures`` must have (id, signature) with the SAME
+    ``num_hashes``/``hash_family``/``n`` the index was built with — the
+    banding recomputed here is deterministic in the signature alone, so
+    mixed parameters silently produce garbage (validated on length at
+    plan time). Id spaces must be disjoint.
+
+    Output: (id_new, id_ref, est_jaccard ≥ threshold).
+    """
+    if bands is None:
+        bands, _ = minhash_params_for_threshold(threshold, num_hashes)
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    if new_signatures is not None:
+        sig_new = new_signatures
+    else:
+        sig_new = minhash_signatures(
+            new_df, id_col, text_col, n, num_hashes, None, hash_family
+        ).cache()
+        sig_new.count()
+    # plan-time length validation: a wrong-num_hashes index fails loudly
+    sig_ref = ref_signatures.filter(F.size("signature") == num_hashes)
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.hash(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    candidates = (
+        banded(sig_new, "id_new")
+        .join(banded(sig_ref, "id_ref"), ["band_idx", "band_hash"])
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    sa = sig_new.select(F.col(id_col).alias("id_new"), F.col("signature").alias("sig_a"))
+    sb = sig_ref.select(F.col(id_col).alias("id_ref"), F.col("signature").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ).cast("double") / F.lit(num_hashes)
+    return (
+        candidates.join(sa, "id_new")
+        .join(sb, "id_ref")
+        .select("id_new", "id_ref", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

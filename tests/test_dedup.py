@@ -499,3 +499,40 @@ def test_incremental_dedup_index_lifecycle_across_batches(spark, tmp_path):
         "doc_id LONG, text STRING",
     )
     assert ingest(batch2) == [22]
+
+
+def test_minhash_lsh_against_equals_self_join_cross_pairs(spark):
+    """Cross-relation banding must agree exactly with the oracled self-join
+    form restricted to (batch, corpus) pairs — same signatures, same bands,
+    same estimate."""
+    from pangool_spark.operators.dedup import (
+        minhash_lsh_against,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "ancient unrelated text about btree indexes and vacuum")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [(10, base.replace("lazy", "sleepy")), (11, "wholly novel content here")],
+        "doc_id LONG, text STRING",
+    )
+    ref_sigs = minhash_signatures(corpus)
+    got = {
+        (r.id_new, r.id_ref): round(r.est_jaccard, 9)
+        for r in minhash_lsh_against(batch, ref_sigs, threshold=0.3).collect()
+    }
+    both = corpus.unionByName(batch)
+    expected = {
+        (r.id_b, r.id_a): round(r.est_jaccard, 9)
+        for r in minhash_lsh_pairs(both, threshold=0.3).collect()
+        if r.id_a <= 2 and r.id_b >= 10  # cross pairs only (id_a < id_b)
+    }
+    assert got == expected and (10, 1) in got
+
+    # wrong-num_hashes index fails loudly (empty, not garbage)
+    short_sigs = minhash_signatures(corpus, num_hashes=32)
+    assert minhash_lsh_against(batch, short_sigs, num_hashes=64).count() == 0
