@@ -128,6 +128,16 @@ def diagnose_skew(
     the key values.
 
     Output: keys..., n_rows, share (of all rows), rank.
+
+    The top-``top`` selection is a DISTRIBUTED top-k
+    (``orderBy(...).limit(top)`` plans TakeOrderedAndProject: each task
+    keeps its local top-k, the driver merges heaps) — NOT a global
+    ``row_number`` window, which would funnel every distinct key through
+    one task: with a high-cardinality key (user_id, url) at 100 TB the
+    counts relation is billions of rows, and a single-partition window in
+    the skew DIAGNOSER would itself be the straggler. The rank column is
+    attached afterwards over the ≤``top`` surviving rows (already one
+    sorted partition, so no extra exchange).
     """
     from pyspark.sql import Window
 
@@ -135,12 +145,13 @@ def diagnose_skew(
     # denominator from the aggregate itself (|distinct keys| rows), NOT a
     # second full scan of the input table
     total = counts.agg(F.sum("n_rows").alias("__total__"))
-    w = Window.orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+    order = [F.col("n_rows").desc(), *[F.col(k).asc() for k in keys]]
+    top_rows = counts.orderBy(*order).limit(top)
+    w = Window.orderBy(*order)
     return (
-        counts.crossJoin(F.broadcast(total))
+        top_rows.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
         .withColumn("share", F.col("n_rows") / F.col("__total__"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top)
         .select(*keys, "n_rows", "share", "rank")
     )
 
@@ -160,29 +171,40 @@ def compact_small_files(
 
     File count is computed from the dataset's actual on-disk bytes via the
     Hadoop FileSystem API — so any scheme Spark can read (file://, hdfs://,
-    s3a://) works, not just the driver's local disk. The rewrite uses
-    ``coalesce`` (narrow — no shuffle: existing partitions concatenate into
-    fewer write tasks). Returns the target file count.
+    s3a://) works, not just the driver's local disk. When the target is
+    FEWER files than the scan's partitions the rewrite uses ``coalesce``
+    (narrow — no shuffle: existing partitions concatenate into fewer write
+    tasks); when it is MORE (a few huge files being split back toward the
+    target size), ``coalesce`` cannot raise partition count, so the
+    rewrite falls back to a ``repartition`` shuffle. Returns the number of
+    parquet files actually written (counted from ``out_path``, not the
+    computed target — empty tasks can write fewer).
     """
     import math
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        raise FileNotFoundError(f"no such path {path}")
-    total_bytes, n_parquet = 0, 0
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        status = it.next()
-        if status.getPath().getName().endswith(".parquet"):
-            total_bytes += status.getLen()
-            n_parquet += 1
+    def _scan(p):
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            raise FileNotFoundError(f"no such path {p}")
+        total_bytes, n_parquet = 0, 0
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            status = it.next()
+            if status.getPath().getName().endswith(".parquet"):
+                total_bytes += status.getLen()
+                n_parquet += 1
+        return total_bytes, n_parquet
+
+    total_bytes, n_parquet = _scan(path)
     if n_parquet == 0:
         raise FileNotFoundError(f"no parquet files under {path}")
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    spark.read.parquet(path).coalesce(n_files).write.mode(mode).parquet(out_path)
-    return n_files
+    df = spark.read.parquet(path)
+    cur_partitions = df.rdd.getNumPartitions()
+    staged = df.coalesce(n_files) if n_files <= cur_partitions else df.repartition(n_files)
+    staged.write.mode(mode).parquet(out_path)
+    return _scan(out_path)[1]
 
 
 def zorder_value(

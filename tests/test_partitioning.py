@@ -138,6 +138,31 @@ def test_diagnose_skew_reports_hot_keys(spark):
     assert abs(out[0].share - 0.7) < 1e-12
 
 
+def test_diagnose_skew_uses_distributed_topk(spark, sf_dir):
+    """The hot-key selection must be a distributed top-k
+    (TakeOrderedAndProject), never a partition-less row_number window that
+    funnels every distinct key through one task — the skew diagnoser must
+    not itself be a skew victim at high key cardinality."""
+    from pangool_spark.operators.partitioning import diagnose_skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        diagnose_skew(li, ["l_suppkey"], top=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    window_at = next(i for i, l in enumerate(lines) if "Window" in l)
+    topk_at = next(i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l)
+    # the rank window consumes the ≤top-row top-k output DIRECTLY: no
+    # Exchange between them (the remaining SinglePartition exchange in the
+    # plan is the scalar total's partial→merge aggregate, which moves 32
+    # one-row partials, not the counts relation)
+    assert topk_at > window_at
+    assert not any("Exchange" in l for l in lines[window_at + 1 : topk_at])
+
+
 def test_compact_small_files(spark, tmp_path):
     import glob
 
@@ -151,6 +176,29 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(dst + "/*.parquet")) == 1
     assert spark.read.parquet(dst).count() == 10000
+
+
+def test_compact_small_files_can_split_big_files(spark, tmp_path):
+    """coalesce cannot RAISE partition count: when the target exceeds the
+    scan's partitions (huge files being split back toward target_mb), the
+    rewrite must repartition, and the return value is the count of files
+    actually written."""
+    import glob
+
+    from pangool_spark.operators.partitioning import compact_small_files
+
+    src = str(tmp_path / "one_big")
+    dst = str(tmp_path / "split")
+    # random doubles defeat parquet compression → a few MB in ONE file
+    spark.range(0, 1_500_000).select(
+        F.col("id"), F.rand(seed=7).alias("x"), F.rand(seed=8).alias("y")
+    ).coalesce(1).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 1
+    n = compact_small_files(spark, src, dst, target_mb=2)
+    written = len(glob.glob(dst + "/*.parquet"))
+    assert n == written
+    assert written > 1
+    assert spark.read.parquet(dst).count() == 1_500_000
 
 
 def test_zorder_prunes_on_both_dimensions(spark, tmp_path):

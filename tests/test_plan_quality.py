@@ -245,12 +245,28 @@ def test_tf_idf_partial_aggregation(spark, sf):
     assert plan.count("partial_count") >= 2
 
 
-def test_funnel_single_exchange(spark, sf):
+def test_funnel_stepwise_bounded_memory_plan(spark, sf):
+    """Default funnel mode: every per-step aggregate pre-combines map-side
+    (partial_min — per-key task state is ONE timestamp, so a bot key with
+    millions of events can't OOM a task), all joins are equi-joins on the
+    key, and no Python evaluator appears anywhere."""
     from pangool_spark.operators.funnel import funnel
     from pangool_spark.data import load_table
 
     ev = load_table(spark, sf, "events")
     plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    assert "partial_min" in plan
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_fold_single_exchange(spark, sf):
+    from pangool_spark.operators.funnel import funnel
+    from pangool_spark.data import load_table
+
+    ev = load_table(spark, sf, "events")
+    plan = _plan(funnel(ev, ["view", "click", "purchase"], mode="fold"))
     # one hash exchange for the per-key grouping; the fold is an expression
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

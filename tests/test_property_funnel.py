@@ -49,8 +49,12 @@ def test_funnel_matches_python_reference(spark, events):
     df = spark.createDataFrame(
         events or [(0, 0, "x")], "user_id LONG, ts LONG, event_type STRING"
     )
-    got = {
-        r.user_id: r.steps_completed
-        for r in funnel(df, STEPS, ts_col="ts").collect()
-    }
-    assert got == python_funnel(events or [(0, 0, "x")])
+    expected = python_funnel(events or [(0, 0, "x")])
+    # both modes must agree with the greedy reference — stepwise is the
+    # bounded-memory default, fold the single-exchange alternative
+    for mode in ("stepwise", "fold"):
+        got = {
+            r.user_id: r.steps_completed
+            for r in funnel(df, STEPS, ts_col="ts", mode=mode).collect()
+        }
+        assert got == expected, mode
