@@ -17,6 +17,36 @@ from pyspark.sql import functions as F
 
 from pangool_spark.operators.norm import content_digest, normalized_tokens
 
+# Every intermediate these operators cache (shingle relations, signatures,
+# candidate pairs) is registered here so long-lived sessions can evict them:
+# the daily-ingest loop calls an operator like ngram_jaccard_against once per
+# batch, and without eviction each batch's cached relations accumulate in
+# executor storage memory for the life of the session. Callers should invoke
+# ``release_caches()`` after consuming a returned DataFrame (materialize
+# first — the returned plan READS these caches, so releasing early just
+# recomputes). ``queries.clear_shingle_cache`` calls this too.
+_ACTIVE_CACHES: list = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    """cache + register for ``release_caches`` eviction."""
+    _ACTIVE_CACHES.append(df.cache())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup operators in this
+    process. Returns the number of relations evicted. Safe to call with a
+    stopped session."""
+    n = len(_ACTIVE_CACHES)
+    for df in _ACTIVE_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to unpersist
+    _ACTIVE_CACHES.clear()
+    return n
+
 
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
@@ -171,12 +201,12 @@ def ngram_jaccard_pairs(
     if shingles_df is not None:
         sh = shingles_df
     else:
-        sh = shingles(df, id_col, text_col, n, hashed=True).cache()
+        sh = _cache(shingles(df, id_col, text_col, n, hashed=True))
         sh.count()
     if max_df is not None:
         # cache the pruned relation too: it feeds three plan branches (two
         # join sides + sizes) and the anti-join would re-run per branch
-        sh = prune_hot_shingles(sh, max_df).cache()
+        sh = _cache(prune_hot_shingles(sh, max_df))
         sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # Join on a 64-bit hash of the shingle, not the string: the self-join
@@ -245,12 +275,12 @@ def ngram_jaccard_against(
     if new_shingles is not None:
         new_sh = new_shingles
     else:
-        new_sh = shingles(new_df, id_col, text_col, n, hashed=True).cache()
+        new_sh = _cache(shingles(new_df, id_col, text_col, n, hashed=True))
         new_sh.count()
     if ref_shingles is not None:
         ref_sh = ref_shingles
     else:
-        ref_sh = shingles(ref_df, id_col, text_col, n, hashed=True).cache()
+        ref_sh = _cache(shingles(ref_df, id_col, text_col, n, hashed=True))
         ref_sh.count()
     if max_df is not None:
         hot = (
@@ -259,12 +289,12 @@ def ngram_jaccard_against(
             .filter(F.col("__df__") > max_df)
             .select("shingle")
         )
-        ref_sh = ref_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+        ref_sh = _cache(ref_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
             ref_sh.columns
-        ).cache()
-        new_sh = new_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
+        ))
+        new_sh = _cache(new_sh.join(F.broadcast(hot), "shingle", "left_anti").select(
             new_sh.columns
-        ).cache()
+        ))
         ref_sh.count(), new_sh.count()
     sizes_new = new_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
     sizes_ref = ref_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ref"))
@@ -493,9 +523,9 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
+    sig = _cache(minhash_signatures(
         df, id_col, text_col, n, num_hashes, shingles_df, hash_family
-    ).cache()
+    ))
     # Materialize the signature cache eagerly: the banding join + estimate
     # then plan against the short InMemoryRelation instead of one giant DAG
     # (shingle explode → 64-agg → posexplode → self-join → zip_with), which
@@ -519,8 +549,8 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .cache()
     )
+    candidates = _cache(candidates)
     # Materialize: AQE's broadcast-stage materialization re-executes uncached
     # subtrees once per join stage otherwise.
     candidates.count()
@@ -559,8 +589,12 @@ def minhash_lsh_against(
     ``ref_signatures`` must have (id, signature) with the SAME
     ``num_hashes``/``hash_family``/``n`` the index was built with — the
     banding recomputed here is deterministic in the signature alone, so
-    mixed parameters silently produce garbage (validated on length at
-    plan time). Id spaces must be disjoint.
+    mixed parameters produce garbage. Signature LENGTH is enforced at
+    execution time: any index row with a different length raises (a
+    silently-dropped mismatch would empty the pair set and admit every
+    duplicate). Same-length/different-family mismatches are undetectable
+    from the data — record the build parameters next to the index.
+    Id spaces must be disjoint.
 
     Output: (id_new, id_ref, est_jaccard ≥ threshold).
     """
@@ -572,12 +606,30 @@ def minhash_lsh_against(
     if new_signatures is not None:
         sig_new = new_signatures
     else:
-        sig_new = minhash_signatures(
+        sig_new = _cache(minhash_signatures(
             new_df, id_col, text_col, n, num_hashes, None, hash_family
-        ).cache()
+        ))
         sig_new.count()
-    # plan-time length validation: a wrong-num_hashes index fails loudly
-    sig_ref = ref_signatures.filter(F.size("signature") == num_hashes)
+    # Execution-time length validation: any index row whose signature length
+    # differs from num_hashes raises — a silently-filtered mismatch would
+    # DISABLE near-dedup (empty pair set → every duplicate admitted), the
+    # worst possible failure mode for a mis-parameterized persisted index.
+    sig_ref = ref_signatures.withColumn(
+        "signature",
+        F.when(F.size("signature") == num_hashes, F.col("signature")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "minhash_lsh_against: ref_signatures row has signature "
+                        "length "
+                    ),
+                    F.size("signature").cast("string"),
+                    F.lit(f", expected num_hashes={num_hashes}; the persisted "
+                          "index was built with different parameters"),
+                )
+            )
+        ),
+    )
 
     def banded(sig: DataFrame, out_id: str) -> DataFrame:
         return sig.select(
@@ -697,7 +749,7 @@ def simhash_pairs(
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
-    fp = simhash(df, id_col, text_col).cache()
+    fp = _cache(simhash(df, id_col, text_col))
     fp.count()  # materialize before the self-join (see minhash_lsh_pairs)
     width = 64 // blocks
     chunks = fp.select(

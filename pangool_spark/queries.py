@@ -1471,6 +1471,8 @@ def clear_shingle_cache(spark: SparkSession | None = None) -> int:
     (or bench.py between sections) should call this once a dedup workload
     finishes so the cached relations can't pin storage memory. Returns the
     number of entries evicted."""
+    from pangool_spark.operators.dedup import release_caches
+
     n = len(_SHINGLE_CACHE)
     for df in _SHINGLE_CACHE.values():
         try:
@@ -1478,7 +1480,9 @@ def clear_shingle_cache(spark: SparkSession | None = None) -> int:
         except Exception:
             pass  # session already stopped; nothing to unpersist
     _SHINGLE_CACHE.clear()
-    return n
+    # the dedup operators register their own intermediates (batch shingles,
+    # signatures, candidate pairs) — evict those too, same lifecycle
+    return n + release_caches()
 
 
 def _doc_shingles(

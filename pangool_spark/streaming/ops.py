@@ -183,24 +183,34 @@ def stream_dedup_against(
     stream: DataFrame,
     corpus: DataFrame,
     text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Streaming INCREMENTAL exact dedup: drop arriving documents whose
     normalized content digest already exists in a STANDING (static)
     corpus — the ingest-time half of ``dedup.incremental_dedup``.
 
     Shape: a stream-static LEFT ANTI join on the 16-byte md5 digest. The
-    static side is the (small) distinct digest relation, not the corpus
-    itself, so it broadcasts; no streaming state at all (unlike
-    ``stream_dedup``, which keeps per-key state for WITHIN-stream dupes —
-    compose both for the full ingest pipeline). Works identically on a
-    batch DataFrame, which is how the parity test pins it against
-    ``incremental_dedup``'s exact stage.
+    static side is the distinct digest relation, not the corpus itself;
+    no streaming state at all (unlike ``stream_dedup``, which keeps
+    per-key state for WITHIN-stream dupes — compose both for the full
+    ingest pipeline). Works identically on a batch DataFrame, which is
+    how the parity test pins it against ``incremental_dedup``'s exact
+    stage.
+
+    ``broadcast=True`` (default) hints the digest set to every task —
+    right while it fits executor memory (16 bytes × distinct docs: ~1.6 GB
+    per 10^8 docs). Against a truly 100 TB standing corpus the distinct
+    digests are billions of rows / tens of GB, where a forced broadcast
+    OOMs the driver: pass ``broadcast=False`` to fall back to a shuffled
+    stream-static anti-join (each micro-batch shuffles on the digest).
     """
     from pangool_spark.operators.norm import content_digest
 
     seen = corpus.select(content_digest(text_col).alias("__digest__")).distinct()
+    if broadcast:
+        seen = F.broadcast(seen)
     return (
         stream.withColumn("__digest__", content_digest(text_col))
-        .join(F.broadcast(seen), "__digest__", "left_anti")
+        .join(seen, "__digest__", "left_anti")
         .drop("__digest__")
     )

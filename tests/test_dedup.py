@@ -533,6 +533,8 @@ def test_minhash_lsh_against_equals_self_join_cross_pairs(spark):
     }
     assert got == expected and (10, 1) in got
 
-    # wrong-num_hashes index fails loudly (empty, not garbage)
+    # wrong-num_hashes index RAISES: a silently-dropped mismatch would
+    # empty the pair set and admit every duplicate
     short_sigs = minhash_signatures(corpus, num_hashes=32)
-    assert minhash_lsh_against(batch, short_sigs, num_hashes=64).count() == 0
+    with pytest.raises(Exception, match="num_hashes"):
+        minhash_lsh_against(batch, short_sigs, num_hashes=64).count()

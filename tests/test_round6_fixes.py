@@ -1,0 +1,63 @@
+"""Round-6 advice fixes: dedup cache lifecycle, streaming broadcast
+opt-out."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_dedup_release_caches_evicts_batch_intermediates(spark):
+    """ngram_jaccard_against caches its shingle intermediates; in the
+    daily-ingest loop those must be evictable between batches or storage
+    memory grows without bound across the session."""
+    from pangool_spark.operators import dedup
+
+    dedup.release_caches()  # clean slate
+    new_df = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    ref_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon eta")], "doc_id LONG, text STRING"
+    )
+    out = dedup.ngram_jaccard_against(new_df, ref_df, threshold=0.3)
+    out.count()  # materialize THROUGH the caches first
+    assert len(dedup._ACTIVE_CACHES) >= 2
+    cached = list(dedup._ACTIVE_CACHES)
+    released = dedup.release_caches()
+    assert released == len(cached)
+    assert dedup._ACTIVE_CACHES == []
+    for df in cached:
+        level = df.storageLevel
+        assert not (level.useMemory or level.useDisk)
+
+
+def test_clear_shingle_cache_releases_dedup_caches(spark):
+    from pangool_spark.operators import dedup
+    from pangool_spark.queries import clear_shingle_cache
+
+    dedup.release_caches()
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id LONG, text STRING")
+    dedup.ngram_jaccard_pairs(df, threshold=0.9).count()
+    assert len(dedup._ACTIVE_CACHES) >= 1
+    assert clear_shingle_cache(spark) >= 1
+    assert dedup._ACTIVE_CACHES == []
+
+
+def test_stream_dedup_against_shuffle_fallback_parity(spark):
+    """broadcast=False must return the identical survivor set via a
+    shuffled anti-join — the fallback for digest sets too big to
+    broadcast (billions of rows at a 100 TB standing corpus)."""
+    from pangool_spark.streaming.ops import stream_dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "seen text one"), (2, "seen text two")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [(10, "Seen   text ONE"), (11, "genuinely new"), (12, "seen text two")],
+        "doc_id LONG, text STRING",
+    )
+    expect = [11]
+    for bc in (True, False):
+        got = sorted(
+            r.doc_id for r in stream_dedup_against(batch, corpus, broadcast=bc).collect()
+        )
+        assert got == expect, f"broadcast={bc}"
