@@ -791,16 +791,16 @@ def near_dedup_clusters(
     method: str = "jaccard",
     max_df: int | None = None,
     shingles_df: DataFrame | None = None,
-    cc_algorithm: str = "label",
+    cc_algorithm: str = "auto",
 ) -> DataFrame:
     """Cluster-aware near-dedup: pair detection → connected components →
     keep one representative (min id) per duplicate CLUSTER.
 
     Greedy pair-dropping misses transitive duplicates (a≈b, b≈c, a̸≈c keeps
     a and c); connected components merge the chain. ``cc_algorithm``
-    selects ``label`` (propagation, rounds = cluster diameter — the
-    default; duplicate clusters are shallow) or ``star`` (alternating
-    large/small-star, O(log² n) rounds) — see
+    selects ``auto`` (default: probe label propagation, fall back to the
+    O(log² n) star algorithm on non-convergence — no diameter guess
+    needed), ``label``, or ``star`` — see
     ``operators.graph.connected_components``. Output: the surviving rows
     of ``df``.
     """

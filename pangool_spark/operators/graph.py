@@ -20,32 +20,58 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
-    algorithm: str = "label",
+    algorithm: str = "auto",
+    probe_rounds: int = 8,
 ) -> DataFrame:
     """Connected components. Output: (vertex, component) where component =
     min vertex id in the component.
 
     ``algorithm``:
 
-    - ``label`` (default): label propagation — every vertex adopts the
-      minimum label among itself and its neighbors until fixpoint. One
-      join + one aggregate per round, but rounds = graph DIAMETER.
-      Right for duplicate clusters, whose diameters are tiny.
+    - ``auto`` (default): probe label propagation for ``probe_rounds``
+      rounds; if the fixpoint is still moving, abandon the probe and run
+      ``star`` from scratch. Removes the caller's diameter guess: the
+      shallow-graph common case (duplicate clusters, diameter 2-3) pays
+      nothing extra, and a pathological high-diameter graph costs at most
+      ``probe_rounds`` wasted join+agg passes before the O(log² n)
+      algorithm takes over.
+    - ``label``: label propagation — every vertex adopts the minimum
+      label among itself and its neighbors until fixpoint. One join + one
+      aggregate per round, but rounds = graph DIAMETER. Right when the
+      caller KNOWS diameters are tiny.
     - ``star``: the alternating large-star/small-star algorithm
       (Kiveris et al., "Connected Components in MapReduce and Beyond",
       SoCC'14) — O(log² n) rounds regardless of diameter, each round two
       join+aggregate passes over the shrinking edge set. Right for
-      high-diameter graphs (long chains, meshes) where label propagation
-      would need hundreds of rounds; at 100 TB the round count, not the
-      per-round cost, is the scale limit.
+      high-diameter graphs (long chains, meshes); at 100 TB the round
+      count, not the per-round cost, is the scale limit.
 
-    Raises ``RuntimeError`` if the fixpoint is not reached within
-    ``max_iterations`` — a truncated run would silently split components.
+    ``label``/``star`` raise ``RuntimeError`` if the fixpoint is not
+    reached within ``max_iterations`` — a truncated run would silently
+    split components. ``auto`` raises only if the star fallback itself
+    fails to converge.
     """
+    if algorithm == "auto":
+        labels, converged = _label_propagation(edges, src, dst, probe_rounds)
+        if converged:
+            return labels
+        return _alternating_stars(edges, src, dst, max_iterations)
     if algorithm == "star":
         return _alternating_stars(edges, src, dst, max_iterations)
     if algorithm != "label":
-        raise ValueError(f"unknown algorithm {algorithm!r}: label|star")
+        raise ValueError(f"unknown algorithm {algorithm!r}: auto|label|star")
+    labels, converged = _label_propagation(edges, src, dst, max_iterations)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "raise max_iterations"
+        )
+    return labels
+
+
+def _label_propagation(
+    edges: DataFrame, src: str, dst: str, max_iterations: int
+) -> tuple[DataFrame, bool]:
     # Materialize the symmetrized edge list ONCE: every round joins against
     # it, and without the checkpoint each round re-executes the caller's
     # full pair-generation lineage — twice, since the union reads `edges`
@@ -94,12 +120,7 @@ def connected_components(
             converged = True
             break
         prev_sum = new_sum
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds; "
-            "raise max_iterations"
-        )
-    return labels
+    return labels, converged
 
 
 def _alternating_stars(

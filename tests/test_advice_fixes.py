@@ -80,9 +80,13 @@ def test_connected_components_raises_on_truncation(spark):
         [(i, i + 1) for i in range(5)], "id_a LONG, id_b LONG"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=1)
-    comps = connected_components(edges, max_iterations=20)
+        connected_components(edges, max_iterations=1, algorithm="label")
+    comps = connected_components(edges, max_iterations=20, algorithm="label")
     assert {r.component for r in comps.collect()} == {0}
+    # the auto default never needs the guess: a 1-round probe falls back
+    # to the star algorithm instead of raising
+    auto = connected_components(edges, probe_rounds=1)
+    assert {r.component for r in auto.collect()} == {0}
 
 
 def test_windowed_agg_unaliased_aggregate(spark):

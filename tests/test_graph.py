@@ -93,9 +93,39 @@ def test_star_on_string_vertex_ids(spark):
 
 def test_star_keeps_self_loop_only_vertices(spark):
     edges = spark.createDataFrame([(5, 5), (1, 2)], "id_a LONG, id_b LONG")
-    for algo in ("label", "star"):
+    for algo in ("label", "star", "auto"):
         comps = {
             r.vertex: r.component
             for r in connected_components(edges, algorithm=algo).collect()
         }
         assert comps == {1: 1, 2: 1, 5: 5}, algo
+
+
+def test_auto_converges_via_label_on_shallow_graph(spark):
+    # shallow graph: the label probe converges inside probe_rounds and the
+    # star fallback never runs
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    comps = {
+        r.vertex: r.component
+        for r in connected_components(edges, algorithm="auto", probe_rounds=8).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_auto_falls_back_to_star_on_high_diameter(spark):
+    # A 60-vertex path with a 3-round probe: label propagation cannot
+    # finish, auto must hand off to the star algorithm and still produce
+    # the exact components — no caller diameter guess needed.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a LONG, id_b LONG"
+    )
+    comps = {
+        r.vertex: r.component
+        for r in connected_components(
+            edges, algorithm="auto", probe_rounds=3, max_iterations=12
+        ).collect()
+    }
+    assert set(comps) == set(range(60))
+    assert set(comps.values()) == {0}
