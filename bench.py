@@ -145,6 +145,12 @@ def main() -> None:
                 "extended": extended,
                 "extended_total_sec": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Methodology, frozen as of round 5: headline best-of-3,
+                # extended best-of-2 per query. r01-r04 were single-run, so
+                # cross-round headline comparisons vs those rounds partly
+                # reflect the sampling change; r05+ are like-for-like.
+                "runs": RUNS_PER_QUERY,
+                "runs_extended": 2,
             }
         )
     )

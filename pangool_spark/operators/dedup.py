@@ -325,7 +325,7 @@ def ngram_jaccard_against(
 
 def incremental_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -352,7 +352,17 @@ def incremental_dedup(
     appending: the plan reads the index lazily, so appending first makes
     every admitted row anti-join against its own freshly-written digest on
     re-evaluation (see the lifecycle test).
+
+    With BOTH index inputs supplied, ``corpus`` is never read — pass
+    ``None`` to make that contract explicit (the pure index-driven daily
+    regime; the ``dedup_index_lifecycle`` catalog query runs it
+    end-to-end).
     """
+    if corpus is None and (seen_digests is None or ref_shingles is None):
+        raise ValueError(
+            "incremental_dedup: corpus=None requires BOTH seen_digests and "
+            "ref_shingles (the persisted-index inputs)"
+        )
     seen = (
         seen_digests
         if seen_digests is not None

@@ -3467,6 +3467,136 @@ def compression_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_quality(docs)
 
 
+@query(
+    "dedup_index_lifecycle",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams_all GROUP BY doc_id),
+    corpus_dg AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS dg FROM documents WHERE doc_id < 300
+    ),
+    fresh1 AS (
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= 300 AND doc_id < 450
+        AND md5({_NORM_SQL}) NOT IN (SELECT dg FROM corpus_dg)
+    ),
+    near1 AS (
+      SELECT DISTINCT a.doc_id FROM grams_all a
+      JOIN grams_all b ON a.shingle = b.shingle
+      JOIN fresh1 f ON f.doc_id = a.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      WHERE b.doc_id < 300
+      GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.5
+    ),
+    adm1 AS (
+      SELECT f.doc_id, f.lang FROM fresh1 f
+      WHERE NOT EXISTS (SELECT 1 FROM near1 n WHERE n.doc_id = f.doc_id)
+    ),
+    seen2 AS (
+      SELECT dg FROM corpus_dg
+      UNION
+      SELECT md5({_NORM_SQL}) FROM documents d JOIN adm1 a ON a.doc_id = d.doc_id
+    ),
+    fresh2 AS (
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id >= 450
+        AND md5({_NORM_SQL}) NOT IN (SELECT dg FROM seen2)
+    ),
+    ref2 AS (
+      SELECT doc_id FROM documents WHERE doc_id < 300
+      UNION ALL SELECT doc_id FROM adm1
+    ),
+    near2 AS (
+      SELECT DISTINCT a.doc_id FROM grams_all a
+      JOIN grams_all b ON a.shingle = b.shingle
+      JOIN fresh2 f ON f.doc_id = a.doc_id
+      JOIN ref2 r ON r.doc_id = b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.5
+    ),
+    adm2 AS (
+      SELECT f.doc_id, f.lang FROM fresh2 f
+      WHERE NOT EXISTS (SELECT 1 FROM near2 n WHERE n.doc_id = f.doc_id)
+    )
+    SELECT CAST(1 AS INT) AS batch, doc_id, lang FROM adm1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS batch, doc_id, lang FROM adm2
+    """,
+)
+def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-index ingest lifecycle, on disk, end to end:
+
+    1. build the standing corpus's (doc_id < 300) digest set and hashed
+       shingle index and WRITE both with ``write_tuples``;
+    2. ingest batch 1 (300 ≤ doc_id < 450) against the RELOADED index —
+       ``incremental_dedup(corpus=None)``: corpus text is never re-read;
+    3. materialize batch-1 admissions to disk, then APPEND their digests
+       and shingles to the index (materialize-before-append contract:
+       appending first would make admitted rows anti-join against their
+       own freshly-written digests on re-evaluation);
+    4. ingest batch 2 (doc_id ≥ 450) against the UPDATED index.
+
+    At sf0.01 batch 2 drops near-dups of the original corpus AND of
+    batch-1 admissions (e.g. 457≈326, 486≈435) — the latter prove the
+    index update is live. Admissions are returned from their on-disk
+    copies, so re-evaluating the result can never see a different index
+    state. This is the sustainable 100 TB daily regime: per day the engine
+    reads O(batch + index), never O(corpus)."""
+    import uuid
+
+    from pangool_spark.operators.dedup import incremental_dedup, shingles
+    from pangool_spark.operators.norm import content_digest
+    from pangool_spark.sources.tuplefile import read_tuples, write_tuples
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    b1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 450))
+    b2 = docs.filter(F.col("doc_id") >= 450)
+
+    base = (
+        f"/tmp/pangool_spark_index/{spark.sparkContext.applicationId}/"
+        f"{uuid.uuid4().hex}"
+    )
+    dg_path, sh_path = f"{base}/digests", f"{base}/shingles"
+    write_tuples(
+        corpus.select(content_digest("text").alias("__digest__")).distinct(),
+        dg_path,
+    )
+    write_tuples(shingles(corpus, hashed=True), sh_path)
+
+    adm1 = incremental_dedup(
+        b1, None, threshold=0.5,
+        seen_digests=read_tuples(spark, dg_path),
+        ref_shingles=read_tuples(spark, sh_path),
+    )
+    write_tuples(adm1.select("doc_id", "lang", "text"), f"{base}/admitted1")
+    adm1_disk = read_tuples(spark, f"{base}/admitted1")
+    write_tuples(
+        adm1_disk.select(content_digest("text").alias("__digest__")).distinct(),
+        dg_path, mode="append",
+    )
+    write_tuples(shingles(adm1_disk, hashed=True), sh_path, mode="append")
+
+    adm2 = incremental_dedup(
+        b2, None, threshold=0.5,
+        seen_digests=read_tuples(spark, dg_path),
+        ref_shingles=read_tuples(spark, sh_path),
+    )
+    write_tuples(adm2.select("doc_id", "lang", "text"), f"{base}/admitted2")
+
+    out1 = read_tuples(spark, f"{base}/admitted1").select(
+        F.lit(1).alias("batch"), "doc_id", "lang"
+    )
+    out2 = read_tuples(spark, f"{base}/admitted2").select(
+        F.lit(2).alias("batch"), "doc_id", "lang"
+    )
+    return out1.unionByName(out2)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -42,6 +42,65 @@ def test_clear_shingle_cache_releases_dedup_caches(spark):
     assert dedup._ACTIVE_CACHES == []
 
 
+def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
+    """The standing index must round-trip through DISK and a genuinely
+    fresh session: batch 2 is deduped by an index that includes batch-1
+    admissions, read back with no lineage to the corpus DataFrames."""
+    from pangool_spark.operators.dedup import incremental_dedup, shingles
+    from pangool_spark.operators.norm import content_digest
+    from pangool_spark.sources.tuplefile import read_tuples, write_tuples
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id LONG, text STRING",
+    )
+    dg, sh = str(tmp_path / "dg"), str(tmp_path / "sh")
+    write_tuples(
+        corpus.select(content_digest("text").alias("__digest__")).distinct(), dg
+    )
+    write_tuples(shingles(corpus, hashed=True), sh)
+
+    batch1 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),  # ≈ corpus 1
+            (11, "one two three four five six seven eight nine"),  # novel
+        ],
+        "doc_id LONG, text STRING",
+    )
+    adm1 = incremental_dedup(
+        batch1, None, threshold=0.5,
+        seen_digests=read_tuples(spark, dg), ref_shingles=read_tuples(spark, sh),
+    )
+    write_tuples(adm1, str(tmp_path / "adm1"))
+    adm1_disk = read_tuples(spark, str(tmp_path / "adm1"))
+    assert [r.doc_id for r in adm1_disk.collect()] == [11]
+    write_tuples(
+        adm1_disk.select(content_digest("text").alias("__digest__")).distinct(),
+        dg, mode="append",
+    )
+    write_tuples(shingles(adm1_disk, hashed=True), sh, mode="append")
+
+    # fresh session: same JVM, clean catalog/state — the index state comes
+    # ONLY from the files
+    fresh = spark.newSession()
+    batch2 = fresh.createDataFrame(
+        [
+            (20, "one two three four five six seven eight ten"),  # ≈ adm1 11
+            (21, "alpha beta gamma delta epsilon zeta eta kappa"),  # ≈ corpus 1
+            (22, "totally novel content nothing matches this row"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    adm2 = incremental_dedup(
+        batch2, None, threshold=0.5,
+        seen_digests=read_tuples(fresh, dg), ref_shingles=read_tuples(fresh, sh),
+    )
+    assert sorted(r.doc_id for r in adm2.collect()) == [22]
+
+    with pytest.raises(ValueError, match="persisted-index"):
+        incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
+
+
 def test_stream_dedup_against_shuffle_fallback_parity(spark):
     """broadcast=False must return the identical survivor set via a
     shuffled anti-join — the fallback for digest sets too big to
