@@ -3639,38 +3639,46 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
-    # Late-round-5 additions verified by the local gate + pytest; three of
-    # them (asof_join, funnel, training_prep — the most NOVEL operator
-    # claims) are swapped INTO the window instead of three stable r04-green
-    # queries whose operator coverage stays represented in-window:
-    #   moving_avg_events  → normalize_user_activity + topk (window family)
-    #   windowed_agg_events→ sessionize/stateful/interval (streaming batch)
-    #   anti_join_no_orders→ near_dedup/curation anti-join steps + q16 local
-    "decontaminate_docs",     # broadcast n-gram overlap vs bench anti-join
-    "semantic_dedup_embeddings",  # within-cell pairs; cell assign = ivf_assign_cells
-    "tf_idf_docs",            # two partial-agg shuffles + term equi-join
-    "epoch_shuffle_docs",     # portable-hash per-shard ordering window
+    # ROUND-6 ROTATION (the r05 verdict's round-robin, executed): 14
+    # queries that had never earned a driver row move INTO the window —
+    # decontaminate_docs, semantic_dedup_embeddings, tf_idf_docs,
+    # epoch_shuffle_docs, column_profile_docs, cohort_retention_events,
+    # resize_images_raw, skew_report_lineitem, stratified_sample_docs,
+    # pack_sequences_docs, hash_sample_docs, train_val_test_split,
+    # incremental_dedup_batch, and the new dedup_index_lifecycle —
+    # and 14 shapes whose operator coverage stays represented in-window
+    # rotate out (justifications inline below). Every rotated query
+    # remains fully value-oracled and verified by tools/check_oracles.py
+    # (pytest gate) every run — only the driver row moves.
+    #
+    # --- rotated out in round 6 (new this round) ---
+    "q5_region_revenue",      # r01-r05 green; multi-join+agg covered by q3/q10-family in-window (q3) + local gate
+    "q10_returned_items",     # r01-r05 green; join+agg+topk covered by q3 (in-window)
+    "customer_order_stats",   # r01-r05 green; left-join group-count covered by q3 + cohort_retention (in)
+    "rollup_lineitem",        # r01-r05 green; rollup family: rollup_callbacks + grouping_sets stay in-window
+    "normalize_user_activity",  # r04/r05 green; window family: topk_orders_per_cust in-window
+    "null_order_ranking",     # r04/r05 green; null ordering pinned by orderby pytest suite
+    "null_group_keys",        # r04/r05 green; null-key agg parity pinned by pytest + grouping family in-window
+    "sessionize_events",      # r04/r05 green; streaming batch family: interval_join_events stays in-window
+    "stateful_running_totals",  # r04/r05 green; same streaming family as above
+    "dedup_ngram_jaccard",    # r05 green; same inverted-index family as near_dedup_survivors (in-window)
+    "fingerprint_docs",       # r05 green; fingerprint family: winnow_fingerprints_docs stays in-window
+    "chunk_documents_docs",   # r05 green; chunk/pack family: pack_sequences_docs now IN-window
+    "ivf_assign_cells",       # r05 green; ivf_topk_search (in-window) runs assignment as its first stage
+    "lsh_cosine_pairs",       # r05 green; ANN family: knn_bruteforce + ivf_topk_search in-window
+    # --- rotated out in earlier rounds (unchanged) ---
     "compression_quality_docs",  # rows-only by design (deflate not in SQL)
-    "column_profile_docs",    # one-scan Expand aggregate profile
-    "cohort_retention_events",  # join + double partial-agg matrix
-    "resize_images_raw",      # exact-bytes oracle for the raw resize kernel
     "moving_avg_events",      # r04-green; window family stays covered
     "windowed_agg_events",    # r04-green; streaming trio stays covered
     "anti_join_no_orders",    # r04-green; anti-join exercised by dedup suite
     "lm_perplexity_docs",     # rows-only by design (float-agg order)
-    "incremental_dedup_batch",  # batch × index join, never corpus²
-    "skew_report_lineitem",   # partial-agg + broadcast-scalar hot-key report
-    "stratified_sample_docs", # per-stratum member-set oracle
-    "pack_sequences_docs",    # sharded-window packing; full-mapping oracle
-    "hash_sample_docs",       # zero-shuffle projections; exact-member oracle
-    "train_val_test_split",   # runs in CI either way (check_oracles gate)
     "q11_important_parts",  # group agg vs scaled global scalar
     "q20_promo_suppliers",  # IN-aggregate semi join
     "q21_waiting_suppliers",  # EXISTS/NOT-EXISTS pair
     "q15_top_supplier",   # derived-view reuse + scalar max
     "q22_global_sales_opportunity",  # scalar subquery + anti-join
-    "q7_nation_volume",  # multi-join family: q5 (in-window) covers the
-    "q8_market_share",   # broadcast-join-agg operator; these add the
+    "q7_nation_volume",  # multi-join family: q3 (in-window) covers the
+    "q8_market_share",   # join-agg operator; these add the
     "q9_product_profit", # double-role-dimension + share-ratio SHAPES
     "minhash_lsh_dedup_fast",  # rows-only by design: bench-comparison twin
     "multimodal_video_frames",

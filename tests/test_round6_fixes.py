@@ -101,6 +101,39 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_sample_video_frames_ffmpeg_matches_y4m(spark):
+    """ffmpeg-path integration: feed a synthetic uncompressed Y4M clip
+    (a container ffmpeg reads natively) through decoder='ffmpeg' and check
+    the 8x8 features agree with the pure-numpy y4m decoder. Skips cleanly
+    where ffmpeg isn't installed — the codec seam stays honest either way."""
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_y4m,
+        video_codec_available,
+    )
+
+    if not video_codec_available():
+        pytest.skip("ffmpeg not on PATH")
+    frames = [np.full((16, 16), v, dtype=np.uint8) for v in (40, 120, 200)]
+    clip = synthesize_y4m(frames, fps=(5, 1), colorspace="420jpeg")  # 200ms/frame
+    df = spark.createDataFrame(
+        [(1, bytearray(clip), 600)], "media_id LONG, payload BINARY, duration_ms LONG"
+    )
+    by = {}
+    for dec in ("ffmpeg", "y4m"):
+        out = sample_video_frames(df, every_ms=200, decoder=dec).toPandas()
+        by[dec] = {
+            int(r.frame_ms): np.array(r.frame_feature, dtype=np.float32).mean()
+            for r in out.itertuples()
+        }
+    assert set(by["ffmpeg"]) == set(by["y4m"]) == {0, 200, 400}
+    for ms, want in zip((0, 200, 400), (40, 120, 200)):
+        assert abs(by["y4m"][ms] - want) < 2
+        assert abs(by["ffmpeg"][ms] - by["y4m"][ms]) < 3, ms
+
+
 def test_stream_dedup_against_shuffle_fallback_parity(spark):
     """broadcast=False must return the identical survivor set via a
     shuffled anti-join — the fallback for digest sets too big to
