@@ -173,6 +173,92 @@ def epoch_shuffle(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: dict,
+) -> DataFrame:
+    """Deterministic DATA MIXING: downsample strata so the output
+    approximates the target mixture ``weights`` (e.g. 40% en / 15% each
+    for four more languages) — the pre-training recipe step that turns
+    "we crawled whatever the web had" into "the model sees the mixture we
+    designed". No upsampling: the feasible total is pinned by the
+    binding stratum (min countₛ/weightₛ keeps rate 1.0; every other
+    stratum downsamples to match), so every emitted row is a distinct
+    input row.
+
+    Per-stratum keep rates are computed from one COUNT aggregate (the
+    collect is bounded by |strata| — documented broadcast-scalar
+    contract) and applied as hash thresholds: zero additional shuffles,
+    rerun/partitioning/engine-stable like every sampler here. Strata
+    missing from ``weights`` are dropped; a weighted stratum with no rows
+    raises (a silent empty mixture would look like data loss downstream).
+
+    Rate arithmetic is ordered ``T * w / count * buckets`` and truncated,
+    so a SQL oracle replicates thresholds bit-for-bit in binary64.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive")
+    counts = {
+        r["__s__"]: r["__c__"]
+        for r in df.groupBy(F.col(strata_col).alias("__s__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .collect()
+    }
+    missing = [s for s in weights if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"weighted strata have no rows: {missing}")
+    t = min(counts[s] / w for s, w in weights.items())
+    b = _bucket(key_col)
+    threshold = F.lit(0)
+    for s, w in weights.items():
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(int(t * w / counts[s] * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    group_col: str | None = None,
+    keep: str = "upper",
+) -> DataFrame:
+    """Keep rows whose ``value_col`` clears the ``q``-th exact percentile
+    of their group — threshold-free quality curation ("top quartile of
+    quality per language") where an absolute cutoff would over-prune one
+    stratum and under-prune another.
+
+    The per-group threshold is ONE partial-aggregated percentile pass
+    (exact interpolated percentile — matches ANSI ``quantile_cont`` /
+    ``percentile_cont`` for oracles); the thresholds relation has one row
+    per group, so the join back is broadcast-sized and the input scans
+    once per side. ``keep='upper'`` keeps value ≥ threshold, ``'lower'``
+    keeps ≤.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be upper|lower, got {keep!r}")
+    group = [group_col] if group_col else []
+    thr = df.groupBy(*group).agg(
+        F.percentile(value_col, q).alias("__thr__")
+    )
+    joined = (
+        df.join(F.broadcast(thr), group) if group else df.crossJoin(F.broadcast(thr))
+    )
+    cond = (
+        F.col(value_col) >= F.col("__thr__")
+        if keep == "upper"
+        else F.col(value_col) <= F.col("__thr__")
+    )
+    return joined.filter(cond).drop("__thr__")
+
+
 def split_bounds_sql(weights: Sequence[float]) -> list[int]:
     """The integer bucket thresholds ``hash_split`` uses, exposed so SQL
     oracles replicate the exact boundaries."""

@@ -3597,6 +3597,69 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2)
 
 
+# The two r06 additions below register at positions 50-51: just past the
+# driver window (which round 6's rotation filled with the 14-query cohort),
+# verified by the local gate now and first in line for the r07 rotation.
+@query(
+    "mixture_sample_docs",
+    f"""
+    WITH counts AS (SELECT lang AS s, COUNT(*) AS c FROM documents GROUP BY lang),
+    w(s, wt) AS (VALUES
+      ('en', CAST(0.4 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+      ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+      ('zh', CAST(0.15 AS DOUBLE))),
+    t AS (SELECT MIN(c / wt) AS t FROM counts JOIN w USING (s)),
+    thr AS (
+      SELECT s, CAST(t.t * wt / c * 1000000 AS BIGINT) AS thr
+      FROM counts JOIN w USING (s) CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN thr ON thr.s = d.lang
+    WHERE {_HASH_BUCKET_SQL} < thr.thr
+    """,
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing: resample the corpus toward a designed
+    language mixture (40% en, 15% each de/es/fr/zh) without upsampling —
+    the binding stratum keeps rate 1.0, the rest downsample by portable
+    key hash. Zero shuffles beyond the one counts aggregate; thresholds
+    replicate bit-for-bit in the DuckDB oracle."""
+    from pangool_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+@query(
+    "quantile_filter_docs",
+    """
+    WITH l AS (
+      SELECT doc_id, lang, length(text) AS text_len FROM documents
+    ),
+    thr AS (SELECT lang, quantile_cont(text_len, 0.75) AS t FROM l GROUP BY lang)
+    SELECT l.doc_id, l.lang, l.text_len FROM l
+    JOIN thr USING (lang)
+    WHERE l.text_len >= thr.t
+    """,
+)
+def quantile_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-quartile curation: keep documents at or above
+    their language's exact 75th-percentile text length — the
+    threshold-free quality cut (absolute cutoffs over-prune one stratum
+    and under-prune another). One percentile aggregate + a broadcast
+    join back."""
+    from pangool_spark.operators.sampling import quantile_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("text_len")
+    )
+    return quantile_filter(docs, "text_len", 0.75, group_col="lang")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

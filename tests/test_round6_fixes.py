@@ -101,6 +101,45 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_mixture_sample_hits_target_proportions(spark):
+    from pangool_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en") for i in range(800)] + [(i, "de") for i in range(800, 1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()
+    got = {"en": 0, "de": 0}
+    for r in out:
+        got[r.lang] += 1
+    # de binds (200/0.5=400 < 800/0.5): de keeps everything, en samples ~200
+    assert got["de"] == 200
+    assert abs(got["en"] - 200) < 40  # hash-uniformity tolerance
+    # deterministic: same call, same members
+    again = mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5}).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+    # unweighted strata drop; weighted-but-absent strata raise
+    df2 = df.withColumn("lang", F.when(F.col("doc_id") < 10, "fr").otherwise(F.col("lang")))
+    assert mixture_sample(df2, "doc_id", "lang", {"en": 1.0}).filter("lang <> 'en'").count() == 0
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(df, "doc_id", "lang", {"en": 0.5, "xx": 0.5})
+
+
+def test_quantile_filter_exact_thresholds(spark):
+    from pangool_spark.operators.sampling import quantile_filter
+
+    rows = [(i, "a", float(i)) for i in range(1, 6)] + [
+        (i, "b", float(i * 10)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+    # group a: values 1..5, p75 = 4.0 -> keep 4,5; group b: 10..40, p75 = 32.5 -> keep 40
+    up = sorted((r.g, r.id) for r in quantile_filter(df, "v", 0.75, group_col="g").collect())
+    assert up == [("a", 4), ("a", 5), ("b", 4)]
+    lo = quantile_filter(df, "v", 0.25, group_col="g", keep="lower")
+    assert sorted((r.g, r.id) for r in lo.collect()) == [("a", 1), ("a", 2), ("b", 1)]
+    # ungrouped: global p50 of 1,2,3,4,5,10,20,30,40 = 5.0
+    glob = quantile_filter(df, "v", 0.5)
+    assert sorted(r.v for r in glob.collect()) == [5.0, 10.0, 20.0, 30.0, 40.0]
+
+
 def test_sample_video_frames_ffmpeg_matches_y4m(spark):
     """ffmpeg-path integration: feed a synthetic uncompressed Y4M clip
     (a container ffmpeg reads natively) through decoder='ffmpeg' and check
