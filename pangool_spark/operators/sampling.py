@@ -221,6 +221,37 @@ def mixture_sample(
     return df.filter(b < threshold)
 
 
+def group_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group quota: keep (up to) ``k`` rows per group,
+    chosen by key-hash order — source/domain capping ("at most N docs per
+    domain"), the anti-monoculture counterpart of ``mixture_sample``'s
+    proportional targets. Hash order makes the quota a uniform sample
+    that is rerun/partitioning/engine-stable, unlike ``ORDER BY rand()``.
+
+    Plan shape: one rank window per group — Spark pushes ``rank ≤ k``
+    into WindowGroupLimit, so each task keeps a k-row heap per group and
+    the full groups never materialize (plan-gated). Ties on the 31-bit
+    hash break on the key, keeping selection total.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(key_col), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .drop("__rk__")
+    )
+
+
 def quantile_filter(
     df: DataFrame,
     value_col: str,

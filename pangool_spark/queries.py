@@ -3660,6 +3660,30 @@ def quantile_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_filter(docs, "text_len", 0.75, group_col="lang")
 
 
+@query(
+    "group_sample_docs",
+    f"""
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY {_HASH_BUCKET_SQL}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM r WHERE rk <= 5
+    """,
+)
+def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: at most 5 documents per source, chosen by
+    portable key-hash order (a deterministic uniform sample per group).
+    WindowGroupLimit keeps a 5-row heap per group — full groups never
+    materialize."""
+    from pangool_spark.operators.sampling import group_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return group_sample(docs, "doc_id", "source", k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -123,6 +123,29 @@ def test_mixture_sample_hits_target_proportions(spark):
         mixture_sample(df, "doc_id", "lang", {"en": 0.5, "xx": 0.5})
 
 
+def test_group_sample_quota_and_plan(spark):
+    from pangool_spark.operators.sampling import group_sample
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "id LONG, g STRING")
+    out = group_sample(df, "id", "g", k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, []).append(r.id)
+    assert len(got["big"]) == 5 and sorted(got["small"]) == [1000, 1001, 1002]
+    # deterministic selection
+    again = group_sample(df, "id", "g", k=5).collect()
+    assert sorted((r.g, r.id) for r in again) == sorted(
+        (g, i) for g, ids in got.items() for i in ids
+    )
+    # the rank<=k predicate must push into WindowGroupLimit (per-task
+    # k-row heaps; full groups never materialize)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError, match="positive"):
+        group_sample(df, "id", "g", k=0)
+
+
 def test_quantile_filter_exact_thresholds(spark):
     from pangool_spark.operators.sampling import quantile_filter
 
