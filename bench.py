@@ -83,6 +83,11 @@ EXTENDED = [
     "resize_images_raw",
     "lm_perplexity_docs",
     "incremental_dedup_batch",
+    # round-6 additions
+    "mixture_sample_docs",
+    "quantile_filter_docs",
+    "group_sample_docs",
+    "dedup_index_lifecycle",
 ]
 
 RUNS_PER_QUERY = 3

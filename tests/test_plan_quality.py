@@ -272,6 +272,34 @@ def test_funnel_fold_single_exchange(spark, sf):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_mixture_sample_is_zero_shuffle_filter(spark, sf):
+    """After the one bounded counts aggregate (collected at call time),
+    the returned mixture is a pure scan+filter — no exchange, no join."""
+    from pangool_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    out = mixture_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_quantile_filter_broadcasts_thresholds(spark, sf):
+    """The per-group threshold relation (one row per group) must be the
+    broadcast side — the full input never shuffles for the join."""
+    from pangool_spark.operators.sampling import quantile_filter
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").alias("text_len")
+    )
+    plan = _plan(quantile_filter(docs, "text_len", 0.75, group_col="lang"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_cohort_retention_broadcasts_signup_aggregate(spark, sf):
     from pangool_spark.queries import QUERIES
 
