@@ -72,11 +72,14 @@ def shingles(
     tokens = normalized_tokens(text_col)
     # Spread the explode fan-out across the cluster BEFORE it happens: a
     # compact source (few parquet files) otherwise runs the whole shingle
-    # generation in as many tasks as input splits.
+    # generation in as many tasks as input splits. Only when needed —
+    # when the scan already has ≥ cluster parallelism (the normal 100 TB
+    # case: thousands of splits), repartitioning here would shuffle the
+    # full corpus TEXT for nothing.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col), tokens.alias("__tokens__")
-    )
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts, F.col(id_col))
+    toks = df.select(F.col(id_col), tokens.alias("__tokens__"))
     # MLlib NGram (JVM sliding window) instead of a transform/slice/concat
     # HOF pipeline: same output, but the HOF form compiles into a fused
     # megamethod with erratic interpret-vs-JIT behavior; NGram is a plain
