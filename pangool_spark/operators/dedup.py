@@ -698,12 +698,15 @@ def simhash(
     """
     if bits != 64:
         raise ValueError("only 64-bit simhash supported")
+    # parallelize the explode for compact sources only — at scale the scan
+    # already has the partitions and this would shuffle corpus text
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts, F.col(id_col))
     hhi = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
     hlo = F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
     tokens = (
-        df.repartition(n_parts, F.col(id_col))
-        .select(
+        df.select(
             F.col(id_col),
             F.explode(
                 F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")

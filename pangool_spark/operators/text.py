@@ -477,8 +477,10 @@ def winnow_fingerprints(
                 }
             )
 
+    # parallelize the Arrow kernel for compact sources only — at scale the
+    # scan already has the partitions and this would shuffle corpus text
+    proj = df.select(id_col, text_col)
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    hashed = df.select(id_col, text_col).repartition(n_parts).mapInPandas(
-        winnow, schema=out_schema
-    )
-    return hashed.distinct()
+    if proj.rdd.getNumPartitions() < n_parts:
+        proj = proj.repartition(n_parts)
+    return proj.mapInPandas(winnow, schema=out_schema).distinct()
