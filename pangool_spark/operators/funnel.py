@@ -19,9 +19,11 @@ Two execution modes:
   min-aggregates chained on the key. Per-key state is ONE timestamp per
   aggregate (map-side partial_min), so a bot key with millions of
   qualifying events costs CPU, never task memory; each step's scan
-  pushes its event-type filter down, so the passes together read each
-  funnel event once. The chained sub-aggregates have identical canonical
-  plans across consumers, which Spark's exchange reuse collapses.
+  pushes its event-type filter down. The chained levels fan out in the
+  lineage (level k feeds both level k+1 and the final depth join), and
+  Spark's exchange reuse recovers only part of it — fine at typical 3-5
+  step funnels, quadratic-in-steps scans for wide ones, where
+  ``checkpoint_levels=True`` materializes each level once instead.
 - ``fold``: ONE shuffle groups each key's funnel events, and an
   ``F.aggregate`` expression folds the time-sorted sequence. Fewer
   exchanges, but the per-key ``collect_list`` holds ALL of that key's
@@ -45,6 +47,7 @@ def funnel(
     ts_col: str = "ts",
     type_col: str = "event_type",
     mode: str = "stepwise",
+    checkpoint_levels: bool = False,
 ) -> DataFrame:
     """Per-key funnel depth: (key, steps_completed) where steps_completed
     is the longest prefix of ``steps`` occurring in timestamp order.
@@ -101,6 +104,11 @@ def funnel(
                 F.col("__ts__") >= F.col("__t__")
             )
         cur = cand.groupBy(key_col).agg(F.min("__ts__").alias("__t__"))
+        if checkpoint_levels:
+            # materialize the level once: kills the lineage fan-out
+            # (each level feeds the next level AND the depth join) for
+            # wide funnels at the cost of eager per-level jobs
+            cur = cur.localCheckpoint(eager=True)
         flags.append(cur.select(key_col, F.lit(True).alias(f"__m{k}__")))
     out = all_keys
     for fl in flags:

@@ -101,6 +101,22 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_funnel_checkpoint_levels_equals_lazy(spark):
+    from pangool_spark.data import load_table
+    from pangool_spark.operators.funnel import funnel
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    steps = ["view", "click", "purchase"]
+    lazy = {
+        r.user_id: r.steps_completed for r in funnel(ev, steps).collect()
+    }
+    ckpt = {
+        r.user_id: r.steps_completed
+        for r in funnel(ev, steps, checkpoint_levels=True).collect()
+    }
+    assert lazy == ckpt and len(lazy) > 0
+
+
 def test_mixture_sample_hits_target_proportions(spark):
     from pangool_spark.operators.sampling import mixture_sample
 
