@@ -3610,7 +3610,9 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('zh', CAST(0.15 AS DOUBLE))),
     t AS (SELECT MIN(c / wt) AS t FROM counts JOIN w USING (s)),
     thr AS (
-      SELECT s, CAST(t.t * wt / c * 1000000 AS BIGINT) AS thr
+      -- FLOOR, not a bare CAST: DuckDB's double->BIGINT cast ROUNDS while
+      -- the engine side truncates (Python int()); caught by property test
+      SELECT s, CAST(FLOOR(t.t * wt / c * 1000000) AS BIGINT) AS thr
       FROM counts JOIN w USING (s) CROSS JOIN t
     )
     SELECT d.doc_id, d.lang, d.source FROM documents d
