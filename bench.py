@@ -88,6 +88,9 @@ EXTENDED = [
     "quantile_filter_docs",
     "group_sample_docs",
     "dedup_index_lifecycle",
+    "upsert_customers",
+    "latest_event_per_user",
+    "scd2_user_type_history",
 ]
 
 RUNS_PER_QUERY = 3

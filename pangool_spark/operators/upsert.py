@@ -1,0 +1,107 @@
+"""Snapshot maintenance: upsert merges, latest-version dedup, SCD2
+historization.
+
+The reference's users ran these constantly as reduce-side join jobs —
+"apply today's delta to the master file" is THE canonical MapReduce
+pattern (a Pangool ``TupleMRBuilder`` with two inputs grouped on the key;
+cf. the url-resolution example's dimension+fact shape,
+``P/examples/.../urlresolution``). Spark-first restatement: anti-join +
+union for the merge, WindowGroupLimit for latest-version, lead() for
+validity intervals.
+
+Scale notes baked into each operator:
+
+- ``merge_upsert`` shuffles the base ONCE on the key (the anti-join);
+  with base and delta both bucketed by the key (``write_bucketed``) the
+  exchange disappears entirely — the daily 100 TB snapshot job is then
+  scan + zipped bucket join + write.
+- ``keep_latest`` is a rank-1 window: Spark pushes the ``rn = 1``
+  predicate into WindowGroupLimit, so tasks keep one row per key and the
+  version history never materializes per group.
+- ``scd2_history`` is one window pass (lead) over the change log — no
+  self-join, no per-key state beyond the sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Apply a delta to a snapshot: rows in ``updates`` REPLACE base rows
+    sharing their key; keys absent from the base are inserts; base rows
+    not touched carry forward. Column sets must match (checked) — this is
+    whole-row replacement, the semantics of a daily master-file rebuild.
+
+    One shuffle of the base (anti-join on the key) + a union; the delta
+    side is usually tiny and broadcasts. Multi-version deltas: run
+    ``keep_latest`` on the delta first, or every version of a key lands
+    in the output.
+    """
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert needs matching columns; base has "
+            f"{sorted(set(base.columns) - set(updates.columns))} extra, updates "
+            f"{sorted(set(updates.columns) - set(base.columns))}"
+        )
+    keys = list(keys)
+    touched = updates.select(keys).distinct()
+    kept = base.join(touched, keys, "left_anti")
+    return kept.unionByName(updates.select(base.columns))
+
+
+def keep_latest(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Latest version per key from a multi-version log (CDC stream dumps,
+    re-crawled documents, event snapshots): the row with the greatest
+    ``order_by`` tuple wins; ties must be broken by the caller's last
+    order column (make it unique, e.g. an event id) to keep the winner
+    deterministic.
+
+    rank-1 window → WindowGroupLimit: tasks keep one candidate row per
+    key, full version histories never sit in memory.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) historization of a change log:
+    one row per (key, version) with ``valid_from``/``valid_to`` interval
+    columns and ``is_current``. ``valid_to`` is the next version's
+    ``valid_from`` (half-open intervals, the join-friendly convention);
+    the newest version is open-ended (NULL) and flagged current.
+
+    One window pass (lead over the per-key timestamp order) — no
+    self-join; at 100 TB this is a single shuffle on the key. Rows that
+    repeat the previous attribute values are kept as distinct versions
+    (collapse duplicates upstream if the log re-emits unchanged state).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    attrs = list(attr_cols) if attr_cols is not None else [
+        c for c in df.columns if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col("valid_from").asc())
+    out = df.select(
+        *keys, *attrs, F.col(ts_col).alias("valid_from")
+    ).withColumn("valid_to", F.lead("valid_from").over(w))
+    return out.withColumn("is_current", F.col("valid_to").isNull())

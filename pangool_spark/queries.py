@@ -3686,6 +3686,102 @@ def group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_sample(docs, "doc_id", "source", k=5)
 
 
+@query(
+    "upsert_customers",
+    """
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'VIP' AS c_mktsegment
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey <= 10
+    ),
+    merged AS (
+      SELECT * FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM merged
+    """,
+)
+def upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily snapshot maintenance: apply a delta (segment upgrades for
+    rich accounts + ten brand-new keys) to the customer master — rows in
+    the delta replace their base rows, new keys append, everything else
+    carries forward. The canonical MR master-file rebuild as one
+    anti-join + union."""
+    from pangool_spark.operators.upsert import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_acctbal") > 9000).withColumn(
+        "c_mktsegment", F.lit("VIP")
+    ).unionByName(
+        cust.filter(F.col("c_custkey") <= 10).withColumn(
+            "c_custkey", F.col("c_custkey") + 10000000
+        )
+    )
+    merged = merge_upsert(cust, updates, ["c_custkey"])
+    return merged.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version dedup of a multi-version log: each user's most
+    recent event (CDC keep-latest). rank-1 window → WindowGroupLimit, so
+    tasks hold one candidate per key."""
+    from pangool_spark.operators.upsert import keep_latest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return keep_latest(ev, ["user_id"], ["ts", "event_id"])
+
+
+@query(
+    "scd2_user_type_history",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+             AS is_current
+    FROM dedup
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization of each user's event-type change log: half-open
+    [valid_from, valid_to) validity intervals + is_current, built in one
+    lead() window pass (no self-join). Ties at one timestamp are
+    collapsed keep-latest-by-event-id first so the interval chain is
+    total."""
+    from pangool_spark.operators.upsert import keep_latest, scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    deduped = keep_latest(ev, ["user_id", "ts"], ["event_id"]).drop("event_id")
+    return scd2_history(deduped, ["user_id"], "ts", ["event_type"])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,63 @@
+"""Snapshot maintenance: merge_upsert / keep_latest / scd2_history."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.operators.upsert import keep_latest, merge_upsert, scd2_history
+
+
+def test_merge_upsert_replaces_inserts_and_carries(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k LONG, v STRING, x DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 21.0), (9, "new", 90.0)], "k LONG, v STRING, x DOUBLE"
+    )
+    got = {r.k: (r.v, r.x) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 21.0), 3: ("c", 30.0), 9: ("new", 90.0)}
+
+
+def test_merge_upsert_column_mismatch_raises(spark):
+    base = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    upd = spark.createDataFrame([(1, "a", 1.0)], "k LONG, v STRING, extra DOUBLE")
+    with pytest.raises(ValueError, match="matching columns"):
+        merge_upsert(base, upd, ["k"])
+
+
+def test_merge_upsert_composite_key_and_column_order(spark):
+    base = spark.createDataFrame([(1, 1, "x"), (1, 2, "y")], "a LONG, b LONG, v STRING")
+    # updates with a DIFFERENT column order must still merge correctly
+    upd = spark.createDataFrame([("Y2", 1, 2)], "v STRING, a LONG, b LONG")
+    got = {(r.a, r.b): r.v for r in merge_upsert(base, upd, ["a", "b"]).collect()}
+    assert got == {(1, 1): "x", (1, 2): "Y2"}
+
+
+def test_keep_latest_picks_greatest_order_tuple(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100, "old"), (1, 20, 99, "new"), (1, 20, 101, "newest"), (2, 5, 1, "only")],
+        "k LONG, ts LONG, seq LONG, v STRING",
+    )
+    got = {r.k: r.v for r in keep_latest(df, ["k"], ["ts", "seq"]).collect()}
+    assert got == {1: "newest", 2: "only"}
+    plan = keep_latest(df, ["k"], ["ts", "seq"])._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_history_intervals(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "bronze"), (1, 20, "silver"), (1, 30, "gold"), (2, 5, "bronze")],
+        "k LONG, ts LONG, tier STRING",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.tier, r.valid_to, r.is_current)
+        for r in scd2_history(df, ["k"], "ts").collect()
+    }
+    assert rows == {
+        (1, 10): ("bronze", 20, False),
+        (1, 20): ("silver", 30, False),
+        (1, 30): ("gold", None, True),
+        (2, 5): ("bronze", None, True),
+    }
+    # attr_cols default: everything but keys and ts
+    cols = set(scd2_history(df, ["k"], "ts").columns)
+    assert cols == {"k", "tier", "valid_from", "valid_to", "is_current"}
