@@ -91,6 +91,7 @@ EXTENDED = [
     "upsert_customers",
     "latest_event_per_user",
     "scd2_user_type_history",
+    "data_quality_orders",
 ]
 
 RUNS_PER_QUERY = 3

@@ -53,3 +53,42 @@ def column_profile(
         "__n__ AS n_rows",
         f"stack({len(cols)}, {stack_args}) AS (column, n_null, n_distinct, min, max)",
     ).select("column", "n_rows", "n_null", "n_distinct", "min", "max")
+
+
+def expectations(df: DataFrame, constraints: dict) -> DataFrame:
+    """Data-quality gate: evaluate named row-level constraints (SQL
+    boolean expressions) in ONE pass and report per-constraint violation
+    counts — the "fail the pipeline if >0.1% of rows are bad" primitive.
+    NULL predicate results count as violations (a constraint that cannot
+    be proven true is not satisfied — SQL CHECK semantics inverted for
+    safety).
+
+    One aggregate, zero shuffles beyond its scalar merge: every
+    constraint becomes a conditional SUM over the same scan, so N checks
+    cost one table read, not N. Output: (constraint_name, n_rows,
+    n_violations, pass_fraction) — one row per constraint, stack-unpivoted like
+    ``column_profile``.
+    """
+    if not constraints:
+        raise ValueError("expectations needs at least one constraint")
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    names = list(constraints)
+    for i, (_name, pred) in enumerate(constraints.items()):
+        ok = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(ok, 0).otherwise(1)).alias(f"__viol_{i}__")
+        )
+    one = df.agg(*aggs)
+    quoted = [n.replace("'", "''") for n in names]
+    stack_args = ", ".join(
+        f"'{q}', __viol_{i}__" for i, q in enumerate(quoted)
+    )
+    return one.selectExpr(
+        "__n__ AS n_rows",
+        f"stack({len(names)}, {stack_args}) AS (constraint_name, n_violations)",
+    ).select(
+        "constraint_name",
+        "n_rows",
+        "n_violations",
+        (1.0 - F.col("n_violations") / F.col("n_rows")).alias("pass_fraction"),
+    )

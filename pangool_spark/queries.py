@@ -3782,6 +3782,43 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(deduped, ["user_id"], "ts", ["event_type"])
 
 
+@query(
+    "data_quality_orders",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
+        SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS v1,
+        SUM(CASE WHEN COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS v2,
+        SUM(CASE WHEN COALESCE(o_totalprice >= 1000, FALSE) THEN 0 ELSE 1 END) AS v3
+      FROM orders
+    )
+    SELECT 'positive_price' AS constraint_name, n AS n_rows, v0 AS n_violations,
+           1.0 - v0 / n AS pass_fraction FROM a
+    UNION ALL SELECT 'status_domain', n, v1, 1.0 - v1 / n FROM a
+    UNION ALL SELECT 'date_present', n, v2, 1.0 - v2 / n FROM a
+    UNION ALL SELECT 'high_value', n, v3, 1.0 - v3 / n FROM a
+    """,
+)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: four named constraints evaluated in
+    ONE scan (conditional sums in a single aggregate — N checks never
+    cost N reads). high_value is intentionally violated by most rows to
+    exercise the counting path."""
+    from pangool_spark.operators.profile import expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations(
+        orders,
+        {
+            "positive_price": "o_totalprice > 0",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+            "date_present": "o_orderdate IS NOT NULL",
+            "high_value": "o_totalprice >= 1000",
+        },
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

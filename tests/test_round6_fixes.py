@@ -101,6 +101,27 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_expectations_one_pass_and_null_handling(spark):
+    from pangool_spark.operators.profile import expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id LONG, x DOUBLE"
+    )
+    out = expectations(
+        df, {"x_positive": "x > 0", "id_small": "id <= 2"}
+    )
+    got = {r.constraint_name: (r.n_rows, r.n_violations) for r in out.collect()}
+    # NULL predicate (x > 0 on row 2) counts as a violation
+    assert got == {"x_positive": (3, 2), "id_small": (3, 1)}
+    pf = {r.constraint_name: r.pass_fraction for r in out.collect()}
+    assert abs(pf["x_positive"] - 1 / 3) < 1e-12
+    # N constraints must cost ONE scan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    with pytest.raises(ValueError, match="at least one"):
+        expectations(df, {})
+
+
 def test_funnel_checkpoint_levels_equals_lazy(spark):
     from pangool_spark.data import load_table
     from pangool_spark.operators.funnel import funnel
