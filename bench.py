@@ -92,6 +92,8 @@ EXTENDED = [
     "latest_event_per_user",
     "scd2_user_type_history",
     "data_quality_orders",
+    "video_scene_cuts",
+    "audio_dominant_hz",
 ]
 
 RUNS_PER_QUERY = 3

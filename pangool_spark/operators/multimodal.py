@@ -595,3 +595,163 @@ def sample_video_frames(
             )
 
     return frames.mapInPandas(run, schema=out_schema)
+
+
+def _y4m_iter_luma(payload: bytes):
+    """Yield every frame's full-resolution luma plane from a YUV4MPEG2
+    stream (shared parser core with ``_y4m_decode_frame``, which pools a
+    single indexed frame; consumers that need CONSECUTIVE frames — scene
+    cuts, motion stats — decode each frame exactly once through this)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    header_end = payload.index(b"\n")
+    w = h = None
+    cs = b"420"
+    for tag in payload[:header_end].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            cs = tag[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith(b"mono"):
+        frame_bytes = w * h
+    elif cs.startswith(b"420"):
+        frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith(b"422"):
+        frame_bytes = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith(b"444"):
+        frame_bytes = 3 * w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace {cs!r}")
+    pos = header_end + 1
+    while payload.startswith(b"FRAME", pos):
+        pos = payload.index(b"\n", pos) + 1
+        y = np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8)
+        if len(y) < w * h:
+            raise ValueError("truncated y4m frame")
+        yield y.reshape(h, w)
+        pos += frame_bytes
+
+
+def detect_scene_cuts(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    threshold: float = 24.0,
+    strict: bool = False,
+) -> DataFrame:
+    """REAL scene-cut detection on uncompressed Y4M video: mean absolute
+    luma difference between every consecutive frame pair, flagged as a
+    cut when it clears ``threshold`` — the shot-boundary pass a
+    multimodal training pipeline runs before frame sampling (sample
+    per-shot, not per-wall-clock, so a 2-hour static shot doesn't drown
+    the montage). Pure numpy, no external binary; ffmpeg stays the seam
+    for compressed codecs, same contract as ``sample_video_frames``.
+
+    One row per consecutive pair: (id, frame_idx ≥ 1, mean_abs_diff,
+    is_cut). Each clip decodes ONCE, streaming frame pairs (two planes in
+    memory at a time, not the whole clip). Corrupt payloads yield a null
+    row (``strict=True`` re-raises). Arrow-batched ``mapInPandas``; one
+    task holds one clip — pair with ``repartitioned_by_bytes`` for skew.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("mean_abs_diff", T.DoubleType(), True),
+            T.StructField("is_cut", T.BooleanType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    prev = None
+                    for k, luma in enumerate(_y4m_iter_luma(bytes(payload or b""))):
+                        if prev is not None:
+                            d = float(
+                                np.abs(
+                                    luma.astype(np.float64) - prev.astype(np.float64)
+                                ).mean()
+                            )
+                            rows.append((mid, k, d, d >= threshold))
+                        prev = luma
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_dominant_freq(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL spectral analysis of PCM WAV payloads: stdlib ``wave`` decode
+    → numpy rFFT → the non-DC bin with the largest magnitude, reported in
+    Hz — the tone/voicing feature a speech-vs-music-vs-noise router runs
+    at ingest. Multi-channel audio is averaged to mono before the
+    transform; ties break toward the lower bin (argmax), keeping the
+    result deterministic.
+
+    Output: (id, sample_rate, n_samples, dominant_hz). Corrupt payloads
+    yield null features (``strict=True`` re-raises). Same scale shape as
+    ``audio_features``: Arrow-batched, bytes never leave the executor.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("dominant_hz", T.DoubleType(), True),
+        ]
+    )
+    _widths = {1: np.int8, 2: np.int16, 4: np.int32}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        nch, width, rate = (
+                            w.getnchannels(), w.getsampwidth(), w.getframerate()
+                        )
+                        n = w.getnframes()
+                        samples = np.frombuffer(
+                            w.readframes(n), dtype=_widths[width]
+                        )
+                    x = samples.astype(np.float64)
+                    if nch > 1:
+                        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+                    if len(x) < 2:
+                        rows.append((mid, rate, len(x), None))
+                        continue
+                    mag = np.abs(np.fft.rfft(x))
+                    bin_idx = 1 + int(np.argmax(mag[1:]))  # skip DC
+                    rows.append(
+                        (mid, rate, len(x), float(bin_idx * rate / len(x)))
+                    )
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "n_samples", "dominant_hz"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

@@ -3819,6 +3819,109 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "video_scene_cuts",
+    """
+    WITH f AS (
+      SELECT d.doc_id AS media_id, CAST(u.k AS INT) AS frame_idx,
+             CAST(ABS(((d.doc_id*13 + (u.k // 2)*97) % 256)
+                    - ((d.doc_id*13 + ((u.k-1) // 2)*97) % 256)) AS DOUBLE)
+               AS mean_abs_diff
+      FROM documents d, LATERAL unnest(range(1, 4)) AS u(k)
+    )
+    SELECT media_id, frame_idx, mean_abs_diff,
+           mean_abs_diff >= 10 AS is_cut
+    FROM f
+    """,
+)
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL scene-cut detection end-to-end: per document a 4-frame Y4M
+    clip whose luma jumps between frame pairs — frame k has constant luma
+    (d·13 + ⌊k/2⌋·97) mod 256, so frames 0-1 and 2-3 form two "shots".
+    ``detect_scene_cuts`` decodes every consecutive pair with the
+    pure-numpy y4m parser and must find exactly one cut (at k=2) per
+    clip, with the closed-form |Δluma| as the diff — the whole
+    shot-boundary path is value-oracled like the other real-decode
+    queries."""
+    import pandas as pd  # noqa: F811
+
+    from pangool_spark.operators.multimodal import detect_scene_cuts, synthesize_y4m
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = [
+                synthesize_y4m(
+                    [
+                        np.full(
+                            (8, 16), (int(m) * 13 + (k // 2) * 97) % 256,
+                            dtype=np.uint8,
+                        )
+                        for k in range(4)
+                    ],
+                    fps=(5, 1),
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return detect_scene_cuts(media, threshold=10.0)
+
+
+@query(
+    "audio_dominant_hz",
+    """
+    SELECT doc_id AS media_id, 8000 AS sample_rate,
+           CAST(800 AS BIGINT) AS n_samples,
+           CAST(250 * (1 + doc_id % 8) AS DOUBLE) AS dominant_hz
+    FROM documents
+    """,
+)
+def audio_dominant_hz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis end-to-end: per document an 800-sample
+    8 kHz mono WAV carrying a pure sine at 250·(1 + d mod 8) Hz — an
+    exact FFT bin (10 Hz spacing), so ``audio_dominant_freq``'s
+    stdlib-wave decode + numpy rFFT must report the synthesis frequency
+    EXACTLY (bin·rate/n is an exact float64), value-oracling the whole
+    DSP path."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from pangool_spark.operators.multimodal import audio_dominant_freq
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches):
+        t = np.arange(800) / 8000.0
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                f = 250.0 * (1 + int(mid) % 8)
+                pcm = np.round(5000.0 * np.sin(2 * np.pi * f * t)).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id LONG, payload BINARY")
+    return audio_dominant_freq(media)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

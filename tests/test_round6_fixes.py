@@ -200,6 +200,65 @@ def test_quantile_filter_exact_thresholds(spark):
     assert sorted(r.v for r in glob.collect()) == [5.0, 10.0, 20.0, 30.0, 40.0]
 
 
+def test_detect_scene_cuts_finds_shot_boundary(spark):
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import detect_scene_cuts, synthesize_y4m
+
+    clip = synthesize_y4m(
+        [np.full((8, 8), v, dtype=np.uint8) for v in (50, 50, 200, 200, 55)],
+        fps=(5, 1),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(clip)), (2, bytearray(b"not a video"))],
+        "media_id LONG, payload BINARY",
+    )
+    rows = detect_scene_cuts(df, threshold=24.0).collect()
+    good = {r.frame_idx: (r.mean_abs_diff, r.is_cut) for r in rows if r.media_id == 1}
+    # cuts at the 50->200 jump (150) and the 200->55 jump (145); the 5-step
+    # fade at the end stays under threshold
+    assert good == {
+        1: (0.0, False), 2: (150.0, True), 3: (0.0, False), 4: (145.0, True)
+    }
+    bad = [r for r in rows if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].frame_idx is None and bad[0].is_cut is None
+    with pytest.raises(Exception):
+        detect_scene_cuts(df, strict=True).collect()
+
+
+def test_audio_dominant_freq_pure_tone_and_stereo(spark):
+    import io
+    import wave
+
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import audio_dominant_freq
+
+    def wav(pcm, nch=1, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.astype("<i2").tobytes())
+        return bytearray(buf.getvalue())
+
+    t = np.arange(1600) / 8000.0
+    mono = np.round(8000 * np.sin(2 * np.pi * 440 * t))  # 440 Hz on-bin (5 Hz bins)
+    # stereo: both channels carry 100 Hz; interleaved
+    st = np.round(8000 * np.sin(2 * np.pi * 100 * t))
+    stereo = np.column_stack([st, st]).ravel()
+    df = spark.createDataFrame(
+        [(1, wav(mono)), (2, wav(stereo, nch=2)), (3, bytearray(b"xx"))],
+        "media_id LONG, payload BINARY",
+    )
+    got = {r.media_id: (r.sample_rate, r.n_samples, r.dominant_hz)
+           for r in audio_dominant_freq(df).collect()}
+    assert got[1] == (8000, 1600, 440.0)
+    assert got[2] == (8000, 1600, 100.0)
+    assert got[3] == (None, None, None)
+
+
 def test_sample_video_frames_ffmpeg_matches_y4m(spark):
     """ffmpeg-path integration: feed a synthetic uncompressed Y4M clip
     (a container ffmpeg reads natively) through decoder='ffmpeg' and check
