@@ -3597,7 +3597,7 @@ def dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.unionByName(out2)
 
 
-# The two r06 additions below register at positions 50-51: just past the
+# The r06 additions below register at positions 50-58: just past the
 # driver window (which round 6's rotation filled with the 14-query cohort),
 # verified by the local gate now and first in line for the r07 rotation.
 @query(
