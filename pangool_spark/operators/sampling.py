@@ -269,7 +269,9 @@ def quantile_filter(
     ``percentile_cont`` for oracles); the thresholds relation has one row
     per group, so the join back is broadcast-sized and the input scans
     once per side. ``keep='upper'`` keeps value ≥ threshold, ``'lower'``
-    keeps ≤.
+    keeps ≤. NULL values are excluded from the percentile (SQL aggregate
+    semantics) and never pass the filter — a row whose quality signal is
+    unknown does not survive a quality cut.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")

@@ -198,6 +198,15 @@ def test_quantile_filter_exact_thresholds(spark):
     # ungrouped: global p50 of 1,2,3,4,5,10,20,30,40 = 5.0
     glob = quantile_filter(df, "v", 0.5)
     assert sorted(r.v for r in glob.collect()) == [5.0, 10.0, 20.0, 30.0, 40.0]
+    # NULL quality values never survive the cut (and don't shift the
+    # percentile, which ignores them)
+    with_null = df.unionByName(
+        spark.createDataFrame([(99, "a", None)], "id LONG, g STRING, v DOUBLE")
+    )
+    up2 = sorted(
+        (r.g, r.id) for r in quantile_filter(with_null, "v", 0.75, group_col="g").collect()
+    )
+    assert up2 == [("a", 4), ("a", 5), ("b", 4)]
 
 
 def test_detect_scene_cuts_finds_shot_boundary(spark):
