@@ -43,6 +43,38 @@ def test_keep_latest_picks_greatest_order_tuple(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_merge_upsert_on_bucketed_tables_is_exchange_free(spark, tmp_path):
+    """The 100 TB daily-snapshot claim, pinned: with base and delta both
+    bucketed on the key, merge_upsert's anti-join runs without ANY
+    exchange — scan, zipped bucket join, union."""
+    import shutil
+
+    from pangool_spark.operators.partitioning import read_bucketed, write_bucketed
+
+    for t in ("b_up_base", "b_up_delta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    base = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    delta = spark.range(0, 1000).select(
+        (F.col("id") * 10).alias("k"), F.lit(99).cast("long").alias("v")
+    )
+    write_bucketed(base, "b_up_base", ["k"], 8)
+    write_bucketed(delta, "b_up_delta", ["k"], 8)
+    merged = merge_upsert(
+        read_bucketed(spark, "b_up_base"), read_bucketed(spark, "b_up_delta"), ["k"]
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "Exchange" not in plan
+    assert merged.count() == 10000
+    assert merged.filter("v = 99").count() == 1000
+
+
 def test_scd2_history_intervals(spark):
     df = spark.createDataFrame(
         [(1, 10, "bronze"), (1, 20, "silver"), (1, 30, "gold"), (2, 5, "bronze")],
