@@ -94,6 +94,7 @@ EXTENDED = [
     "data_quality_orders",
     "video_scene_cuts",
     "audio_dominant_hz",
+    "fuzzy_pairs_parts",
 ]
 
 RUNS_PER_QUERY = 3

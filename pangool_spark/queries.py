@@ -3922,6 +3922,28 @@ def audio_dominant_hz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dominant_freq(media)
 
 
+@query(
+    "fuzzy_pairs_parts",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join: every part-name pair within
+    Levenshtein distance 2, via lossless q-gram + length-band blocking
+    (never the cross join the ORACLE deliberately runs — an independent
+    naive formulation, so a pair dropped by blocking would hash-mismatch).
+    Part names are 7-12 chars, so BOTH blocking paths execute (q·(d+1)=9
+    splits the corpus)."""
+    from pangool_spark.operators.fuzzy import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_partkey", "p_name", max_d=2)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,92 @@
+"""Approximate string joins: lossless q-gram + length-band blocking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.operators.fuzzy import edit_distance_join, edit_distance_pairs
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_basic(spark):
+    rows = [
+        (1, "small ring"),
+        (2, "small rink"),     # d=1 from 1
+        (3, "smalls ring"),    # d=1 from 1
+        (4, "red widget"),
+        (5, "red midget"),     # d=1 from 4
+        (6, "wholly unrelated string"),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(df, "id", "text", max_d=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (4, 5): 1}
+
+
+def test_short_strings_with_no_shared_gram_still_match(spark):
+    # "ab" vs "cd": distance 2, zero shared 3-grams — the q-gram lemma's
+    # bound is <= 0 here, so only the length-band path can find the pair
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "abcdefghijkl")], "id LONG, text STRING"
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_pairs(df, "id", "text", max_d=2).collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_edit_distance_join_cross_relation(spark):
+    a = spark.createDataFrame([(1, "alpha"), (2, "gamma")], "id LONG, name STRING")
+    b = spark.createDataFrame(
+        [(1, "alphq"), (9, "gamma"), (8, "nothing close here")],
+        "id LONG, name STRING",
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_distance_join(a, b, "id", "name", "id", "name", max_d=1).collect()
+    }
+    # same-side pairs excluded; id collision (1 vs 1) handled structurally
+    assert got == {(1, 1): 1, (2, 9): 0}
+
+
+def test_edit_distance_pairs_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abc"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(df, "id", "text", max_d=d).collect()
+        }
+        want = {}
+        for i, (ia, sa) in enumerate(rows):
+            for ib, sb in rows[i + 1 :]:
+                dist = _lev(sa, sb)
+                if dist <= d:
+                    want[(ia, ib)] = dist
+        assert got == want, f"max_d={d}"
+
+
+def test_edit_distance_pairs_validates_params(spark):
+    df = spark.createDataFrame([(1, "x")], "id LONG, text STRING")
+    with pytest.raises(ValueError, match="max_d"):
+        edit_distance_pairs(df, max_d=-1)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_pairs(df, q=1)
