@@ -84,6 +84,24 @@ def test_edit_distance_pairs_matches_bruteforce_random(spark):
         assert got == want, f"max_d={d}"
 
 
+def test_edit_distance_pairs_plan_has_no_cross_join(spark, sf_dir):
+    """The whole point: candidates come from equi-joins (gram hash /
+    length band), never a cartesian product, and verification is the JVM
+    levenshtein — no Python evaluator."""
+    from pangool_spark.data import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    plan = (
+        edit_distance_pairs(part, "p_partkey", "p_name", max_d=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_edit_distance_pairs_validates_params(spark):
     df = spark.createDataFrame([(1, "x")], "id LONG, text STRING")
     with pytest.raises(ValueError, match="max_d"):
