@@ -66,7 +66,12 @@ def funnel(
     idx = F.lit(None)
     for i, s in reversed(list(enumerate(steps))):
         idx = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx)
-    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+    # events without a timestamp have no position in the order — ignore
+    # them EXPLICITLY so both modes agree (the fold would sort nulls
+    # first, the stepwise min-chain would never match them)
+    ev = events.filter(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(key_col),
         idx.cast("int").alias("__idx__"),
         F.col(ts_col).alias("__ts__"),

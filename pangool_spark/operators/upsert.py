@@ -93,6 +93,9 @@ def scd2_history(
     self-join; at 100 TB this is a single shuffle on the key. Rows that
     repeat the previous attribute values are kept as distinct versions
     (collapse duplicates upstream if the log re-emits unchanged state).
+    (keys, ts) must be unique — ties make the lead() interval chain
+    ambiguous; collapse them first with ``keep_latest(df, keys + [ts_col],
+    [...])`` as the ``scd2_user_type_history`` query does.
     """
     from pyspark.sql import Window
 

@@ -122,6 +122,26 @@ def test_expectations_one_pass_and_null_handling(spark):
         expectations(df, {})
 
 
+def test_funnel_modes_agree_on_null_timestamps(spark):
+    """Null-ts events are ignored in BOTH modes — without the explicit
+    filter the fold would sort them first (matchable) while stepwise's
+    min-chain never matches them."""
+    from pangool_spark.operators.funnel import funnel
+
+    ev = spark.createDataFrame(
+        [(1, None, "view"), (1, 5, "click"), (2, None, "view"), (2, 3, "view")],
+        "user_id LONG, ts LONG, event_type STRING",
+    )
+    for mode in ("stepwise", "fold"):
+        got = {
+            r.user_id: r.steps_completed
+            for r in funnel(ev, ["view", "click"], mode=mode).collect()
+        }
+        # user 1: only a null-ts view -> the click can't open the funnel
+        # (depth 0); user 2: real view at ts 3 -> depth 1
+        assert got == {1: 0, 2: 1}, mode
+
+
 def test_funnel_checkpoint_levels_equals_lazy(spark):
     from pangool_spark.data import load_table
     from pangool_spark.operators.funnel import funnel
