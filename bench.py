@@ -95,6 +95,7 @@ EXTENDED = [
     "video_scene_cuts",
     "audio_dominant_hz",
     "fuzzy_pairs_parts",
+    "dedup_exact_best_docs",
 ]
 
 RUNS_PER_QUERY = 3

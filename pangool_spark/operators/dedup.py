@@ -120,6 +120,47 @@ def exact_dedup(
     return df.join(reps, on=id_col, how="left_semi")
 
 
+def exact_dedup_by(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``exact_dedup`` with QUALITY-AWARE survivor selection: each
+    duplicate group keeps the row with the highest ``score_col`` (ties,
+    and null scores, break to the min id — total and engine-replicable).
+    "Keep the best copy, not the first copy": exact duplicates routinely
+    differ in the metadata that matters downstream (source reliability,
+    crawl recency, quality score), and id-order survival throws that
+    signal away.
+
+    Same scale shape as ``exact_dedup``: one map-side-combined aggregate
+    over (digest, score, id) — ``max_by`` with an explicit (score, -id)
+    ordering struct — then a semi-join. Scores never shuffle with the
+    text.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    if not any(id_type.startswith(t) for t in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")):
+        raise ValueError(
+            f"exact_dedup_by needs a numeric id for the min-id tie-break, "
+            f"got {id_col}: {id_type}"
+        )
+    digest = content_digest(text_col).alias("__digest__")
+    # max over a (score, negated id) struct = argmax score, ties -> min id;
+    # null scores sort before any non-null struct, so a scored copy always
+    # beats an unscored one
+    ranked = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+    )
+    reps = (
+        df.select(digest, F.col(id_col), ranked.alias("__r__"))
+        .groupBy("__digest__")
+        .agg(F.max_by(id_col, F.col("__r__")).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")
+
+
 def prune_hot_shingles(
     sh: DataFrame, max_df: int, strategy: str = "window"
 ) -> DataFrame:

@@ -3944,6 +3944,49 @@ def fuzzy_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(part, "p_partkey", "p_name", max_d=2)
 
 
+@query(
+    "dedup_exact_best_docs",
+    f"""
+    WITH both_crawls AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE CAST(doc_id % 97 AS DOUBLE) END AS score
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text,
+             CASE WHEN (doc_id + 10000) % 11 = 0 THEN NULL
+                  ELSE CAST((doc_id + 10000) % 97 AS DOUBLE) END AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5({_NORM_SQL})
+               ORDER BY score DESC NULLS LAST, doc_id ASC
+             ) AS rn
+      FROM both_crawls
+    )
+    SELECT doc_id, score FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: the corpus union a simulated re-crawl
+    (same text, doc_id+10000, its own score; every 11th id unscored) —
+    each duplicate group keeps its HIGHEST-scored copy, ties and null
+    scores falling to the min id. "Keep the best copy, not the first
+    copy", as one map-side-combined max_by aggregate."""
+    from pangool_spark.operators.dedup import exact_dedup_by
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    score = F.when(F.col("doc_id") % 11 == 0, F.lit(None)).otherwise(
+        (F.col("doc_id") % 97).cast("double")
+    )
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    ).withColumn("score", score)
+    return exact_dedup_by(both, "score").select("doc_id", "score")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -101,6 +101,27 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_exact_dedup_by_quality_survivors(spark):
+    from pangool_spark.operators.dedup import exact_dedup_by
+
+    rows = [
+        (1, "same text", 0.5),
+        (2, "same text", 0.9),    # highest score wins
+        (3, "same text", None),   # unscored loses to any scored copy
+        (10, "other text", 0.7),
+        (11, "other text", 0.7),  # tie -> min id
+        (20, "only copy", None),  # all-null group -> min id
+        (21, "only copy", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, score DOUBLE")
+    got = sorted(r.doc_id for r in exact_dedup_by(df, "score").collect())
+    assert got == [2, 10, 20]
+    with pytest.raises(ValueError, match="numeric id"):
+        exact_dedup_by(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")), "score"
+        )
+
+
 def test_expectations_one_pass_and_null_handling(spark):
     from pangool_spark.operators.profile import expectations
 
