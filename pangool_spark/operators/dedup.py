@@ -439,6 +439,46 @@ def minhash_coefficients(num_hashes: int, seed: int = 42):
     return a, b
 
 
+def py_minhash_signature(
+    text: str | None, n: int = 3, num_hashes: int = 64, seed: int = 42
+):
+    """Pure-Python twin of ``minhash_signatures(hash_family='portable')``
+    for broadcast-probe consumers (the streaming ingest filter) that
+    compute signatures OUTSIDE a Spark plan: same normalization
+    (``operators.norm``), same word-n-gram shingles, same md5-derived
+    31-bit base hash, same (a·x+b) mod p permutation mins — pinned
+    signature-for-signature against the Spark operator by test. Returns a
+    ``np.int64`` array of length ``num_hashes``, or ``None`` when the
+    text yields no shingles (such docs carry no signature in the Spark
+    path either).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    # Java \s is ASCII-only ([ \t\n\x0b\f\r]); Spark's trim strips spaces
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", (text or "").lower()).strip(" ")
+    tokens = [t for t in norm.split(" ") if t]
+    if len(tokens) >= n:
+        grams = {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    else:
+        grams = {" ".join(tokens)} if tokens else set()
+    grams.discard("")
+    if not grams:
+        return None
+    a, b = minhash_coefficients(num_hashes, seed)
+    h = np.array(
+        [
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) & 0x7FFFFFFF
+            for g in grams
+        ],
+        dtype=np.int64,
+    )
+    perm = (h[:, None] * a[None, :] + b[None, :]) % np.int64(MINHASH_PRIME)
+    return perm.min(axis=0)
+
+
 def base_hash_31(col) -> Column:
     """31-bit base hash from the md5 hex prefix — chosen over xxhash64
     because every engine has md5, so DuckDB oracles can replicate it:

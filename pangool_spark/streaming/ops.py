@@ -179,6 +179,96 @@ def stream_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def stream_minhash_filter(
+    stream: DataFrame,
+    ref_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int | None = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming NEAR-dedup against a persisted MinHash signature index —
+    the streaming counterpart of ``dedup.minhash_lsh_against``: arriving
+    documents whose estimated Jaccard vs ANY indexed document clears
+    ``threshold`` are dropped; survivors pass through unchanged.
+
+    Shape: STATELESS Arrow-batched projection-filter (the
+    ``contamination_filter`` pattern) — the banded index is materialized
+    driver-side once and shipped in the task closure, each row computes
+    its own portable-family signature in numpy
+    (``dedup.py_minhash_signature``, pinned signature-for-signature
+    against the Spark operator), probes the band buckets, and verifies
+    slot agreement against only the bucket's candidates. No joins, no
+    state store, no watermark — runs identically on a batch DataFrame,
+    which is how the parity test pins it against ``minhash_lsh_against``.
+
+    Bounded-broadcast contract: the index costs ``num_hashes`` longs per
+    indexed doc (~0.5 GB per 10^6 docs at 64 hashes) and must fit in the
+    closure; beyond that, run the batch op per micro-batch via
+    ``foreachBatch`` instead. The index must be built with the SAME
+    ``n``/``num_hashes`` and the portable hash family; wrong-length
+    signatures raise at build time (a silently-skipped index would admit
+    every duplicate).
+    """
+    import numpy as np
+
+    from pangool_spark.operators.dedup import (
+        minhash_params_for_threshold,
+        py_minhash_signature,
+    )
+
+    if bands is None:
+        bands, _ = minhash_params_for_threshold(threshold, num_hashes)
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    rows = ref_signatures.select(id_col, "signature").collect()
+    bad = [row[id_col] for row in rows if len(row["signature"]) != num_hashes]
+    if bad:
+        raise ValueError(
+            f"stream_minhash_filter: {len(bad)} index rows have signature "
+            f"length != num_hashes={num_hashes} (e.g. id {bad[0]}); the "
+            "index was built with different parameters"
+        )
+    sig_mat = (
+        np.array([row["signature"] for row in rows], dtype=np.int64)
+        if rows
+        else np.empty((0, num_hashes), dtype=np.int64)
+    )
+    buckets: dict = {}
+    for i in range(len(rows)):
+        for b in range(bands):
+            key = (b, tuple(sig_mat[i, b * r : (b + 1) * r]))
+            buckets.setdefault(key, []).append(i)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            keep = []
+            for text in pdf[text_col]:
+                sig = py_minhash_signature(text, n, num_hashes)
+                if sig is None or not buckets:
+                    keep.append(True)
+                    continue
+                cand: set = set()
+                for b in range(bands):
+                    cand.update(
+                        buckets.get((b, tuple(sig[b * r : (b + 1) * r])), ())
+                    )
+                if not cand:
+                    keep.append(True)
+                    continue
+                est = (sig_mat[sorted(cand)] == sig).mean(axis=1)
+                keep.append(not bool((est >= threshold).any()))
+            yield pdf[keep]
+
+    return stream.mapInPandas(run, schema=stream.schema)
+
+
 def stream_dedup_against(
     stream: DataFrame,
     corpus: DataFrame,

@@ -183,6 +183,80 @@ def test_contamination_filter_stream_matches_batch(spark, tmp_path_factory):
     assert got == [2, 3]
 
 
+def test_py_minhash_signature_matches_spark_operator(spark):
+    """The streaming filter's Python signature path must agree
+    signature-for-signature with minhash_signatures(portable) — any drift
+    silently changes which documents the ingest filter drops."""
+    from pangool_spark.operators.dedup import minhash_signatures, py_minhash_signature
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "Short  DOC"),              # < n tokens -> whole-string shingle
+        (3, "one two three"),           # exactly n tokens
+        (4, "  WS   and\tCASE  mix\n"),  # normalization stress
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    spark_sigs = {
+        r.doc_id: list(r.signature) for r in minhash_signatures(df).collect()
+    }
+    for did, text in rows:
+        py = py_minhash_signature(text)
+        assert py is not None and list(py) == spark_sigs[did], did
+    assert py_minhash_signature("") is None
+    assert py_minhash_signature(None) is None
+
+
+def test_stream_minhash_filter_matches_batch_op(spark, tmp_path_factory):
+    from pangool_spark.operators.dedup import minhash_lsh_against, minhash_signatures
+    from pangool_spark.streaming.ops import stream_minhash_filter
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "ancient unrelated text about btree indexes and vacuum")],
+        "doc_id LONG, text STRING",
+    )
+    ref_sigs = minhash_signatures(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("lazy", "sleepy")),  # near-dup of 1 -> dropped
+            (11, "wholly novel content here"),
+            (12, ""),                              # no shingles -> passes
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # batch parity: survivors = batch minus the batch op's matched ids
+    dropped = {
+        r.id_new
+        for r in minhash_lsh_against(batch, ref_sigs, threshold=0.3).collect()
+    }
+    got = sorted(
+        r.doc_id
+        for r in stream_minhash_filter(batch, ref_sigs, threshold=0.3).collect()
+    )
+    assert dropped == {10}
+    assert got == [11, 12]
+
+    # real micro-batch stream
+    path = str(tmp_path_factory.mktemp("minhash_stream"))
+    batch.write.mode("overwrite").parquet(path)
+    sdf = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        stream_minhash_filter(sdf, ref_sigs, threshold=0.3)
+        .writeStream.format("memory")
+        .queryName("minhash_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(r.doc_id for r in spark.table("minhash_stream").collect()) == [11, 12]
+
+    # wrong-parameter index raises at build time
+    short = minhash_signatures(corpus, num_hashes=32)
+    with pytest.raises(ValueError, match="num_hashes"):
+        stream_minhash_filter(batch, short, num_hashes=64)
+
+
 def test_stream_dedup_against_standing_corpus(spark, tmp_path_factory):
     from pangool_spark.streaming.ops import stream_dedup_against
 
