@@ -94,7 +94,11 @@ EXTENDED = [
     "data_quality_orders",
     "video_scene_cuts",
     "audio_dominant_hz",
-    "fuzzy_pairs_parts",
+    # fuzzy_pairs_parts is deliberately NOT benched: at sf0.1 the part
+    # names (7-12 chars over a tiny vocabulary) put ~5.5M pairs within
+    # d=2, so the query's RESULT is quadratic-sized there — a fixture
+    # property, not an operator cost. Correctness stays gated at sf0.01
+    # (53k pairs) and was verified once at sf0.1 vs the naive oracle.
     "dedup_exact_best_docs",
 ]
 
