@@ -429,13 +429,26 @@ MINHASH_PRIME = (1 << 31) - 1
 
 def minhash_coefficients(num_hashes: int, seed: int = 42):
     """The (a_i, b_i) universal-hash coefficients, exposed so an external
-    oracle (e.g. DuckDB SQL) can replicate signatures bit-for-bit."""
+    oracle (e.g. DuckDB SQL) can replicate signatures bit-for-bit.
+    Memoized: per-ROW consumers (the streaming filter's signature path)
+    must not re-derive the RNG stream per call."""
+    return _minhash_coefficients_cached(num_hashes, seed)
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=32)
+def _minhash_coefficients_cached(num_hashes: int, seed: int):
     import numpy as np
 
     rng = np.random.RandomState(seed)
     p = np.int64(MINHASH_PRIME)
     a = rng.randint(1, p, size=num_hashes).astype(np.int64)
     b = rng.randint(0, p, size=num_hashes).astype(np.int64)
+    # read-only: cached arrays are shared across callers
+    a.setflags(write=False)
+    b.setflags(write=False)
     return a, b
 
 
