@@ -55,6 +55,32 @@ def column_profile(
     ).select("column", "n_rows", "n_null", "n_distinct", "min", "max")
 
 
+def dataset_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Order-insensitive dataset fingerprint: (n_rows, checksum) where
+    checksum = sum of per-row xxhash64 over the selected columns (as a
+    38-digit decimal, so 10^10 rows of 64-bit hashes cannot wrap). Two
+    DataFrames with equal multisets of rows produce equal checksums
+    regardless of row order, partitioning, or cluster size — the cheap
+    "did the rerun produce the same dataset?" answer that comparing 100 TB
+    sorted outputs cannot give. One scan, one scalar aggregate; no sort,
+    no shuffle of data rows (map-side partial sums).
+
+    Engine-internal by design (xxhash64): use it to compare Spark runs
+    with each other, not against other engines. A multiset DIFFERENCE
+    that sums to zero by collision needs adversarial rows (~2⁻⁶⁴ by
+    chance). Null handling: xxhash64 folds nulls deterministically, and
+    column ORDER matters (pass ``cols`` explicitly when schemas may have
+    drifted).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("dataset_checksum needs at least one column")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
 def expectations(df: DataFrame, constraints: dict) -> DataFrame:
     """Data-quality gate: evaluate named row-level constraints (SQL
     boolean expressions) in ONE pass and report per-constraint violation

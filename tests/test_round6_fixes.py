@@ -101,6 +101,28 @@ def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
         incremental_dedup(batch2, None, seen_digests=read_tuples(fresh, dg))
 
 
+def test_dataset_checksum_order_and_partition_invariant(spark):
+    from pangool_spark.operators.profile import dataset_checksum
+
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, None), (1, "a")], "k LONG, v STRING"
+    )
+    base = dataset_checksum(df).collect()[0]
+    assert base.n_rows == 4
+    # same multiset, different order/partitioning -> identical checksum
+    shuffled = df.orderBy(F.desc("k")).repartition(7)
+    again = dataset_checksum(shuffled).collect()[0]
+    assert (again.n_rows, again.checksum) == (base.n_rows, base.checksum)
+    # any row change -> different checksum (duplicate multiplicity counts)
+    changed = dataset_checksum(df.limit(3)).collect()[0]
+    assert changed.checksum != base.checksum
+    # column subset and explicit order
+    sub = dataset_checksum(df, ["k"]).collect()[0]
+    assert sub.checksum != base.checksum
+    with pytest.raises(ValueError, match="at least one"):
+        dataset_checksum(df, [])
+
+
 def test_exact_dedup_by_quality_survivors(spark):
     from pangool_spark.operators.dedup import exact_dedup_by
 
