@@ -3993,13 +3993,13 @@ def dedup_exact_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
            levenshtein(a.p_name, b.p_name) AS distance
     FROM part a JOIN part b
-      ON a.p_partkey >= 1500 AND b.p_partkey < 1500
+      ON a.p_partkey >= 100 AND b.p_partkey < 100
      AND levenshtein(a.p_name, b.p_name) <= 1
     """,
 )
 def fuzzy_join_new_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-relation fuzzy matching (record linkage): new parts
-    (p_partkey ≥ 1500) matched against the standing reference (< 1500)
+    (p_partkey ≥ 100) matched against the standing reference (< 100)
     within Levenshtein distance 1 — the incremental regime of
     ``fuzzy_pairs_parts``, via ``edit_distance_join``'s side-tagged
     lossless blocking. Oracle is again the independent naive cross
@@ -4007,8 +4007,8 @@ def fuzzy_join_new_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangool_spark.operators.fuzzy import edit_distance_join
 
     part = load_table(spark, sf_dir, "part")
-    new = part.filter(F.col("p_partkey") >= 1500)
-    ref = part.filter(F.col("p_partkey") < 1500)
+    new = part.filter(F.col("p_partkey") >= 100)
+    ref = part.filter(F.col("p_partkey") < 100)
     return edit_distance_join(
         new, ref, "p_partkey", "p_name", "p_partkey", "p_name", max_d=1
     )
