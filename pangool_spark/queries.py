@@ -4056,17 +4056,103 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    # ROUND-7 ROTATION (the r06 verdict's item 1, executed): ALL 24
+    # queries that had never earned a driver row across r01-r06 move INTO
+    # the window — the TPC-H tail (q7/q8/q9/q11/q15/q20/q21/q22), the nine
+    # r06 post-window additions (mixture/quantile/group samplers, the
+    # upsert trio, data_quality_orders, video_scene_cuts,
+    # audio_dominant_hz), fuzzy_pairs_parts + fuzzy_join_new_parts,
+    # dedup_exact_best_docs, multimodal_video_frames, and the three
+    # rows-only twins (compression_quality_docs, lm_perplexity_docs,
+    # minhash_lsh_dedup_fast). After r07 every catalog query has had at
+    # least one driver row. 24 multi-round-green shapes rotate out with
+    # per-query coverage justifications inline below; every rotated query
+    # remains fully value-oracled and verified by tools/check_oracles.py
+    # (pytest gate) every run — only the driver row moves.
+    #
+    # --- rotated out in round 7 (new this round) ---
+    # q1_pricing_summary: 6× green AND still hard-checked every round —
+    #   it IS entry()'s flagship, smoke-run by the driver at sf0.001;
+    #   lineitem agg shape also covered in-window by q9_product_profit.
+    # wordcount: 6× green; tokenize+agg covered by tf_idf_docs (in).
+    # secondary_sort_orders: 6× green; sorted-group vectorized reducer
+    #   pinned by pytest parity suite; rollup_callbacks stays in-window.
+    # q3_top_revenue_orders: 6× green; multi-join+agg+topk covered by
+    #   incoming q7/q8/q9.
+    # cogroup_nation_region: 6× green; multi-input cogroup pinned by the
+    #   UrlResolution parity test; join family rich in-window.
+    # semi_join_big_spenders: 6× green; semi-join covered by incoming
+    #   q20_promo_suppliers (IN-aggregate semi join).
+    # set_ops_custkeys: 6× green; anti/except covered by incoming
+    #   q22_global_sales_opportunity; set-op semantics pinned by pytest.
+    # grouping_sets_lineitem: 6× green; grouping family keeps
+    #   rollup_callbacks in-window.
+    # topk_orders_per_cust: 6× green; WindowGroupLimit top-k-per-group
+    #   covered by incoming latest_event_per_user + group_sample_docs.
+    # near_dedup_survivors: 6× green; shingle inverted-index join family
+    #   covered by incremental_dedup_batch + curation_pipeline (both in).
+    # near_dedup_clusters: 6× green; connected components pinned by the
+    #   label/star equivalence pytest suite; dedup family rich in-window.
+    # q2_top_acctbal_per_nation: 5× green; decorrelated scalar subquery
+    #   covered by incoming q15_top_supplier + q22.
+    # kmv_distinct_parts: 5× green; KMV sketch determinism pinned by
+    #   pytest; approx_distinct_parts rows-only twin stays rotated.
+    # simhash_dedup: 5× green; pigeonhole block join pinned by pytest;
+    #   minhash_lsh_dedup stays in-window for the signature family.
+    # embedding_cosine_dups: 5× green; embedding similarity covered by
+    #   semantic_dedup_embeddings + ivf_topk_search (both in-window).
+    # knn_bruteforce: 5× green; exact ANN verify covered in-window by
+    #   ivf_topk_search (brute-force scoring within probed cells).
+    # token_stats_docs: 5× green; Arrow token kernels covered by
+    #   tf_idf_docs + winnow_fingerprints_docs (both in-window).
+    # q12_shipmode_priority: 3× green; conditional agg covered by
+    #   incoming q8_market_share (share-ratio conditional sums).
+    # median_quantity_per_flag: 3× green; exact group percentiles covered
+    #   by incoming quantile_filter_docs (same percentile kernel).
+    # lang_id_docs: 3× green; lang-id runs as a curation_pipeline stage
+    #   (in-window); zero-shuffle plan gate in pytest.
+    # quality_scores_docs: 3× green; quality scoring runs inside
+    #   curation_pipeline (in); expectations gate via data_quality_orders.
+    # bucketed_join_orders: 3× green; zero-Exchange executed plan pinned
+    #   by pytest plan gate; bucketed merge_upsert gate also in pytest.
+    # multimodal_image_features: 2× green; image family keeps
+    #   resize_images_raw (real kernel, exact-bytes oracle) in-window.
+    # audio_features_docs: 2× green; audio real-decode family covered by
+    #   incoming audio_dominant_hz (same stdlib-wave decode + FFT oracle).
+    "q1_pricing_summary",
+    "wordcount",
+    "secondary_sort_orders",
+    "q3_top_revenue_orders",
+    "cogroup_nation_region",
+    "semi_join_big_spenders",
+    "set_ops_custkeys",
+    "grouping_sets_lineitem",
+    "topk_orders_per_cust",
+    "near_dedup_survivors",
+    "near_dedup_clusters",
+    "q2_top_acctbal_per_nation",
+    "kmv_distinct_parts",
+    "simhash_dedup",
+    "embedding_cosine_dups",
+    "knn_bruteforce",
+    "token_stats_docs",
+    "q12_shipmode_priority",
+    "median_quantity_per_flag",
+    "lang_id_docs",
+    "quality_scores_docs",
+    "bucketed_join_orders",
+    "multimodal_image_features",
+    "audio_features_docs",
+    #
     # ROUND-6 ROTATION (the r05 verdict's round-robin, executed): 14
-    # queries that had never earned a driver row move INTO the window —
+    # queries that had never earned a driver row moved INTO the window —
     # decontaminate_docs, semantic_dedup_embeddings, tf_idf_docs,
     # epoch_shuffle_docs, column_profile_docs, cohort_retention_events,
     # resize_images_raw, skew_report_lineitem, stratified_sample_docs,
     # pack_sequences_docs, hash_sample_docs, train_val_test_split,
     # incremental_dedup_batch, and the new dedup_index_lifecycle —
     # and 14 shapes whose operator coverage stays represented in-window
-    # rotate out (justifications inline below). Every rotated query
-    # remains fully value-oracled and verified by tools/check_oracles.py
-    # (pytest gate) every run — only the driver row moves.
+    # rotated out (justifications inline below).
     #
     # --- rotated out in round 6 (new this round) ---
     "q5_region_revenue",      # r01-r05 green; multi-join+agg covered by q3/q10-family in-window (q3) + local gate
@@ -4083,22 +4169,14 @@ _ROTATED_PAST_WINDOW = [
     "chunk_documents_docs",   # r05 green; chunk/pack family: pack_sequences_docs now IN-window
     "ivf_assign_cells",       # r05 green; ivf_topk_search (in-window) runs assignment as its first stage
     "lsh_cosine_pairs",       # r05 green; ANN family: knn_bruteforce + ivf_topk_search in-window
-    # --- rotated out in earlier rounds (unchanged) ---
-    "compression_quality_docs",  # rows-only by design (deflate not in SQL)
+    # --- rotated out in earlier rounds (unchanged, minus the 12 names
+    #     pulled back INTO the window this round: the TPC-H tail
+    #     q7/q8/q9/q11/q15/q20/q21/q22 and the rows-only twins
+    #     compression_quality_docs / lm_perplexity_docs /
+    #     minhash_lsh_dedup_fast / multimodal_video_frames) ---
     "moving_avg_events",      # r04-green; window family stays covered
     "windowed_agg_events",    # r04-green; streaming trio stays covered
     "anti_join_no_orders",    # r04-green; anti-join exercised by dedup suite
-    "lm_perplexity_docs",     # rows-only by design (float-agg order)
-    "q11_important_parts",  # group agg vs scaled global scalar
-    "q20_promo_suppliers",  # IN-aggregate semi join
-    "q21_waiting_suppliers",  # EXISTS/NOT-EXISTS pair
-    "q15_top_supplier",   # derived-view reuse + scalar max
-    "q22_global_sales_opportunity",  # scalar subquery + anti-join
-    "q7_nation_volume",  # multi-join family: q3 (in-window) covers the
-    "q8_market_share",   # join-agg operator; these add the
-    "q9_product_profit", # double-role-dimension + share-ratio SHAPES
-    "minhash_lsh_dedup_fast",  # rows-only by design: bench-comparison twin
-    "multimodal_video_frames",
     "dedup_exact_docs",
     "salted_agg_events",
     "q4_order_priority",
