@@ -488,7 +488,9 @@ def audio_features(
             T.StructField("peak", T.DoubleType(), True),
         ]
     )
-    _widths = {1: np.int8, 2: np.int16, 4: np.int32}
+    # 8-bit PCM WAV is UNSIGNED (0-255, midpoint 128) per the RIFF spec;
+    # 16/32-bit are signed two's complement.
+    _widths = {1: np.uint8, 2: np.int16, 4: np.int32}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -503,6 +505,8 @@ def audio_features(
                         n = w.getnframes()
                         samples = np.frombuffer(w.readframes(n), dtype=_widths[width])
                     x = samples.astype(np.float64)
+                    if width == 1:
+                        x -= 128.0
                     rows.append(
                         (
                             mid,
@@ -717,7 +721,8 @@ def audio_dominant_freq(
             T.StructField("dominant_hz", T.DoubleType(), True),
         ]
     )
-    _widths = {1: np.int8, 2: np.int16, 4: np.int32}
+    # 8-bit PCM WAV is UNSIGNED (0-255, midpoint 128) per the RIFF spec.
+    _widths = {1: np.uint8, 2: np.int16, 4: np.int32}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -736,6 +741,8 @@ def audio_dominant_freq(
                             w.readframes(n), dtype=_widths[width]
                         )
                     x = samples.astype(np.float64)
+                    if width == 1:
+                        x -= 128.0
                     if nch > 1:
                         x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
                     if len(x) < 2:

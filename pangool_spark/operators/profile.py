@@ -68,16 +68,20 @@ def dataset_checksum(df: DataFrame, cols: Sequence[str] | None = None) -> DataFr
     Engine-internal by design (xxhash64): use it to compare Spark runs
     with each other, not against other engines. A multiset DIFFERENCE
     that sums to zero by collision needs adversarial rows (~2⁻⁶⁴ by
-    chance). Null handling: xxhash64 folds nulls deterministically, and
-    column ORDER matters (pass ``cols`` explicitly when schemas may have
-    drifted).
+    chance). Null handling: Spark's xxhash64 SKIPS null arguments (the
+    seed passes through unchanged), which would make ('a', NULL) and
+    (NULL, 'a') collide — so each column is interleaved with its
+    null-indicator boolean, making null POSITION part of the hash while
+    keeping it a single JVM expression. Column ORDER matters (pass
+    ``cols`` explicitly when schemas may have drifted).
     """
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("dataset_checksum needs at least one column")
+    hashed = [x for c in cols for x in (F.col(c), F.col(c).isNull())]
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum"),
+        F.sum(F.xxhash64(*hashed).cast("decimal(38,0)")).alias("checksum"),
     )
 
 

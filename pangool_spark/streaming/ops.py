@@ -188,6 +188,7 @@ def stream_minhash_filter(
     num_hashes: int = 64,
     bands: int | None = 16,
     threshold: float = 0.5,
+    max_index_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Streaming NEAR-dedup against a persisted MinHash signature index —
     the streaming counterpart of ``dedup.minhash_lsh_against``: arriving
@@ -206,8 +207,12 @@ def stream_minhash_filter(
 
     Bounded-broadcast contract: the index costs ``num_hashes`` longs per
     indexed doc (~0.5 GB per 10^6 docs at 64 hashes) and must fit in the
-    closure; beyond that, run the batch op per micro-batch via
-    ``foreachBatch`` instead. The index must be built with the SAME
+    closure; ``max_index_rows`` ENFORCES the contract — an over-sized
+    index raises before anything is collected driver-side (pass ``None``
+    to waive the guard on hosts sized for it). Beyond closure scale, run
+    the batch op (``dedup.minhash_lsh_against``) per micro-batch via
+    ``foreachBatch`` instead — that path shuffles the index rather than
+    shipping it. The index must be built with the SAME
     ``n``/``num_hashes`` and the portable hash family; wrong-length
     signatures raise at build time (a silently-skipped index would admit
     every duplicate).
@@ -216,7 +221,7 @@ def stream_minhash_filter(
 
     from pangool_spark.operators.dedup import (
         minhash_params_for_threshold,
-        py_minhash_signature,
+        py_minhash_signatures_batch,
     )
 
     if bands is None:
@@ -224,6 +229,17 @@ def stream_minhash_filter(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
+    if max_index_rows is not None:
+        probe = ref_signatures.limit(max_index_rows + 1).count()
+        if probe > max_index_rows:
+            raise ValueError(
+                f"stream_minhash_filter: signature index exceeds "
+                f"max_index_rows={max_index_rows} (~{num_hashes} longs/doc "
+                "would be collected into the task closure). Run "
+                "dedup.minhash_lsh_against per micro-batch via "
+                "foreachBatch instead, or raise max_index_rows explicitly "
+                "if the driver/executors are sized for the broadcast."
+            )
     rows = ref_signatures.select(id_col, "signature").collect()
     bad = [row[id_col] for row in rows if len(row["signature"]) != num_hashes]
     if bad:
@@ -248,9 +264,11 @@ def stream_minhash_filter(
             if not len(pdf):
                 yield pdf
                 continue
+            # one vectorized signature pass per Arrow batch: distinct
+            # shingles hashed once, permutation mins as a single numpy op
+            sigs = py_minhash_signatures_batch(pdf[text_col], n, num_hashes)
             keep = []
-            for text in pdf[text_col]:
-                sig = py_minhash_signature(text, n, num_hashes)
+            for sig in sigs:
                 if sig is None or not buckets:
                     keep.append(True)
                     continue

@@ -20,11 +20,11 @@ def test_dedup_release_caches_evicts_batch_intermediates(spark):
     )
     out = dedup.ngram_jaccard_against(new_df, ref_df, threshold=0.3)
     out.count()  # materialize THROUGH the caches first
-    assert len(dedup._ACTIVE_CACHES) >= 2
-    cached = list(dedup._ACTIVE_CACHES)
+    cached = [df for dfs in dedup._ACTIVE_CACHES.values() for df in dfs]
+    assert len(cached) >= 2
     released = dedup.release_caches()
     assert released == len(cached)
-    assert dedup._ACTIVE_CACHES == []
+    assert dedup._ACTIVE_CACHES == {}
     for df in cached:
         level = df.storageLevel
         assert not (level.useMemory or level.useDisk)
@@ -37,9 +37,9 @@ def test_clear_shingle_cache_releases_dedup_caches(spark):
     dedup.release_caches()
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id LONG, text STRING")
     dedup.ngram_jaccard_pairs(df, threshold=0.9).count()
-    assert len(dedup._ACTIVE_CACHES) >= 1
+    assert sum(len(v) for v in dedup._ACTIVE_CACHES.values()) >= 1
     assert clear_shingle_cache(spark) >= 1
-    assert dedup._ACTIVE_CACHES == []
+    assert dedup._ACTIVE_CACHES == {}
 
 
 def test_persisted_index_lifecycle_across_sessions(spark, tmp_path):
