@@ -307,3 +307,23 @@ def test_cohort_retention_broadcasts_signup_aggregate(spark, sf):
     # the per-user signup aggregate is small → broadcast side of the join;
     # the raw events table never shuffles for the join itself
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_executed_shuffle_budget(spark, sf):
+    """Budget gate on the EXECUTED (AQE-final) plan of the most composed
+    catalog query: the static Exchange count is an upper bound AQE works
+    from, but what actually runs is the materialized ShuffleQueryStage
+    set — pin it so adding a pipeline stage can't silently multiply
+    shuffles. Measured 63 at r07 (38 joins adaptively broadcast); the
+    bound leaves no slack on shuffles and a little on broadcasts."""
+    import re
+
+    from pangool_spark.queries import QUERIES, clear_shingle_cache
+
+    out = QUERIES["curation_pipeline"](spark, sf)
+    out.collect()  # execute THIS plan so its AQE subtrees finalize
+    plan = _plan(out)
+    assert plan.count("isFinalPlan=false") == 0
+    shuffles = len(re.findall(r"ShuffleQueryStage", plan))
+    assert shuffles <= 63, f"executed shuffle stages grew to {shuffles}"
+    clear_shingle_cache(spark)
