@@ -203,3 +203,65 @@ def test_funnel_wide_steps_checkpoint_equivalence(spark):
         }
         assert results[label] == expected, label
     assert expected[99] == 10
+
+
+def _png_gray(img) -> bytes:
+    """Pure-stdlib 8-bit grayscale PNG writer — a REAL compressed-codec
+    fixture with no PIL dependency on the encode side (PNG spec: IHDR
+    color type 0, zlib IDAT of filter-0 scanlines)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(typ, data):
+        c = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pil_png_decode_through_auto_seam(spark):
+    """PIL-path integration (mirrors the ffmpeg video one): real PNG bytes
+    through decoder='auto' must decode with PIL where it exists and skip
+    cleanly elsewhere. Constant-intensity fixtures make the expectations
+    closed-form regardless of PIL's resampler."""
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import (
+        decode_and_featurize_images,
+        image_codec_available,
+        resize_images,
+    )
+
+    if not image_codec_available():
+        pytest.skip("PIL not installed in this container")
+
+    png_a = _png_gray(np.full((16, 16), 200, dtype=np.uint8))
+    png_b = _png_gray(np.full((32, 8), 10, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, png_a), (2, png_b)], "media_id LONG, payload BINARY"
+    )
+    rows = {r.media_id: r for r in decode_and_featurize_images(df, decoder="auto").collect()}
+    assert rows[1].mean_intensity == pytest.approx(200.0)
+    assert rows[2].mean_intensity == pytest.approx(10.0)
+    assert len(rows[1].feature) == 64 and set(rows[1].feature) == {200.0}
+
+    out = {r.media_id: r for r in resize_images(df, (4, 4), decoder="auto").collect()}
+    assert out[1].payload == bytes([200] * 16)
+    assert out[2].payload == bytes([10] * 16)
+    assert (out[1].width, out[1].height) == (4, 4)
