@@ -10,7 +10,13 @@ from pangool_spark.operators.grouping import (
     cube_agg,
     secondary_sorted_apply,
 )
-from pangool_spark.operators.joins import cogroup_join, broadcast_join, semi_join, anti_join
+from pangool_spark.operators.joins import (
+    cogroup_join,
+    broadcast_join,
+    semi_join,
+    anti_join,
+    bloom_prune_join,
+)
 from pangool_spark.operators.windows import (
     top_k,
     moving_average,
@@ -28,6 +34,7 @@ __all__ = [
     "broadcast_join",
     "semi_join",
     "anti_join",
+    "bloom_prune_join",
     "top_k",
     "moving_average",
     "normalize_by_group_total",

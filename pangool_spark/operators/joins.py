@@ -181,3 +181,94 @@ def asof_join(
     ]
     out_cols.append(F.col(f"__match__.{ts_col}").alias(f"{prefix}{ts_col}"))
     return matched.select(*out_cols)
+
+
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    fpp: float = 0.01,
+    max_filter_mb: int = 64,
+) -> DataFrame:
+    """Runtime-filter join: build a Bloom filter over the dim side's join
+    keys, pre-filter the FACT side with it BEFORE the fact rows reach the
+    join's shuffle, then run the real equi-join. The result is EXACTLY
+    ``fact.join(dim, on, how)`` — Bloom false positives survive the
+    pre-filter but the real join removes them, and matchable rows can
+    never be false negatives (equal keys hash to equal bit positions).
+
+    This is the shuffle-volume play behind engine runtime filters
+    (Spark's InjectRuntimeFilter, Trino dynamic filtering) made explicit
+    and composable: at 100 TB a selective dimension (say 0.1% of parts)
+    means 99%+ of fact rows would shuffle only to be dropped by the join;
+    probing a broadcast bitset first drops them at the SCAN, paying one
+    cheap aggregate over the (small) dim side.
+
+    Everything is JVM expressions — xxhash64 positions, a bit_or word
+    aggregate on the dim side, and a whole-stage-codegen probe
+    (element_at + bitmask) against the bitset shipped as a broadcast
+    single-row relation (a broadcast-scalar BNLJ, the pattern the plan
+    audit whitelists). No Python in either path.
+
+    Restricted to ``inner``/``left_semi``: outer joins must keep
+    unmatched fact rows, so pre-filtering the fact side would be wrong.
+    ``max_filter_mb`` caps the bitset (the broadcast contract); when the
+    dim cardinality pushes m beyond it, the filter is clamped and the
+    false-positive rate degrades gracefully (correctness is unaffected).
+    """
+    import math
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_prune_join: how={how!r} would drop unmatched fact rows; "
+            "only inner/left_semi joins can prune the fact side"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+
+    n = dim.select(*keys).distinct().count()
+    if n == 0:
+        # empty dim: inner/semi result is empty; keep the plan trivial
+        return fact.join(dim, keys, how)
+    ln2 = math.log(2.0)
+    m = int(math.ceil(-n * math.log(fpp) / (ln2 * ln2)))
+    m = max(64, min(m, max_filter_mb * 1024 * 1024 * 8))
+    n_words = (m + 63) // 64
+    m = n_words * 64
+    k = max(1, min(16, round((m / n) * ln2)))
+
+    key_sql = ", ".join(keys)
+    positions = [f"pmod(xxhash64({key_sql}, {i}), {m}L)" for i in range(k)]
+    words = (
+        dim.select(*keys)
+        .distinct()
+        .selectExpr(
+            f"explode(array({', '.join(positions)})) AS __pos__"
+        )
+        .selectExpr(
+            "cast(__pos__ div 64 AS int) AS __w__",
+            "shiftleft(1L, cast(__pos__ % 64 AS int)) AS __mask__",
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__mask__").alias("__mask__"))
+        .collect()
+    )
+    bits = [0] * n_words
+    for r in words:
+        bits[r["__w__"]] = r["__mask__"]
+
+    spark = fact.sparkSession
+    bits_df = spark.createDataFrame([(bits,)], "__bloom__ array<bigint>")
+    probe = " AND ".join(
+        f"(element_at(__bloom__, cast({p} div 64 AS int) + 1) "
+        f"& shiftleft(1L, cast({p} % 64 AS int))) != 0"
+        for p in positions
+    )
+    pruned = (
+        fact.join(F.broadcast(bits_df))
+        .filter(F.expr(probe))
+        .drop("__bloom__")
+    )
+    return pruned.join(dim, keys, how)

@@ -484,3 +484,78 @@ def winnow_fingerprints(
     if proj.rdd.getNumPartitions() < n_parts:
         proj = proj.repartition(n_parts)
     return proj.mapInPandas(winnow, schema=out_schema).distinct()
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Cross-document LINE deduplication (the C4/Gopher boilerplate
+    remover): a line whose trimmed content appears in at least
+    ``min_docs`` DISTINCT documents is boilerplate (cookie banners,
+    nav chrome, license headers) and every copy is removed;
+    ``keep_first=True`` instead keeps the single copy in the
+    lowest-``id_col`` document holding it. Surviving lines are
+    reassembled in original order; documents whose every line was
+    boilerplate survive with empty text (dropping docs is a separate
+    curation decision). Blank lines are formatting, not content — they
+    are kept and never counted.
+
+    Scale shape: lines join on their md5 (portable, oracle-replicable —
+    the ``content_digest`` convention) so corpus text never shuffles in
+    the count/anti-join path; one distinct-count aggregate over
+    (doc, line-hash), one anti-join (AQE chooses broadcast when the
+    boilerplate set is small, which it is: hot lines are by definition
+    few), one per-doc reassembly aggregate. All JVM expressions.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__line__"),
+    ).withColumn("__key__", F.md5(F.trim(F.col("__line__"))))
+    content = lines.filter(F.trim(F.col("__line__")) != "")
+
+    per_doc = content.select(id_col, "__key__").distinct()
+    counts = per_doc.groupBy("__key__").agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.min(id_col).alias("__first__"),
+    )
+    hot = counts.filter(F.col("__n__") >= min_docs)
+
+    if keep_first:
+        # drop hot lines everywhere EXCEPT the lowest-id holder
+        doomed = hot.select("__key__", F.col("__first__").alias("__keep__"))
+        survivors = lines.join(doomed, "__key__", "left").filter(
+            F.col("__keep__").isNull()
+            | (F.col(id_col) == F.col("__keep__"))
+            | (F.trim(F.col("__line__")) == "")
+        )
+    else:
+        blank = F.trim(F.col("__line__")) == ""
+        survivors = lines.join(
+            hot.select("__key__", F.lit(True).alias("__hot__")), "__key__", "left"
+        ).filter(F.col("__hot__").isNull() | blank)
+
+    rebuilt = (
+        survivors.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos__", "__line__"))
+                    ),
+                    lambda s: s["__line__"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+    # docs whose every line was removed (possible only when blank lines
+    # are absent) come back with empty text via the left join
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

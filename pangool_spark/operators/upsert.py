@@ -108,3 +108,64 @@ def scd2_history(
         *keys, *attrs, F.col(ts_col).alias("valid_from")
     ).withColumn("valid_to", F.lead("valid_from").over(w))
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two snapshots — the review step before a
+    ``merge_upsert`` ships, and the drill-down behind
+    ``profile.dataset_checksum`` when the cheap fingerprint says two runs
+    diverged: WHICH keys were added / removed / changed?
+
+    Output: one row per differing key → (*keys, status) with status in
+    {'added', 'removed', 'changed'}; identical rows are omitted (the
+    common case at 100 TB — a daily diff is delta-sized, never
+    snapshot-sized). ``compare_cols`` limits change detection to named
+    columns (default: every shared non-key column). Comparison is
+    null-safe per column (NULL == NULL for diff purposes, matching SQL's
+    IS NOT DISTINCT FROM), via one struct<=>struct equality.
+
+    Scale shape: a single full outer shuffle join on the keys — with
+    both snapshots bucketed by the keys, zero exchanges, same as
+    ``merge_upsert``. No collect, no window.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("dataset_diff needs at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    compare_cols = list(compare_cols)
+
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__in_old__"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old_vals__"),
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("__in_new__"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new_vals__"),
+    )
+    joined = o.join(n, keys, "full_outer")
+    changed = (
+        F.col("__in_old__").isNotNull()
+        & F.col("__in_new__").isNotNull()
+        & ~F.col("__old_vals__").eqNullSafe(F.col("__new_vals__"))
+        if compare_cols
+        else F.lit(False)
+    )
+    status = (
+        F.when(F.col("__in_old__").isNull(), F.lit("added"))
+        .when(F.col("__in_new__").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*keys, "status")
+    )

@@ -4014,6 +4014,145 @@ def fuzzy_join_new_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_prune_join_lineitem",
+    """
+    SELECT p.p_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_name
+    """,
+)
+def bloom_prune_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: the fact side (lineitem) is pre-filtered by a
+    Bloom filter built over the selective dimension's keys (p_size=1
+    parts) BEFORE its shuffle — the explicit form of engine runtime
+    filters (Spark InjectRuntimeFilter / Trino dynamic filtering). The
+    oracle is the PLAIN join: Bloom false positives must be invisible in
+    the result by construction."""
+    from pangool_spark.operators.joins import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_name")
+    )
+    return (
+        bloom_prune_join(li, dim, ["p_partkey"])
+        .groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "line_dedup_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             text || chr(10) || 'source: ' || source
+                  || chr(10) || 'lang: ' || lang AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs
+    ),
+    hot AS (
+      SELECT md5(trim(line)) AS key
+      FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    surv AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l LEFT JOIN hot h ON md5(trim(l.line)) = h.key
+      WHERE h.key IS NULL OR trim(l.line) = ''
+    )
+    SELECT d.doc_id, COALESCE(s.text, '') AS text
+    FROM docs d LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM surv GROUP BY doc_id
+    ) s USING (doc_id)
+    """,
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (C4/Gopher boilerplate removal) over a
+    multi-line corpus synthesized from documents: each doc's text plus
+    'source:'/'lang:' trailer lines. The trailers repeat across many
+    docs → boilerplate, removed everywhere; body lines repeat only for
+    exact-dup docs. Value-oracled end-to-end including line order."""
+    from pangool_spark.operators.text import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.concat(F.lit("lang: "), F.col("lang")),
+        ).alias("text"),
+    )
+    return line_dedup(docs, min_docs=2)
+
+
+@query(
+    "dataset_diff_customers",
+    """
+    WITH new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    ),
+    old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer)
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                  OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+                THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE (o.c_custkey IS NULL) OR (n.c_custkey IS NULL)
+       OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+       OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+    """,
+)
+def dataset_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff: yesterday's customer table vs a deterministic
+    'today' (10% of keys removed, every 13th key re-added under a new id,
+    every 7th account balance bumped). One full-outer shuffle join, rows
+    only for differing keys — delta-sized output. Oracle replicates the
+    mutation and the null-safe comparison in SQL."""
+    from pangool_spark.operators.upsert import dataset_diff
+
+    old = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    kept = old.filter(F.col("c_custkey") % 10 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    added = old.filter(F.col("c_custkey") % 13 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    new = kept.unionByName(added)
+    return dataset_diff(old, new, ["c_custkey"])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

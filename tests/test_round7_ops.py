@@ -1,0 +1,114 @@
+"""Round-7 new operators: bloom_prune_join (runtime-filter join),
+line_dedup (C4/Gopher cross-doc boilerplate removal), dataset_diff
+(keyed snapshot diff)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pangool_spark.data import load_table
+
+
+def test_bloom_prune_join_equals_plain_join(spark, sf_dir):
+    from pangool_spark.operators.joins import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey", "p_name")
+    )
+    got = bloom_prune_join(li, part, ["p_partkey"])
+    want = li.join(part, ["p_partkey"])
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the probe filter reaches the fact side pre-join, as a codegen expr
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan
+    # semi form agrees too
+    gs = bloom_prune_join(li, part.select("p_partkey"), ["p_partkey"], how="left_semi")
+    ws = li.join(part.select("p_partkey"), ["p_partkey"], "left_semi")
+    assert gs.count() == ws.count()
+
+
+def test_bloom_prune_join_guards(spark):
+    from pangool_spark.operators.joins import bloom_prune_join
+
+    a = spark.createDataFrame([(1, "x")], "k LONG, v STRING")
+    b = spark.createDataFrame([(1, "y")], "k LONG, w STRING")
+    with pytest.raises(ValueError, match="fact"):
+        bloom_prune_join(a, b, ["k"], how="left")
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_prune_join(a, b, ["k"], fpp=1.5)
+    # empty dim -> empty inner result, no crash
+    assert bloom_prune_join(a, b.filter("k < 0"), ["k"]).count() == 0
+    # multi-column key
+    c = spark.createDataFrame([(1, "x", 5), (2, "x", 6)], "k LONG, v STRING, z INT")
+    d = spark.createDataFrame([(1, "x", 7)], "k LONG, v STRING, y INT")
+    got = bloom_prune_join(c, d, ["k", "v"])
+    assert got.count() == c.join(d, ["k", "v"]).count() == 1
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from pangool_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nCOMMON BANNER\nbody text a"),
+            (2, "COMMON BANNER\n\nbody text b"),
+            (3, "body text c\n  COMMON BANNER  "),  # trim-matched
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.text for r in line_dedup(docs).collect()}
+    assert got[1] == "unique one\nbody text a"
+    assert got[2] == "\nbody text b"  # blank line is formatting, kept
+    assert got[3] == "body text c"
+    assert got[4] == ""  # empty doc survives as empty
+    # repeats WITHIN one doc don't count as cross-doc
+    solo = spark.createDataFrame(
+        [(1, "same\nsame"), (2, "other")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r.text for r in line_dedup(solo).collect()}
+    assert got[1] == "same\nsame"
+    # min_docs raises the bar
+    assert {
+        r.doc_id: r.text for r in line_dedup(docs, min_docs=4).collect()
+    }[1] == "unique one\nCOMMON BANNER\nbody text a"
+
+
+def test_line_dedup_keep_first(spark):
+    from pangool_spark.operators.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (5, "LICENSE HEADER\nfive"),
+            (2, "LICENSE HEADER\ntwo"),
+            (9, "LICENSE HEADER\nnine"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.text for r in line_dedup(docs, keep_first=True).collect()}
+    assert got == {2: "LICENSE HEADER\ntwo", 5: "five", 9: "nine"}
+
+
+def test_dataset_diff_statuses(spark):
+    from pangool_spark.operators.upsert import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)], "k LONG, v STRING, x INT"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 30), (4, "d", 40)], "k LONG, v STRING, x INT"
+    )
+    got = {r.k: r.status for r in dataset_diff(old, new, ["k"]).collect()}
+    # key 2 identical (null-safe: NULL == NULL) -> omitted
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    # compare_cols narrows change detection: x alone is identical for 3
+    got = {r.k: r.status for r in dataset_diff(old, new, ["k"], ["x"]).collect()}
+    assert got == {1: "removed", 4: "added"}
+    # empty key list rejected
+    with pytest.raises(ValueError):
+        dataset_diff(old, new, [])
