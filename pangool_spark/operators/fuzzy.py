@@ -45,22 +45,89 @@ def edit_distance_pairs(
     text_col: str = "text",
     max_d: int = 1,
     q: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein distance ≤ ``max_d``.
 
-    Output: (id_a, id_b, distance). Exact (blocking is lossless — see
-    module docstring); ``q`` trades index size against candidate
-    selectivity and never affects results.
+    Output: (id_a, id_b, distance). Exact (both blocking strategies are
+    lossless — see module docstring); ``q``/``strategy`` trade index size
+    against candidate selectivity and never affect results.
+
+    ``strategy``:
+
+    - ``'deletion'`` — symmetric-deletion blocking (FastSS / SymSpell):
+      index each string under the xxhash64 of itself and of every
+      single-character deletion; any pair within ed ≤ 1 must share a
+      variant (equal → identity; substitution → delete the edited
+      position on both sides; insert/delete → one side's deletion equals
+      the other's identity). O(len) 8-byte index rows per string, and
+      bucket keys encode nearly the whole string, so candidates collapse
+      to true-ish pairs even on corpora whose q-gram vocabulary is
+      degenerate (TPC-H part names have ~167 distinct 3-grams at 200k
+      rows — every gram is a stop-gram and the gram join output is
+      ~47 BILLION rows; the deletion index runs the same query in
+      seconds). d ≤ 1 only.
+    - ``'gram'`` — the Gravano q-gram inverted index + count filter +
+      length band (any ``max_d``; the diverse-vocabulary path).
+    - ``'auto'`` — ``'deletion'`` when ``max_d <= 1``, else ``'gram'``.
     """
     if max_d < 0:
         raise ValueError(f"max_d must be >= 0, got {max_d}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    if strategy not in ("auto", "gram", "deletion"):
+        raise ValueError(f"unknown strategy {strategy!r}: auto|gram|deletion")
+    if strategy == "auto":
+        strategy = "deletion" if max_d <= 1 else "gram"
+    if strategy == "deletion" and max_d > 1:
+        raise ValueError("strategy='deletion' supports max_d <= 1 only")
     s = df.select(
         F.col(id_col).alias("__id__"),
         F.col(text_col).alias("__s__"),
         F.length(text_col).alias("__l__"),
     ).filter(F.col("__s__").isNotNull())
+
+    if strategy == "deletion":
+        variants = s.select(
+            "__id__",
+            "__l__",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, length(__s__)), i -> "
+                        "xxhash64(if(i = 0, __s__, "
+                        "concat(substring(__s__, 1, i-1), "
+                        "substring(__s__, i+1)))))"
+                    )
+                    if max_d >= 1
+                    else F.expr("array(xxhash64(__s__))")
+                )
+            ).alias("__v__"),
+        )
+        va = variants.select(
+            F.col("__id__").alias("id_a"), F.col("__l__").alias("__la__"), "__v__"
+        )
+        vb = variants.select(
+            F.col("__id__").alias("id_b"), F.col("__l__").alias("__lb__"), "__v__"
+        )
+        candidates = (
+            va.join(vb, "__v__")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("__la__") - F.col("__lb__")) <= max_d)
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = s.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("__sa__"))
+        sb = s.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("__sb__"))
+        return (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("distance", F.levenshtein("__sa__", "__sb__"))
+            .filter(F.col("distance") <= max_d)
+            .select("id_a", "id_b", "distance")
+        )
     short_bound = q * (max_d + 1)
     longs = s.filter(F.col("__l__") >= short_bound)
     shorts = s.filter(F.col("__l__") < short_bound)
@@ -82,14 +149,28 @@ def edit_distance_pairs(
     gb = grams.select(
         F.col("__id__").alias("id_b"), F.col("__l__").alias("__lb__"), "__g__"
     )
+    # Gravano's COUNT filter, not just ≥1 shared gram: ed(a,b) ≤ d forces
+    # at least max(|a|,|b|) − q + 1 − q·d shared q-grams (≥ 1 on the long
+    # slice by construction, so this strictly subsumes the ≥1 test and
+    # stays lossless). The groupBy replaces the old distinct() — same
+    # dedup shuffle, far fewer survivors: pairs sharing a long common
+    # substring but differing beyond d (same-length catalog variants,
+    # versioned names) are exactly the candidates it kills. Measured at
+    # 10× bench scale: 232s → dominated-by-verify down to seconds-range
+    # candidates (see ROADMAP round-7 notes).
+    min_shared = F.greatest(F.col("__la__"), F.col("__lb__")) - F.lit(
+        q - 1 + q * max_d
+    )
     cand_long = (
         ga.join(gb, "__g__")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("__la__") - F.col("__lb__")) <= max_d)
         )
+        .groupBy("id_a", "id_b", "__la__", "__lb__")
+        .agg(F.count(F.lit(1)).alias("__shared__"))
+        .filter(F.col("__shared__") >= min_shared)
         .select("id_a", "id_b")
-        .distinct()
     )
 
     # short×anything: length-band equi-join (2·max_d+1 keys per short row)
@@ -133,11 +214,12 @@ def edit_distance_join(
     text_b: str,
     max_d: int = 1,
     q: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Cross-relation form of ``edit_distance_pairs`` (match a new batch
     of names against a standing reference): pairs (id_a, id_b, distance ≤
     ``max_d``) between two relations. Id spaces need not be disjoint —
-    sides are tracked structurally. Same lossless two-path blocking."""
+    sides are tracked structurally. Same lossless blocking strategies."""
     ta = a.select(F.col(id_a).alias("__id__"), F.col(text_a).alias("__s__"))
     tb = b.select(F.col(id_b).alias("__id__"), F.col(text_b).alias("__s__"))
     tagged = ta.withColumn("__side__", F.lit(0)).unionByName(
@@ -147,7 +229,7 @@ def edit_distance_join(
     keyed = tagged.select(
         F.struct("__side__", "__id__").alias("k"), F.col("__s__").alias("t")
     )
-    pairs = edit_distance_pairs(keyed, "k", "t", max_d, q)
+    pairs = edit_distance_pairs(keyed, "k", "t", max_d, q, strategy)
     cross = pairs.filter(F.col("id_a.__side__") != F.col("id_b.__side__"))
     a_key = F.when(F.col("id_a.__side__") == 0, F.col("id_a.__id__")).otherwise(
         F.col("id_b.__id__")

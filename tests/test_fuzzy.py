@@ -108,3 +108,30 @@ def test_edit_distance_pairs_validates_params(spark):
         edit_distance_pairs(df, max_d=-1)
     with pytest.raises(ValueError, match="q must"):
         edit_distance_pairs(df, q=1)
+
+
+def test_deletion_and_gram_strategies_agree(spark):
+    """Both lossless blockings must produce IDENTICAL pair sets at d<=1
+    (auto picks deletion there; gram stays the d>=2 / long-text path).
+    Includes empty strings, duplicates, and 1-char strings — the deletion
+    variants' edge cases (identity-of-empty, delete-to-empty)."""
+    import random
+
+    rng = random.Random(23)
+    rows = [(0, ""), (1, "a"), (2, "a"), (3, "b"), (4, "ab")] + [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(1, 10))))
+        for i in range(5, 70)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    for d in (0, 1):
+        got_del = {
+            (r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(df, "id", "text", max_d=d, strategy="deletion").collect()
+        }
+        got_gram = {
+            (r.id_a, r.id_b): r.distance
+            for r in edit_distance_pairs(df, "id", "text", max_d=d, strategy="gram").collect()
+        }
+        assert got_del == got_gram, f"max_d={d}"
+    with pytest.raises(ValueError, match="deletion"):
+        edit_distance_pairs(df, "id", "text", max_d=2, strategy="deletion")

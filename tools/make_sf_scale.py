@@ -69,7 +69,21 @@ def main() -> None:
 
     replicate("customer", ["c_custkey"])
     replicate("supplier", ["s_suppkey"])
-    replicate("part", ["p_partkey"])
+
+    def salt_part_names(df, r):
+        # suffixes are pairwise Levenshtein-3 apart (" 111" vs " 222"),
+        # so cross-replica name pairs can never land inside the fuzzy
+        # joins' d≤2 band — within-replica edit-distance structure is
+        # unchanged (a shared suffix preserves Levenshtein distances).
+        # Verbatim replication puts K identical copies of every name at
+        # distance 0, a ~K² candidate blowup no real 10× catalog shows.
+        if r == 0:
+            return df
+        return df.withColumn(
+            "p_name", F.concat(F.col("p_name"), F.lit(f" {r}{r}{r}"))
+        )
+
+    replicate("part", ["p_partkey"], extra=salt_part_names)
     replicate("orders", ["o_orderkey", "o_custkey"])
     replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
     replicate("events", ["event_id", "user_id"])
@@ -91,16 +105,21 @@ def main() -> None:
     replicate("documents", ["doc_id"], extra=salt_docs)
 
     def perturb_vec(df, r):
+        # deterministic per-replica SIGN FLIPS: cos(s∘u, s∘v) = cos(u, v)
+        # preserves within-replica similarity structure exactly, while
+        # cos(v, s∘v) ≈ mean(s) ≈ 0 decorrelates replicas — additive
+        # noise small enough to keep structure leaves cross-replica
+        # cosine ≈ 1 and inflates near-dup pairs ~K² (a fixture artifact
+        # no real 10× corpus shows)
         if r == 0:
             return df
-        bumped = F.transform(
+        flipped = F.transform(
             F.col("embedding"),
-            lambda x, i: x
-            + (F.lit(0.05 * r) * F.sin(i.cast("double") + F.lit(float(r)))).cast(
-                "float"
-            ),
+            lambda x, i: F.when(
+                F.pmod(F.xxhash64(i.cast("long"), F.lit(r)), F.lit(2)) == 0, x
+            ).otherwise(-x),
         )
-        return df.withColumn("embedding", bumped)
+        return df.withColumn("embedding", flipped)
 
     replicate("embeddings", ["vec_id"], extra=perturb_vec)
     print(f"wrote {dst} at {k}x {src}", file=sys.stderr)
