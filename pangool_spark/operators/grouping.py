@@ -72,3 +72,52 @@ def secondary_sorted_apply(
         return fn(key, _sort_pandas(pdf, elements))
 
     return df.groupBy(*group_by).applyInPandas(run, schema=struct)
+
+
+_MERGEABLE_FIRST = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_MERGEABLE_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def agg_state(
+    df: DataFrame, keys: Sequence[str], aggs: "dict[str, tuple]"
+) -> DataFrame:
+    """Mergeable aggregation STATE for a batch — the combiner pattern
+    (ref ``P/tuplemr/TupleMRBuilder`` combiner wiring, SURVEY §2.4)
+    promoted to a standing-table regime: instead of re-aggregating the
+    full history every day, keep a state table of algebraic partials and
+    fold each new batch in with ``merge_agg_states`` — O(batch + state)
+    per day, never O(history).
+
+    ``aggs`` maps output column → (op, input column), op in
+    {sum, count, min, max} (the self-mergeable ops; avg = sum/count at
+    read time). The state schema is the output schema, so states and
+    batches round-trip through any sink.
+    """
+    for name, (op, _c) in aggs.items():
+        if op not in _MERGEABLE_FIRST:
+            raise ValueError(
+                f"agg_state supports {sorted(_MERGEABLE_FIRST)}, got {op!r} for {name!r}"
+            )
+    return df.groupBy(*keys).agg(
+        *[_MERGEABLE_FIRST[op](c).alias(name) for name, (op, c) in aggs.items()]
+    )
+
+
+def merge_agg_states(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    aggs: "dict[str, tuple]",
+) -> DataFrame:
+    """Fold a batch's ``agg_state`` into the standing state: union +
+    one re-aggregate with each op's MERGE function (count merges with
+    sum). Equals ``agg_state`` over the concatenated raw history —
+    pinned by oracle — at the cost of the delta, not the history.
+    New keys appear, absent keys carry through unchanged."""
+    merged = state.unionByName(delta)
+    return merged.groupBy(*keys).agg(
+        *[
+            _MERGEABLE_MERGE[op](name).alias(name)
+            for name, (op, _c) in aggs.items()
+        ]
+    )

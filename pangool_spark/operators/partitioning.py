@@ -269,3 +269,44 @@ def write_zordered(
         else staged.repartitionByRange("__z__")
     )
     staged.sortWithinPartitions("__z__").drop("__z__").write.mode(mode).parquet(path)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join — the join-side sibling of ``salted_agg``: a
+    hot key (the bot user, the null-ish sentinel id, the top SKU) sends
+    ALL its big-side rows to one task in a plain shuffle join; here the
+    big side gets a deterministic content-derived salt and the small side
+    is replicated ``n_salts``× (explode, not a cross join), so the join
+    key becomes (keys + salt) and the hot key's rows spread over
+    ``n_salts`` tasks. Each big row matches exactly one replica → the
+    result EQUALS ``big.join(small, on, how)`` (pinned by test + oracle).
+
+    Use when AQE's skew-join split doesn't apply (it only splits
+    sort-merge partitions, not e.g. a shuffled hash join's build side)
+    or when the skew is known ahead of time. Cost: small side ×n_salts
+    (keep it the DIMENSION side), big side +4 bytes of salt.
+
+    ``how``: ``inner``/``left`` (both keep exactly one match per
+    matching (big row, small row) pair; ``left`` keeps unmatched big
+    rows with nulls — replication cannot duplicate them because a big
+    row carries ONE salt value).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    keys = list(on)
+    # deterministic salt from the whole row's hash: stable across
+    # retries/repartitions (F.rand re-rolls per task attempt — fine for
+    # salted_agg's partial sums, wrong for join row identity)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("__salt__", salt)
+    s = small.withColumn(
+        "__salt__",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
+    )
+    return b.join(s, keys + ["__salt__"], how).drop("__salt__")

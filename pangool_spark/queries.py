@@ -4153,6 +4153,84 @@ def dataset_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_diff(old, new, ["c_custkey"])
 
 
+@query(
+    "salted_join_lineitem",
+    """
+    SELECT s.s_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def salted_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: lineitem (the big side, salted by a
+    deterministic row hash) against the replicated supplier dimension,
+    joined on (key + salt) so a hot supplier's rows spread over 16
+    tasks. The oracle is the PLAIN join aggregate — salting must be
+    invisible in the result."""
+    from pangool_spark.operators.partitioning import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        salted_join(li, supp, ["s_suppkey"])
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_state_orders",
+    """
+    SELECT o_custkey,
+           COUNT(o_totalprice) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: orders split into two 'daily
+    batches' (odd/even orderkey), each reduced to mergeable state with
+    agg_state, folded together with merge_agg_states — O(batch + state)
+    per day, never O(history). Oracle is the full recompute over all
+    orders, so the merge must be exactly lossless (count merges with
+    SUM, decimal partials keep the sum order-independent)."""
+    from pangool_spark.operators.grouping import agg_state, merge_agg_states
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__price_dec__", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    spec = {
+        "n_orders": ("count", "__price_dec__"),
+        "total_spend_dec": ("sum", "__price_dec__"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    day1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    day2 = orders.filter(F.col("o_orderkey") % 2 != 0)
+    merged = merge_agg_states(
+        agg_state(day1, ["o_custkey"], spec),
+        agg_state(day2, ["o_custkey"], spec),
+        ["o_custkey"],
+        spec,
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("total_spend_dec").cast("double").alias("total_spend"),
+        "first_order",
+        "last_order",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -112,3 +112,53 @@ def test_dataset_diff_statuses(spark):
     # empty key list rejected
     with pytest.raises(ValueError):
         dataset_diff(old, new, [])
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pangool_spark.operators.partitioning import salted_join
+
+    # a skewed big side: key 1 dominates
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 900), (3, 901), (9, 902)],
+        "k LONG, payload LONG",
+    )
+    small = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (4, "four")], "k LONG, name STRING"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, ["k"], n_salts=8, how=how)
+        want = big.join(small, ["k"], how)
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
+    # the physical join key includes the salt
+    plan = salted_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "__salt__" in plan
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, ["k"], how="right")
+
+
+def test_agg_state_merge_equals_full_recompute(spark):
+    from pangool_spark.operators.grouping import agg_state, merge_agg_states
+
+    spec = {
+        "n": ("count", "v"),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    day1 = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("b", 3)], "k STRING, v INT"
+    )
+    day2 = spark.createDataFrame(
+        [("a", 2), ("c", 7), ("c", None)], "k STRING, v INT"
+    )
+    state = agg_state(day1, ["k"], spec)
+    merged = merge_agg_states(state, agg_state(day2, ["k"], spec), ["k"], spec)
+    want = agg_state(day1.unionByName(day2), ["k"], spec)
+    got = {r.k: (r.n, r.total, r.lo, r.hi) for r in merged.collect()}
+    exp = {r.k: (r.n, r.total, r.lo, r.hi) for r in want.collect()}
+    assert got == exp
+    # nulls don't count, count merges with SUM not COUNT
+    assert got["c"] == (1, 7, 7, 7)
+    with pytest.raises(ValueError, match="agg_state"):
+        agg_state(day1, ["k"], {"bad": ("avg", "v")})
