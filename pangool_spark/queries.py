@@ -4231,6 +4231,76 @@ def agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "naive_bayes_docs",
+    r"""
+    WITH train AS (
+      SELECT lang AS category, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    tok_train AS (
+      SELECT category,
+             lower(regexp_replace(t.tok, '[!-/:-@\[-`{-~]', '', 'g')) AS word
+      FROM train,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    model AS (
+      SELECT category, word, count(*) AS cnt FROM tok_train GROUP BY 1, 2
+    ),
+    totals AS (SELECT category, sum(cnt) AS t FROM model GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT word) AS v FROM model),
+    test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tok_test AS (
+      SELECT doc_id,
+             lower(regexp_replace(t.tok, '[!-/:-@\[-`{-~]', '', 'g')) AS word
+      FROM test,
+           unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS t(tok)
+    ),
+    grid AS (
+      SELECT doc_id, word, category, t, v FROM tok_test, totals, vocab
+    ),
+    scored AS (
+      SELECT g.doc_id, g.category,
+             CAST(ln((COALESCE(m.cnt, 0) + 1)::DOUBLE
+                     / (g.t + g.v)::DOUBLE) AS DECIMAL(38,18)) AS s
+      FROM grid g
+      LEFT JOIN model m ON g.word = m.word AND g.category = m.category
+    ),
+    sums AS (
+      SELECT doc_id, category, sum(s) AS score FROM scored GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, category,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, category ASC) AS rn
+      FROM sums
+    )
+    SELECT d.doc_id, b.category AS predicted
+    FROM test d
+    LEFT JOIN (SELECT doc_id, category FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def naive_bayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NaiveBayes pair end-to-end (ref
+    ``EX/naivebayes/NaiveBayesGenerate.java`` + ``NaiveBayesClassifier
+    .java``): train per-(word, category) counts on the even-id half of
+    documents with lang as the label, classify the odd-id half with add-1
+    smoothing. The oracle replicates tokenization (StringTokenizer +
+    ASCII-punct strip), the count model, decimal-summed log scores, and
+    the argmax tie-break in DuckDB SQL. Decision-only output keeps the
+    hash robust to sub-ulp libm ln() differences."""
+    from pangool_spark.operators.ml import naive_bayes_classify, naive_bayes_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("lang").alias("category"), "text"
+    )
+    test = docs.filter(F.col("doc_id") % 2 != 0)
+    model = naive_bayes_train(train)
+    return naive_bayes_classify(test, model)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

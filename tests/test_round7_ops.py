@@ -162,3 +162,35 @@ def test_agg_state_merge_equals_full_recompute(spark):
     assert got["c"] == (1, 7, 7, 7)
     with pytest.raises(ValueError, match="agg_state"):
         agg_state(day1, ["k"], {"bad": ("avg", "v")})
+
+
+def test_naive_bayes_train_and_classify(spark):
+    """Reference parity: tokenization (StringTokenizer + ASCII-punct
+    strip, pure-punct tokens become the '' vocab entry), per-(word,
+    category) counts, add-1 smoothing; token-less docs -> NULL."""
+    from pangool_spark.operators.ml import naive_bayes_classify, naive_bayes_train
+
+    train = spark.createDataFrame(
+        [
+            ("POSITIVE", "I love this great movie"),
+            ("POSITIVE", "great fantastic love it!"),
+            ("NEGATIVE", "I hate this terrible movie"),
+            ("NEGATIVE", "awful, terrible hate."),
+        ],
+        "category STRING, text STRING",
+    )
+    model = naive_bayes_train(train)
+    counts = {(r.category, r.word): r["count"] for r in model.collect()}
+    assert counts[("POSITIVE", "love")] == 2
+    assert counts[("NEGATIVE", "terrible")] == 2
+    # "it!" normalizes to "it"; "awful," to "awful"
+    assert ("POSITIVE", "it") in counts and ("NEGATIVE", "awful") in counts
+
+    docs = spark.createDataFrame(
+        [(1, "love great"), (2, "terrible awful hate"), (4, ""), (5, "  ")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.predicted for r in naive_bayes_classify(docs, model).collect()}
+    assert got[1] == "POSITIVE"
+    assert got[2] == "NEGATIVE"
+    assert got[4] is None and got[5] is None  # no tokens, like the reference
