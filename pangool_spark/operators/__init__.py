@@ -9,6 +9,8 @@ from pangool_spark.operators.grouping import (
     rollup_agg,
     cube_agg,
     secondary_sorted_apply,
+    agg_state,
+    merge_agg_states,
 )
 from pangool_spark.operators.joins import (
     cogroup_join,
@@ -30,6 +32,8 @@ __all__ = [
     "rollup_agg",
     "cube_agg",
     "secondary_sorted_apply",
+    "agg_state",
+    "merge_agg_states",
     "cogroup_join",
     "broadcast_join",
     "semi_join",
