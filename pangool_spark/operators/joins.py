@@ -227,6 +227,22 @@ def bloom_prune_join(
     keys = [on] if isinstance(on, str) else list(on)
     if not (0.0 < fpp < 1.0):
         raise ValueError("fpp must be in (0, 1)")
+    # xxhash64 is TYPE-sensitive (hash(int 5) != hash(bigint 5)): a dtype
+    # mismatch between the sides would silently drop matching fact rows
+    # (false negatives), so it is a hard error, not an implicit cast.
+    fact_types = dict(fact.dtypes)
+    dim_types = dict(dim.dtypes)
+    for k in keys:
+        if fact_types.get(k) != dim_types.get(k):
+            raise ValueError(
+                f"bloom_prune_join: key {k!r} has dtype "
+                f"{fact_types.get(k)} on the fact side vs "
+                f"{dim_types.get(k)} on the dim side — xxhash64 is "
+                "type-sensitive, so mismatched types would produce false "
+                "negatives. Cast both sides to one type first."
+            )
+    if "__bloom__" in fact.columns:
+        raise ValueError("bloom_prune_join: fact already has a __bloom__ column")
 
     n = dim.select(*keys).distinct().count()
     if n == 0:

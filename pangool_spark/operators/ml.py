@@ -72,37 +72,52 @@ def naive_bayes_classify(
     ``NaiveBayesClassifier.java:79-99``: score(c) = Σ_tokens
     log((count(w,c) + 1) / (tokens_c + V)), argmax over categories.
 
-    Scale shape: the model relation (vocab × categories — small by the
-    same contract as the reference's in-memory ``init()``) and its two
-    per-category scalars broadcast; each document's tokens fan out over
-    the category grid, score with JVM log expressions, and one partial
-    aggregate sums per (doc, category). Log terms are summed as
-    decimal(38,18) so the sum is order-independent (float addition is
-    not associative; a shuffled cluster run must classify identically).
-    Output: (id, category) with NULL for token-less documents.
+    Scale shape — NO token × category fan-out: with add-1 smoothing an
+    absent (word, category) pair contributes log(0+1) = 0, so
+
+        score(c) = Σ_{matching tokens} log(count+1)  −  n_tokens·log(T_c+V)
+
+    needs only an INNER join of the token stream against the broadcast
+    model (present pairs) plus a per-DOC category grid (one row per
+    (doc, category), built after aggregation — |docs|·|cats| rows, not
+    |tokens|·|cats|). Log terms are summed as decimal(38,18) so the sum
+    is order-independent (float addition is not associative; a shuffled
+    cluster run must classify identically). Output: (id, category) with
+    NULL for token-less documents.
     """
-    cat_totals = model.groupBy("category").agg(
-        F.sum("count").alias("__t__")
-    )
+    cat_totals = model.groupBy("category").agg(F.sum("count").alias("__t__"))
     vocab = model.select(F.countDistinct("word").alias("__v__"))
+    # per-category constant log(T_c + V): a single double (no sum, so no
+    # ordering concern; the one n·logden multiply and the final subtract
+    # are exact-rounded IEEE ops, identical on every engine)
+    cat_const = cat_totals.crossJoin(F.broadcast(vocab)).select(
+        "category",
+        F.log((F.col("__t__") + F.col("__v__")).cast("double")).alias(
+            "__logden__"
+        ),
+    )
 
     toks = docs.select(
         F.col(id_col), F.explode(_norm_tokens(text_col)).alias("word")
     )
-    grid = toks.crossJoin(F.broadcast(cat_totals)).crossJoin(
-        F.broadcast(vocab)
+    doc_n = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    match_term = F.log((F.col("count") + F.lit(1)).cast("double")).cast(
+        "decimal(38,18)"
     )
-    scored = grid.join(
-        F.broadcast(model), ["word", "category"], "left"
-    ).withColumn(
-        "__s__",
-        F.log(
-            (F.coalesce(F.col("count"), F.lit(0)) + F.lit(1)).cast("double")
-            / (F.col("__t__") + F.col("__v__")).cast("double")
-        ).cast("decimal(38,18)"),
+    match_sums = (
+        toks.join(F.broadcast(model), "word")
+        .groupBy(id_col, "category")
+        .agg(F.sum(match_term).alias("__m__"))
     )
-    sums = scored.groupBy(id_col, "category").agg(
-        F.sum("__s__").alias("__score__")
+    grid = doc_n.crossJoin(F.broadcast(cat_const))
+    sums = grid.join(match_sums, [id_col, "category"], "left").select(
+        F.col(id_col),
+        F.col("category"),
+        (
+            F.coalesce(F.col("__m__"), F.lit(0).cast("decimal(38,18)"))
+            .cast("double")
+            - F.col("__n__").cast("double") * F.col("__logden__")
+        ).alias("__score__"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__score__").desc(), F.col("category").asc()

@@ -4247,8 +4247,10 @@ def agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     model AS (
       SELECT category, word, count(*) AS cnt FROM tok_train GROUP BY 1, 2
     ),
-    totals AS (SELECT category, sum(cnt) AS t FROM model GROUP BY 1),
-    vocab AS (SELECT count(DISTINCT word) AS v FROM model),
+    cat_const AS (
+      SELECT category, ln((sum(cnt) + (SELECT count(DISTINCT word) FROM model))::DOUBLE) AS logden
+      FROM model GROUP BY category
+    ),
     test AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
     tok_test AS (
       SELECT doc_id,
@@ -4257,18 +4259,21 @@ def agg_state_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            unnest(list_filter(string_split_regex(trim(text), '\s+'),
                               x -> x <> '')) AS t(tok)
     ),
-    grid AS (
-      SELECT doc_id, word, category, t, v FROM tok_test, totals, vocab
-    ),
-    scored AS (
-      SELECT g.doc_id, g.category,
-             CAST(ln((COALESCE(m.cnt, 0) + 1)::DOUBLE
-                     / (g.t + g.v)::DOUBLE) AS DECIMAL(38,18)) AS s
-      FROM grid g
-      LEFT JOIN model m ON g.word = m.word AND g.category = m.category
+    doc_n AS (SELECT doc_id, count(*) AS n FROM tok_test GROUP BY 1),
+    match_sums AS (
+      SELECT k.doc_id, m.category,
+             sum(CAST(ln((m.cnt + 1)::DOUBLE) AS DECIMAL(38,18))) AS ms
+      FROM tok_test k JOIN model m ON k.word = m.word
+      GROUP BY 1, 2
     ),
     sums AS (
-      SELECT doc_id, category, sum(s) AS score FROM scored GROUP BY 1, 2
+      SELECT d.doc_id, c.category,
+             CAST(COALESCE(ms.ms, CAST(0 AS DECIMAL(38,18))) AS DOUBLE)
+               - d.n::DOUBLE * c.logden AS score
+      FROM doc_n d
+      CROSS JOIN cat_const c
+      LEFT JOIN match_sums ms
+        ON ms.doc_id = d.doc_id AND ms.category = c.category
     ),
     best AS (
       SELECT doc_id, category,
