@@ -107,6 +107,13 @@ EXTENDED = [
     # property, not an operator cost. Correctness stays gated at sf0.01
     # (53k pairs) and was verified once at sf0.1 vs the naive oracle.
     "dedup_exact_best_docs",
+    # round-7 additions
+    "bloom_prune_join_lineitem",
+    "line_dedup_docs",
+    "dataset_diff_customers",
+    "salted_join_lineitem",
+    "agg_state_orders",
+    "naive_bayes_docs",
 ]
 
 RUNS_PER_QUERY = 3

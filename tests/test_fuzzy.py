@@ -135,3 +135,20 @@ def test_deletion_and_gram_strategies_agree(spark):
         assert got_del == got_gram, f"max_d={d}"
     with pytest.raises(ValueError, match="deletion"):
         edit_distance_pairs(df, "id", "text", max_d=2, strategy="deletion")
+
+
+def test_deletion_strategy_plan_is_equi_join_only(spark, sf_dir):
+    """The deletion path too: candidates from variant-hash equi-joins,
+    JVM levenshtein verify, no cartesian, no Python."""
+    from pangool_spark.data import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    plan = (
+        edit_distance_pairs(part, "p_partkey", "p_name", max_d=1, strategy="deletion")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
