@@ -223,3 +223,69 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
     """(vertex, component) → surviving vertex per cluster (the component
     id itself, which is the min member)."""
     return components.select(F.col("component").alias("vertex")).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration PageRank — the canonical chained-MapReduce workload
+    (the reference iterates by resubmitting jobs, ``EX/gameoflife``
+    pattern); Spark-first shape: each iteration is one equi-join of the
+    rank vector against the out-edge list plus one partial-combined
+    aggregate, with lineage truncated every ``checkpoint_every`` rounds.
+
+    Deterministic-by-construction so a VALUE oracle can replicate it:
+    per-target contributions rank/outdeg are computed in double (one
+    exact-rounded divide), summed as decimal(38,18) (order-independent —
+    a shuffled cluster run produces bit-identical ranks), then the
+    damping update runs in double. Dangling nodes (no out-edges) retain
+    the teleport term only, the common simplification; N = distinct
+    nodes appearing anywhere in the edge list.
+
+    Output: (node, rank) after ``iterations`` rounds from the uniform
+    start. O(E) shuffle per round, rank vector O(V).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__")).distinct()
+    nodes = (
+        e.select(F.col("__s__").alias("node"))
+        .unionByName(e.select(F.col("__d__").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
+    links = e.join(outdeg, "__s__")  # (src, dst, outdeg)
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iterations):
+        contrib = (
+            links.join(ranks, F.col("__s__") == F.col("node"))
+            .select(
+                F.col("__d__").alias("node"),
+                (F.col("rank") / F.col("__deg__"))
+                .cast("decimal(38,18)")
+                .alias("__c__"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__sum__"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * F.coalesce(
+                    F.col("__sum__").cast("double"), F.lit(0.0)
+                )
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -4306,6 +4306,68 @@ def naive_bayes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_classify(test, model)
 
 
+@query(
+    "pagerank_supplier_part",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS d FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+    links AS (SELECT e.s, e.d, deg.deg FROM e JOIN deg ON e.s = deg.s),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r0 r ON l.s = r.node GROUP BY 1
+    ),
+    r1 AS (
+      SELECT n2.node,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+               + 0.85::DOUBLE * COALESCE(CAST(c1.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c1 ON n2.node = c1.node
+    ),
+    c2 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r1 r ON l.s = r.node GROUP BY 1
+    ),
+    r2 AS (
+      SELECT n2.node,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+               + 0.85::DOUBLE * COALESCE(CAST(c2.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c2 ON n2.node = c2.node
+    ),
+    c3 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r2 r ON l.s = r.node GROUP BY 1
+    )
+    SELECT n2.node,
+           ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+             + 0.85::DOUBLE * COALESCE(CAST(c3.csum AS DOUBLE), 0.0) AS rank
+    FROM nodes n2 LEFT JOIN c3 ON n2.node = c3.node
+    """,
+)
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the bipartite supplier→part graph
+    from lineitem (part nodes offset into their own id space) — the
+    chained-MapReduce iteration pattern as one driver loop of join+agg
+    rounds. VALUE-oracled against three unrolled iterations in DuckDB:
+    contributions are decimal-summed so rank vectors are bit-identical
+    under any partitioning, making an iterative algorithm
+    hash-comparable across engines."""
+    from pangool_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

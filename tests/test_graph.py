@@ -129,3 +129,23 @@ def test_auto_falls_back_to_star_on_high_diameter(spark):
     }
     assert set(comps) == set(range(60))
     assert set(comps.values()) == {0}
+
+
+def test_pagerank_fixed_iterations(spark):
+    """A 3-node chain a->b->c: closed-form ranks after 2 iterations from
+    the uniform start (teleport t=(1-d)/3, contributions pass whole rank
+    along the chain); dangling c contributes nothing back."""
+    from pangool_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src STRING, dst STRING")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+    d, n = 0.85, 3
+    t = (1.0 - d) / n
+    r1 = {"a": t, "b": t + d * (1 / 3), "c": t + d * (1 / 3)}
+    want = {"a": t, "b": t + d * r1["a"], "c": t + d * r1["b"]}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    # probability mass is conserved up to the dangling leak
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(edges, iterations=0)
