@@ -114,6 +114,7 @@ EXTENDED = [
     "salted_join_lineitem",
     "agg_state_orders",
     "naive_bayes_docs",
+    "pagerank_supplier_part",
 ]
 
 RUNS_PER_QUERY = 3

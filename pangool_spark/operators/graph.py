@@ -289,3 +289,57 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected graph — the classic
+    graph-analytics benchmark, via degree-ordered edge orientation
+    (Suri & Vassilvitskii's MR-era technique, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11): orient every undirected edge
+    from the lower-(degree, id) endpoint to the higher, so each triangle
+    is counted EXACTLY once as a directed wedge a→b, a→c closed by b→c,
+    and the wedge fan-out per vertex is bounded by out-degree ≤ O(√E) —
+    the hub vertex never enumerates its full neighborhood square.
+
+    Self-loops and duplicate/reverse edges are cleaned first. Two
+    shuffles: the wedge self-join on the wedge apex and the closing-edge
+    semi-equi-join. Output: one row (n_triangles).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("v"))
+        .unionByName(sym.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = sym.join(da, "a").join(db, "b")
+    # orient: lower (degree, id) -> higher
+    oriented = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+        )
+        .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+        .alias("e")
+    ).select("e.u", "e.w")
+    w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    # a wedge closes iff the undirected edge {w1, w2} exists; `sym` IS the
+    # canonical (a < b) undirected edge set, so the probe is an equi-join
+    tri = wedges.join(
+        sym,
+        (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b")),
+        "left_semi",
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

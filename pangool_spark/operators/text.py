@@ -559,3 +559,92 @@ def line_dedup(
         .join(rebuilt, id_col, "left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted index — THE canonical MapReduce job (map: (term, doc);
+    reduce: sorted posting list), reference-era workload re-expressed as
+    one partial-combined aggregate pair: per-term document frequency and
+    the posting list [(doc_id, tf) ...] sorted by doc id.
+
+    ``min_df``/``max_df`` prune hapax noise and stop-words at the REDUCE
+    side (df bounds apply before the postings aggregate ships lists).
+    The posting list for a term is O(df) — bounded by the same stop-term
+    pruning every search engine applies; terms at corpus scale with
+    million-doc postings should be max_df-pruned or delta-encoded
+    downstream.
+
+    Output: (term, df, postings array<struct<doc_id, tf>>).
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(normalized_tokens(text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    bounds = dfreq.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        bounds = bounds.filter(F.col("df") <= max_df)
+    return (
+        tf.join(bounds, "term")
+        .groupBy("term", "df")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("doc_id"), "tf"))
+            ).alias("postings")
+        )
+        .select("term", "df", "postings")
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Token co-occurrence counts within a ±``window`` token distance —
+    the Lin & Dyer "pairs" pattern (the stripes/pairs chapter workload of
+    the MapReduce era), the statistic behind PMI collocations and
+    word-vector co-occurrence matrices.
+
+    Pairs are emitted once per (position i, position j>i) with j−i ≤
+    window, ordered (a ≤ b) so "x y" and "y x" accumulate together.
+    Shape: one posexplode + a self-join on (doc, position band) would
+    shuffle the corpus twice — instead each token LOOKS AHEAD inside its
+    own row's token array (zero extra shuffle, the pair stream is built
+    map-side) and one partial-combined aggregate counts. O(len·window)
+    pair rows per doc.
+
+    Output: (term_a, term_b, n) with term_a <= term_b.
+    """
+    toks = normalized_tokens(text_col)
+    pair_arrays = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.slice(toks, i + 2, window),
+                lambda u: F.struct(
+                    F.least(t, u).alias("term_a"),
+                    F.greatest(t, u).alias("term_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        df.select(F.explode(pair_arrays).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .filter((F.col("term_a") != "") & (F.col("term_b") != ""))
+    )
+    out = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n"))
+    return out.filter(F.col("n") >= min_count)

@@ -4368,6 +4368,114 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+@query(
+    "inverted_index_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM (SELECT doc_id, {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> '')) AS t(tok)
+    ),
+    tf AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 5
+    )
+    SELECT tf.term, d.df,
+           string_agg(tf.doc_id || ':' || tf.tf, ',' ORDER BY tf.doc_id) AS postings
+    FROM tf JOIN dfreq d USING (term)
+    GROUP BY tf.term, d.df
+    """,
+)
+def inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce job — inverted index with per-term df and
+    doc-ordered postings — over documents (min_df=5 prunes hapax terms).
+    Postings flatten to a 'doc:tf,...' string so the value hash is
+    engine-portable (nested struct stringification differs across
+    engines)."""
+    from pangool_spark.operators.text import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = inverted_index(docs, min_df=5)
+    postings_str = F.array_join(
+        F.transform(
+            F.col("postings"),
+            lambda p: F.concat_ws(":", p["doc_id"], p["tf"]),
+        ),
+        ",",
+    )
+    return idx.select("term", "df", postings_str.alias("postings"))
+
+
+@query(
+    "cooccurrence_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(toklist) AS term,
+             generate_subscripts(toklist, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toklist
+        FROM documents
+      )
+    )
+    SELECT least(a.term, b.term) AS term_a,
+           greatest(a.term, b.term) AS term_b,
+           count(*) AS n
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+    GROUP BY 1, 2
+    HAVING count(*) >= 10
+    """,
+)
+def cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence counts within a ±2 window (the Lin & Dyer
+    'pairs' pattern behind PMI collocations) over documents, pruned to
+    pairs seen ≥10 times. The Spark side builds the pair stream map-side
+    inside each row's token array (zero extra shuffles before the count
+    aggregate); the oracle uses the equivalent positional self-join."""
+    from pangool_spark.operators.text import cooccurrence_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pairs(docs, window=2, min_count=10)
+
+
+@query(
+    "triangle_count_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT count(*) AS n_triangles
+    FROM pairs ab
+    JOIN pairs ac ON ab.a = ac.a AND ab.b < ac.b
+    JOIN pairs bc ON bc.a = ab.b AND bc.b = ac.b
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph (parts sharing an
+    order), via degree-ordered edge orientation (Suri & Vassilvitskii
+    WWW'11) — the wedge fan-out is bounded by out-degree ≤ O(√E), so the
+    hub part never enumerates its full neighborhood square. Oracle is
+    the naive three-way join over canonical a<b<c edges."""
+    from pangool_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -194,3 +194,59 @@ def test_naive_bayes_train_and_classify(spark):
     assert got[1] == "POSITIVE"
     assert got[2] == "NEGATIVE"
     assert got[4] is None and got[5] is None  # no tokens, like the reference
+
+
+def test_inverted_index_and_bounds(spark):
+    from pangool_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id LONG, text STRING",
+    )
+    idx = {r.term: (r.df, [(p.doc_id, p.tf) for p in r.postings])
+           for r in inverted_index(docs).collect()}
+    assert idx["apple"] == (1, [(1, 2)])
+    assert idx["banana"] == (3, [(1, 1), (2, 1), (3, 1)])
+    # df bounds prune both tails
+    only_mid = {r.term for r in inverted_index(docs, min_df=2, max_df=2).collect()}
+    assert only_mid == set()  # banana df=3 > 2, others df=1 < 2
+    assert {r.term for r in inverted_index(docs, min_df=3).collect()} == {"banana"}
+
+
+def test_cooccurrence_pairs_window(spark):
+    from pangool_spark.operators.text import cooccurrence_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b a")], "doc_id LONG, text STRING"
+    )
+    got = {(r.term_a, r.term_b): r.n for r in cooccurrence_pairs(docs, window=2).collect()}
+    # doc1 pairs (w=2): (a,b),(a,c),(b,c),(b,a),(c,a); doc2: (b,a)
+    assert got == {("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 1}
+    w1 = {(r.term_a, r.term_b): r.n for r in cooccurrence_pairs(docs, window=1).collect()}
+    assert w1 == {("a", "b"): 2, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from pangool_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    edges = list({(rng.randint(0, 15), rng.randint(0, 15)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = triangle_count(df).collect()[0].n_triangles
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert got == brute
+    # self-loops and duplicate/reverse edges are ignored
+    noisy = df.union(spark.createDataFrame([(1, 1), (2, 2)], "src LONG, dst LONG"))
+    assert triangle_count(noisy).collect()[0].n_triangles == brute
