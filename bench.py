@@ -115,6 +115,9 @@ EXTENDED = [
     "agg_state_orders",
     "naive_bayes_docs",
     "pagerank_supplier_part",
+    "inverted_index_docs",
+    "cooccurrence_docs",
+    "triangle_count_parts",
 ]
 
 RUNS_PER_QUERY = 3

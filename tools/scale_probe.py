@@ -32,6 +32,10 @@ DEFAULT_QUERIES = [
     "training_prep_pipeline",
     "dedup_index_lifecycle",
     "fuzzy_join_new_parts",
+    "pagerank_supplier_part",
+    "triangle_count_parts",
+    "line_dedup_docs",
+    "naive_bayes_docs",
 ]
 
 
