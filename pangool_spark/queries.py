@@ -4529,6 +4529,51 @@ def bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_matched", F.round("score", 9).alias("score"))
 
 
+@query(
+    "triangle_count_approx_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sampled AS (
+      SELECT a, b FROM pairs
+      WHERE (('0x' || substr(md5(a || ':' || b), 1, 8))::BIGINT
+             & 2147483647) % 1000000 < 500000
+    ),
+    cnt AS (
+      SELECT count(*) AS n
+      FROM sampled ab
+      JOIN sampled ac ON ab.a = ac.a AND ab.b < ac.b
+      JOIN sampled bc ON bc.a = ab.b AND bc.b = ac.b
+    )
+    SELECT n AS n_sampled_triangles,
+           8.0::DOUBLE AS scale,
+           n * 8.0::DOUBLE AS n_triangles_est
+    FROM cnt
+    """,
+)
+def triangle_count_approx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION approximate triangle count on the same co-purchase graph
+    as ``triangle_count_parts``, p=0.5 by the portable md5 edge hash —
+    the estimator is bit-replicable (no RNG), so even the APPROXIMATE
+    count carries a full value oracle. Exact counting is Θ(E^1.5) wedge
+    rows; sampling at p cuts the wedge bill by p^1.5."""
+    from pangool_spark.operators.graph import triangle_count_approx
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count_approx(edges, p=0.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -277,3 +277,26 @@ def test_bm25_score_ranking(spark):
     assert [r.doc_id for r in top.collect()] == [1]
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_count_approx_estimator(spark):
+    """DOULION: the estimate equals brute-force-on-the-sampled-graph / p³
+    (deterministic hash sampling, no RNG), and p=1 degenerates to the
+    exact count."""
+    import random
+
+    from pangool_spark.operators.graph import triangle_count, triangle_count_approx
+
+    rng = random.Random(9)
+    edges = list({(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    exact = triangle_count(df).collect()[0].n_triangles
+    full = triangle_count_approx(df, p=1.0).collect()[0]
+    assert full.n_sampled_triangles == exact and full.n_triangles_est == exact
+    est = triangle_count_approx(df, p=0.6).collect()[0]
+    assert est.n_triangles_est == est.n_sampled_triangles * (1.0 / 0.6**3)
+    # deterministic: same sample both times
+    est2 = triangle_count_approx(df, p=0.6).collect()[0]
+    assert est.n_sampled_triangles == est2.n_sampled_triangles
+    with pytest.raises(ValueError):
+        triangle_count_approx(df, p=0.0)
