@@ -294,7 +294,9 @@ def test_triangle_count_approx_estimator(spark):
     full = triangle_count_approx(df, p=1.0).collect()[0]
     assert full.n_sampled_triangles == exact and full.n_triangles_est == exact
     est = triangle_count_approx(df, p=0.6).collect()[0]
-    assert est.n_triangles_est == est.n_sampled_triangles * (1.0 / 0.6**3)
+    # scale is 1/(p*p*p) — same multiply chain, not pow (last-bit differs)
+    assert est.scale == 1.0 / (0.6 * 0.6 * 0.6)
+    assert est.n_triangles_est == est.n_sampled_triangles * est.scale
     # deterministic: same sample both times
     est2 = triangle_count_approx(df, p=0.6).collect()[0]
     assert est.n_sampled_triangles == est2.n_sampled_triangles
