@@ -118,6 +118,8 @@ EXTENDED = [
     "inverted_index_docs",
     "cooccurrence_docs",
     "triangle_count_parts",
+    "triangle_count_approx_parts",
+    "bm25_docs",
 ]
 
 RUNS_PER_QUERY = 3
