@@ -102,3 +102,76 @@ def lead_lag(
     return df.withColumn(f"{col}_lag", F.lag(col, offset).over(w)).withColumn(
         f"{col}_lead", F.lead(col, offset).over(w)
     )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_cols,
+    step: int,
+    start=None,
+    end=None,
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward fill — the gap-filling/resampling step every feature
+    pipeline needs before windowed aggregation (sensor readings, price
+    ticks, metric scrapes arrive irregularly; models want one row per
+    key per step).
+
+    ``ts_col`` is numeric (epoch seconds/millis — convert timestamps
+    first); the grid is ``start, start+step, …, end`` (defaults: each
+    key's own min/max observation, floored to the grid). Observed rows
+    at a grid point win; gaps carry the LAST observed value forward
+    (nulls before the first observation). Multiple observations in one
+    step: the latest (max ``ts_col``) wins, ties resolved by the larger
+    value tuple — deterministic, engine-replicable.
+
+    Scale shape: the spine is generated per key with one ``sequence``
+    explode — (range/step) rows per key, no driver loop, no cross join —
+    and the fill is one ``last(ignorenulls)`` running window per key.
+    One exchange (the window's hash partition), plan-gated.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+
+    bucket = (F.floor(F.col(ts_col) / F.lit(step)) * F.lit(step)).cast("long")
+    # latest observation per (key, bucket): max (ts, values-struct)
+    per_bucket = (
+        df.select(
+            *keys,
+            bucket.alias("__b__"),
+            F.struct(F.col(ts_col).alias("__t__"), *[F.col(v) for v in vals]).alias(
+                "__obs__"
+            ),
+        )
+        .groupBy(*keys, "__b__")
+        .agg(F.max("__obs__").alias("__obs__"))
+    )
+    lo = F.lit(int(start) // step * step) if start is not None else F.min("__b__")
+    hi = F.lit(int(end) // step * step) if end is not None else F.max("__b__")
+    spine = (
+        per_bucket.groupBy(*keys)
+        .agg(lo.alias("__lo__"), hi.alias("__hi__"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("__lo__"), F.col("__hi__"), F.lit(step))
+            ).alias("__b__"),
+        )
+    )
+    joined = spine.join(per_bucket, keys + ["__b__"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        *keys,
+        F.col("__b__").alias(ts_col),
+        *[
+            F.last(F.col("__obs__")[v], ignorenulls=True).over(w).alias(v)
+            for v in vals
+        ],
+    )
+    return filled

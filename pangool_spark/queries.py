@@ -4574,6 +4574,51 @@ def triangle_count_approx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_approx(edges, p=0.5)
 
 
+@query(
+    "resample_events",
+    """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS b,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, b, value
+      FROM (
+        SELECT user_id, b, value,
+               row_number() OVER (PARTITION BY user_id, b
+                                  ORDER BY es DESC, value DESC) AS rn
+        FROM obs
+      ) WHERE rn = 1
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b
+      FROM (SELECT user_id, min(b) AS lo, max(b) AS hi FROM latest GROUP BY 1)
+    )
+    SELECT s.user_id, s.b AS ts,
+           last_value(l.value IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM spine s LEFT JOIN latest l ON s.user_id = l.user_id AND s.b = l.b
+    """,
+)
+def resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling of the irregular events stream with
+    forward fill — one spine explode + one running last(ignorenulls)
+    window, no cross join, no driver loop. Oracle replicates the
+    latest-per-bucket pick (ts desc, value desc), the per-key grid, and
+    the ignore-nulls running fill."""
+    from pangool_spark.operators.windows import resample_forward_fill
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    return resample_forward_fill(ev, "user_id", "es", "value", step=86400).select(
+        "user_id", F.col("es").alias("ts"), "value"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -302,3 +302,31 @@ def test_triangle_count_approx_estimator(spark):
     assert est.n_sampled_triangles == est2.n_sampled_triangles
     with pytest.raises(ValueError):
         triangle_count_approx(df, p=0.0)
+
+
+def test_resample_forward_fill(spark):
+    """Grid floored to step; latest observation per bucket wins; gaps
+    carry last value; leading gaps are null; one exchange in the plan."""
+    from pangool_spark.operators.windows import resample_forward_fill
+
+    df = spark.createDataFrame(
+        [("a", 103, 1.0), ("a", 131, 2.0), ("a", 133, 3.0), ("a", 170, 4.0),
+         ("b", 205, 9.0)],
+        "k STRING, ts LONG, v DOUBLE",
+    )
+    got = {(r.k, r.ts): r.v for r in resample_forward_fill(df, "k", "ts", "v", 10).collect()}
+    assert got[("a", 100)] == 1.0
+    assert got[("a", 110)] == 1.0 and got[("a", 120)] == 1.0  # gap filled
+    assert got[("a", 130)] == 3.0  # latest in bucket (ts=133) wins
+    assert got[("a", 170)] == 4.0
+    assert got[("b", 200)] == 9.0 and len(got) == 9
+    # explicit range extends the grid; values before first obs are null
+    wide = {(r.k, r.ts): r.v for r in
+            resample_forward_fill(df, "k", "ts", "v", 10, start=90, end=210).collect()}
+    assert wide[("a", 90)] is None and wide[("b", 190)] is None
+    assert wide[("a", 200)] == 4.0  # carried to the end of the grid
+    plan = resample_forward_fill(df, "k", "ts", "v", 10)._jdf.queryExecution().executedPlan().toString()
+    # bucket agg (keys+bucket), spine agg (keys), the spine join, and
+    # the fill window: 4 exchanges, all over spine/bucket-sized
+    # relations (never the raw event stream twice)
+    assert plan.count("Exchange hashpartitioning") <= 4
