@@ -120,6 +120,7 @@ EXTENDED = [
     "triangle_count_parts",
     "triangle_count_approx_parts",
     "bm25_docs",
+    "resample_events",
 ]
 
 RUNS_PER_QUERY = 3
