@@ -91,7 +91,8 @@ def test_dataset_diff_matches_python_reference(spark, snaps):
 def test_salted_join_property(spark, big_rows, small_keys, how):
     from pangool_spark.operators.partitioning import salted_join
 
-    big = spark.createDataFrame(big_rows or [(99, 0)], "k LONG, v LONG")
+    big_rows = (big_rows or [(99, 0)]) + [(None, 777)]  # null join key
+    big = spark.createDataFrame(big_rows, "k LONG, v LONG")
     small = spark.createDataFrame(
         [(k, f"n{k}") for k in small_keys] or [(98, "x")], "k LONG, name STRING"
     )
