@@ -132,32 +132,51 @@ def edit_distance_pairs(
     longs = s.filter(F.col("__l__") >= short_bound)
     shorts = s.filter(F.col("__l__") < short_bound)
 
-    # long×long: share >= 1 distinct q-gram (hashed to 8-byte join keys)
-    grams = longs.select(
-        "__id__",
-        "__l__",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(__s__) - {q} + 1),"
-                f" i -> substring(__s__, i, {q}))"
-            )
-        ).alias("__g__"),
-    ).select("__id__", "__l__", F.xxhash64("__g__").alias("__g__")).distinct()
+    # long×long: q-gram blocking (hashed to 8-byte join keys), keeping
+    # per-(id, gram) MULTIPLICITY — one row per distinct gram with its
+    # count, so repeated grams don't blow up the join cardinality but
+    # the count filter still sees the multiset.
+    grams = (
+        longs.select(
+            "__id__",
+            "__l__",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(__s__) - {q} + 1),"
+                    f" i -> substring(__s__, i, {q}))"
+                )
+            ).alias("__g__"),
+        )
+        .select("__id__", "__l__", F.xxhash64("__g__").alias("__g__"))
+        .groupBy("__id__", "__l__", "__g__")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
     ga = grams.select(
-        F.col("__id__").alias("id_a"), F.col("__l__").alias("__la__"), "__g__"
+        F.col("__id__").alias("id_a"),
+        F.col("__l__").alias("__la__"),
+        "__g__",
+        F.col("__c__").alias("__ca__"),
     )
     gb = grams.select(
-        F.col("__id__").alias("id_b"), F.col("__l__").alias("__lb__"), "__g__"
+        F.col("__id__").alias("id_b"),
+        F.col("__l__").alias("__lb__"),
+        "__g__",
+        F.col("__c__").alias("__cb__"),
     )
     # Gravano's COUNT filter, not just ≥1 shared gram: ed(a,b) ≤ d forces
-    # at least max(|a|,|b|) − q + 1 − q·d shared q-grams (≥ 1 on the long
-    # slice by construction, so this strictly subsumes the ≥1 test and
-    # stays lossless). The groupBy replaces the old distinct() — same
-    # dedup shuffle, far fewer survivors: pairs sharing a long common
-    # substring but differing beyond d (same-length catalog variants,
-    # versioned names) are exactly the candidates it kills. Measured at
-    # 10× bench scale: 232s → dominated-by-verify down to seconds-range
-    # candidates (see ROADMAP round-7 notes).
+    # at least max(|a|,|b|) − q + 1 − q·d positionally-shared q-grams
+    # (≥ 1 on the long slice by construction, so this strictly subsumes
+    # the ≥1 test). Shared grams are counted as Σ_g cnt_a(g)·cnt_b(g) ≥
+    # Σ_g min(cnt_a, cnt_b) = bag intersection ≥ positional overlap ≥
+    # the Gravano bound, so the filter stays LOSSLESS even for strings
+    # with repeated grams ('aaaaaaaa' vs 'aaabaaaa' survives — r07 advice:
+    # counting DISTINCT shared grams undercounts the multiset and wrongly
+    # pruned exactly those pairs). The groupBy replaces the old
+    # distinct() — same dedup shuffle, far fewer survivors: pairs sharing
+    # a long common substring but differing beyond d (same-length catalog
+    # variants, versioned names) are exactly the candidates it kills.
+    # Measured at 10× bench scale: 232s → dominated-by-verify down to
+    # seconds-range candidates (see ROADMAP round-7 notes).
     min_shared = F.greatest(F.col("__la__"), F.col("__lb__")) - F.lit(
         q - 1 + q * max_d
     )
@@ -168,7 +187,7 @@ def edit_distance_pairs(
             & (F.abs(F.col("__la__") - F.col("__lb__")) <= max_d)
         )
         .groupBy("id_a", "id_b", "__la__", "__lb__")
-        .agg(F.count(F.lit(1)).alias("__shared__"))
+        .agg(F.sum(F.col("__ca__") * F.col("__cb__")).alias("__shared__"))
         .filter(F.col("__shared__") >= min_shared)
         .select("id_a", "id_b")
     )

@@ -233,6 +233,16 @@ def bloom_prune_join(
     fact_types = dict(fact.dtypes)
     dim_types = dict(dim.dtypes)
     for k in keys:
+        missing = [
+            side
+            for side, types in (("fact", fact_types), ("dim", dim_types))
+            if k not in types
+        ]
+        if missing:
+            raise ValueError(
+                f"bloom_prune_join: key {k!r} is missing from the "
+                f"{' and '.join(missing)} side"
+            )
         if fact_types.get(k) != dim_types.get(k):
             raise ValueError(
                 f"bloom_prune_join: key {k!r} has dtype "

@@ -300,6 +300,13 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")
     keys = list(on)
+    for side, cols in (("big", big.columns), ("small", small.columns)):
+        if "__salt__" in cols:
+            raise ValueError(
+                f"salted_join: the {side} side already has a __salt__ "
+                "column — rename it first (withColumn would silently "
+                "replace it / corrupt the join keys)"
+            )
     # deterministic salt from the whole row's hash: stable across
     # retries/repartitions (F.rand re-rolls per task attempt — fine for
     # salted_agg's partial sums, wrong for join row identity)

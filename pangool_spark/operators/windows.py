@@ -127,6 +127,15 @@ def resample_forward_fill(
     step: the latest (max ``ts_col``) wins, ties resolved by the larger
     value tuple — deterministic, engine-replicable.
 
+    Explicit-bound edge cases (r07 advice): observations BEFORE an
+    explicit ``start`` are folded into the start bucket (latest still
+    wins), so the first grid rows forward-fill from the last pre-start
+    value instead of starting NULL. With an explicit ``end`` but
+    per-key start, a key whose observations all land after ``end``
+    has no grid rows (lo > hi is filtered, never a sequence() error);
+    with BOTH bounds explicit every key gets the full grid (such a key
+    shows all-NULL values). An explicit ``start > end`` raises.
+
     Scale shape: the spine is generated per key with one ``sequence``
     explode — (range/step) rows per key, no driver loop, no cross join —
     and the fill is one ``last(ignorenulls)`` running window per key.
@@ -135,7 +144,17 @@ def resample_forward_fill(
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     vals = [value_cols] if isinstance(value_cols, str) else list(value_cols)
 
+    start_b = int(start) // step * step if start is not None else None
+    end_b = int(end) // step * step if end is not None else None
+    if start_b is not None and end_b is not None and start_b > end_b:
+        raise ValueError(
+            f"start ({start}) is after end ({end}) on the {step}-grid"
+        )
     bucket = (F.floor(F.col(ts_col) / F.lit(step)) * F.lit(step)).cast("long")
+    if start_b is not None:
+        # fold pre-start observations into the start bucket so the first
+        # grid rows fill from the last value seen before the window
+        bucket = F.greatest(bucket, F.lit(start_b).cast("long"))
     # latest observation per (key, bucket): max (ts, values-struct)
     per_bucket = (
         df.select(
@@ -148,11 +167,14 @@ def resample_forward_fill(
         .groupBy(*keys, "__b__")
         .agg(F.max("__obs__").alias("__obs__"))
     )
-    lo = F.lit(int(start) // step * step) if start is not None else F.min("__b__")
-    hi = F.lit(int(end) // step * step) if end is not None else F.max("__b__")
+    lo = F.lit(start_b) if start_b is not None else F.min("__b__")
+    hi = F.lit(end_b) if end_b is not None else F.max("__b__")
     spine = (
         per_bucket.groupBy(*keys)
         .agg(lo.alias("__lo__"), hi.alias("__hi__"))
+        # a key entirely after an explicit end has lo > hi: no grid rows
+        # (sequence() with a positive step would raise on lo > hi)
+        .filter(F.col("__lo__") <= F.col("__hi__"))
         .select(
             *keys,
             F.explode(

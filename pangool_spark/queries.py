@@ -3786,25 +3786,28 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_orders",
     """
     WITH a AS (
-      SELECT COUNT(*) AS n,
-        SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS v0,
-        SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS v1,
-        SUM(CASE WHEN COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS v2,
-        SUM(CASE WHEN COALESCE(o_totalprice >= 1000, FALSE) THEN 0 ELSE 1 END) AS v3
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN COALESCE(o_totalprice >= 150000, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3
       FROM orders
     )
     SELECT 'positive_price' AS constraint_name, n AS n_rows, v0 AS n_violations,
-           1.0 - v0 / n AS pass_fraction FROM a
-    UNION ALL SELECT 'status_domain', n, v1, 1.0 - v1 / n FROM a
-    UNION ALL SELECT 'date_present', n, v2, 1.0 - v2 / n FROM a
-    UNION ALL SELECT 'high_value', n, v3, 1.0 - v3 / n FROM a
+           CAST(1.0 - CAST(v0 AS DOUBLE) / n AS DOUBLE) AS pass_fraction FROM a
+    UNION ALL SELECT 'status_domain', n, v1, CAST(1.0 - CAST(v1 AS DOUBLE) / n AS DOUBLE) FROM a
+    UNION ALL SELECT 'date_present', n, v2, CAST(1.0 - CAST(v2 AS DOUBLE) / n AS DOUBLE) FROM a
+    UNION ALL SELECT 'high_value', n, v3, CAST(1.0 - CAST(v3 AS DOUBLE) / n AS DOUBLE) FROM a
     """,
 )
 def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders: four named constraints evaluated in
     ONE scan (conditional sums in a single aggregate — N checks never
-    cost N reads). high_value is intentionally violated by most rows to
-    exercise the counting path."""
+    cost N reads). high_value (o_totalprice >= 150000) is violated by
+    most rows, so n_violations is non-zero and the hash actually pins
+    the counting path (r07 verdict: the old >= 1000 bound was vacuously
+    all-zero). Oracle casts: BIGINT for integer SUMs, DOUBLE for
+    pass_fraction — the q12/r05 cross-engine typing class."""
     from pangool_spark.operators.profile import expectations
 
     orders = load_table(spark, sf_dir, "orders")
@@ -3814,7 +3817,7 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive_price": "o_totalprice > 0",
             "status_domain": "o_orderstatus IN ('O','F','P')",
             "date_present": "o_orderdate IS NOT NULL",
-            "high_value": "o_totalprice >= 1000",
+            "high_value": "o_totalprice >= 150000",
         },
     )
 

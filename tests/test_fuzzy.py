@@ -137,6 +137,47 @@ def test_deletion_and_gram_strategies_agree(spark):
         edit_distance_pairs(df, "id", "text", max_d=2, strategy="deletion")
 
 
+def test_repeated_gram_pairs_survive_count_filter(spark):
+    """r07 advice regression: the Gravano count filter must count shared
+    grams with MULTIPLICITY. Strings with repeated grams have fewer
+    DISTINCT grams than |s|-q+1, so a distinct-gram count undercuts the
+    positional bound and wrongly pruned true pairs like
+    ('aaaaaaaa','aaabaaaa') at d=1 and length-12 d=2 pairs on the
+    default auto path."""
+    import itertools
+
+    rows = [
+        (1, "aaaaaaaa"),
+        (2, "aaabaaaa"),  # ed=1, only 2 vs 3 distinct 3-grams
+        (3, "abababababab"),
+        (4, "abababcbabab"),  # ed=1 on a 2-period string
+        (5, "aaaaaabbaaaa"),
+        (6, "aaaaaaaaaaaa"),
+        (7, "aabaaabaaaaa"),  # ed=2 vs id 6, length 12
+    ]
+    df = spark.createDataFrame(rows, "id LONG, text STRING")
+    # brute-force reference: JVM levenshtein on the full cross join
+    ref = (
+        df.alias("x")
+        .crossJoin(df.alias("y"))
+        .where("x.id < y.id")
+        .selectExpr(
+            "x.id AS id_a", "y.id AS id_b", "levenshtein(x.text, y.text) AS d"
+        )
+        .collect()
+    )
+    for d in (1, 2):
+        want = {(r.id_a, r.id_b): r.d for r in ref if r.d <= d}
+        for strat in ("gram", "auto"):
+            got = {
+                (r.id_a, r.id_b): r.distance
+                for r in edit_distance_pairs(
+                    df, "id", "text", max_d=d, strategy=strat
+                ).collect()
+            }
+            assert got == want, f"max_d={d} strategy={strat}: {got} != {want}"
+
+
 def test_deletion_strategy_plan_is_equi_join_only(spark, sf_dir):
     """The deletion path too: candidates from variant-hash equi-joins,
     JVM levenshtein verify, no cartesian, no Python."""

@@ -330,3 +330,60 @@ def test_resample_forward_fill(spark):
     # the fill window: 4 exchanges, all over spine/bucket-sized
     # relations (never the raw event stream twice)
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_resample_explicit_bounds_edge_cases(spark):
+    """r07 advice: (1) pre-start observations fold into the start bucket
+    (the first grid rows forward-fill, not NULL); (2) a key entirely
+    after an explicit end yields no rows instead of a sequence() error;
+    (3) start > end raises."""
+    from pangool_spark.operators.windows import resample_forward_fill
+
+    df = spark.createDataFrame(
+        [("a", 53, 7.0), ("a", 125, 8.0),   # obs before start=100 and inside
+         ("c", 305, 1.0)],                  # entirely after end=200
+        "k STRING, ts LONG, v DOUBLE",
+    )
+    got = {
+        (r.k, r.ts): r.v
+        for r in resample_forward_fill(
+            df, "k", "ts", "v", 10, start=100, end=200
+        ).collect()
+    }
+    # pre-start value seeds the start bucket and fills forward
+    assert got[("a", 100)] == 7.0 and got[("a", 110)] == 7.0
+    assert got[("a", 120)] == 8.0 and got[("a", 200)] == 8.0
+    # both bounds explicit: every key gets the full grid; key c's
+    # observations all land after end, so its rows are NULL
+    assert got[("c", 100)] is None and got[("c", 200)] is None
+    assert len(got) == 22
+    # post-end clamp also holds with default start (lo>hi key filtered)
+    got2 = {
+        (r.k, r.ts): r.v
+        for r in resample_forward_fill(df, "k", "ts", "v", 10, end=200).collect()
+    }
+    assert not any(k == "c" for (k, _) in got2)
+    assert got2[("a", 50)] == 7.0
+    with pytest.raises(ValueError, match="after end"):
+        resample_forward_fill(df, "k", "ts", "v", 10, start=300, end=100)
+
+
+def test_salted_and_bloom_join_column_guards(spark):
+    """r07 advice: salted_join raises on a pre-existing __salt__ column
+    (either side); bloom_prune_join names the side when a key column is
+    absent instead of passing the dtype guard on None == None."""
+    from pangool_spark.operators.joins import bloom_prune_join
+    from pangool_spark.operators.partitioning import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k LONG, a STRING")
+    small = spark.createDataFrame([(1, "y")], "k LONG, b STRING")
+    with pytest.raises(ValueError, match="__salt__"):
+        salted_join(big.withColumn("__salt__", F.lit(0)), small, ["k"])
+    with pytest.raises(ValueError, match="__salt__"):
+        salted_join(big, small.withColumn("__salt__", F.lit(0)), small.columns[:1])
+    with pytest.raises(ValueError, match="missing from the fact"):
+        bloom_prune_join(big, small, on="b")
+    with pytest.raises(ValueError, match="missing from the dim"):
+        bloom_prune_join(big, small, on="a")
+    with pytest.raises(ValueError, match="missing from the fact and dim"):
+        bloom_prune_join(big, small, on="zz")
