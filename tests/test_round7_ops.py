@@ -387,3 +387,26 @@ def test_salted_and_bloom_join_column_guards(spark):
         bloom_prune_join(big, small, on="a")
     with pytest.raises(ValueError, match="missing from the fact and dim"):
         bloom_prune_join(big, small, on="zz")
+
+
+def test_triangle_count_approx_hash_families(spark):
+    """Both hash families: p=1 degenerates to exact regardless of hash;
+    at p<1 both are deterministic and estimate = sampled/p3; unknown
+    family raises."""
+    import random
+
+    from pangool_spark.operators.graph import triangle_count, triangle_count_approx
+
+    rng = random.Random(31)
+    edges = list({(rng.randint(0, 18), rng.randint(0, 18)) for _ in range(110)})
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    exact = triangle_count(df).collect()[0].n_triangles
+    for fam in ("fast", "portable"):
+        full = triangle_count_approx(df, p=1.0, hash_family=fam).collect()[0]
+        assert full.n_sampled_triangles == exact, fam
+        a = triangle_count_approx(df, p=0.5, hash_family=fam).collect()[0]
+        b = triangle_count_approx(df, p=0.5, hash_family=fam).collect()[0]
+        assert a.n_sampled_triangles == b.n_sampled_triangles, fam
+        assert a.n_triangles_est == a.n_sampled_triangles * 8.0, fam
+    with pytest.raises(ValueError, match="hash_family"):
+        triangle_count_approx(df, p=0.5, hash_family="sha1")
