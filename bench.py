@@ -124,6 +124,8 @@ EXTENDED = [
     "triangle_count_approx_parts",
     "triangle_count_approx_parts_fast",
     "bm25_docs",
+    # end-to-end retrieval: 4 queries × top-10 over shared corpus stats
+    "bm25_search_docs",
     "resample_events",
 ]
 

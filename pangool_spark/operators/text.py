@@ -737,3 +737,101 @@ def bm25_score(
             F.col("score").desc(), F.col(id_col).asc()
         ).limit(top_k)
     return scores
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """End-to-end BM25 retrieval: score EVERY query in ``queries``
+    against the corpus in one pass and keep the top ``top_k`` docs per
+    query — the batch-retrieval shape (training-data dedup against a
+    query set, eval-set retrieval, RAG index builds) rather than
+    ``bm25_score``'s single ad-hoc query.
+
+    Scale shape: corpus statistics (per-doc term frequencies, doc
+    lengths, document frequencies, N/avgdl) are built ONCE and shared by
+    all queries; the query relation is tokenized with the same
+    normalizer, deduplicated per (query, term), and broadcast — the term
+    stream is filtered by the inner join BEFORE any fan-out, so the
+    joined cardinality is Σ_t df(t)·queries(t), never |corpus|×|queries|.
+    Ranking is one row_number window per query partition
+    (WindowGroupLimit: per-partition heaps, no global sort). Per-doc
+    scores fold SORTED double contributions (partitioning-invariant);
+    ranking compares scores rounded to 9 decimals so a 1-ulp
+    transcendental difference (JVM Math.log vs libm) can never flip an
+    engine-compared rank, with doc id as the total tie-break.
+
+    Output: (query_id, id, rank, n_matched, score) — score rounded to
+    9 decimals, rank 1-based.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(normalized_tokens(query_text_col)).alias("term"),
+        )
+        .distinct()
+    )
+
+    terms = (
+        docs.select(
+            F.col(id_col), F.explode(normalized_tokens(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclen = terms.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl__"),
+    )
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    matched = (
+        terms.join(F.broadcast(qterms), "term")
+        .join(docfreq, "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl__"))
+    )
+    scored = matched.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(contrib)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", id_col, "rank", "n_matched", "score")
+    )

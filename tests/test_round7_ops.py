@@ -410,3 +410,50 @@ def test_triangle_count_approx_hash_families(spark):
         assert a.n_triangles_est == a.n_sampled_triangles * 8.0, fam
     with pytest.raises(ValueError, match="hash_family"):
         triangle_count_approx(df, p=0.5, hash_family="sha1")
+
+
+def test_bm25_search_end_to_end(spark):
+    """Multi-query retrieval: per-query top-k, rank determinism, corpus
+    stats shared across queries, single-query scores agree with
+    bm25_score (same constants, same fold)."""
+    from pangool_spark.operators.text import bm25_score, bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),
+            (2, "hash table scan"),
+            (3, "sort merge join sort"),
+            (4, "vector filter scan scan"),
+            (5, "the quick brown fox"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    queries = spark.createDataFrame(
+        [(10, "hash join"), (20, "scan")], "query_id INT, query_text STRING"
+    )
+    got = bm25_search(docs, queries, top_k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # per-query top-k, ranks 1..k, no query exceeds k
+    assert set(by_q) == {10, 20}
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2]
+    # doc 5 matches nothing -> absent everywhere
+    assert not any(r.doc_id == 5 for r in got)
+    # single-query parity: bm25_search for one query == bm25_score
+    solo = {
+        r.doc_id: r.score
+        for r in bm25_search(
+            docs,
+            spark.createDataFrame([(1, "hash join")], "query_id INT, query_text STRING"),
+            top_k=10,
+        ).collect()
+    }
+    ref = {
+        r.doc_id: round(r.score, 9)
+        for r in bm25_score(docs, ["hash", "join"]).collect()
+    }
+    assert solo == ref
+    with pytest.raises(ValueError, match="top_k"):
+        bm25_search(docs, queries, top_k=0)
