@@ -127,6 +127,10 @@ EXTENDED = [
     # end-to-end retrieval: 4 queries × top-10 over shared corpus stats
     "bm25_search_docs",
     "resample_events",
+    # round-8: count-min sketch family (portable grid estimate; fast
+    # sketch-pruned exact heavy hitters over bigrams)
+    "cms_word_counts_docs",
+    "cms_heavy_hitters_docs",
 ]
 
 RUNS_PER_QUERY = 3

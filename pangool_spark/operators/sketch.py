@@ -1,0 +1,185 @@
+"""Fixed-state frequency sketches: count-min (Cormode & Muthukrishnan,
+"An Improved Data Stream Summary: The Count-Min Sketch and its
+Applications", J. Algorithms 2005) built as ONE partial-combined
+aggregate.
+
+Why this matters at 100 TB: an exact per-key frequency table over a
+high-cardinality column (URLs, n-grams, user ids) shuffles one row per
+DISTINCT key — billions of rows of shuffle just to answer "which keys
+are hot?". The count-min grid is ``depth × width`` counters TOTAL,
+regardless of cardinality: every task partial-aggregates its slice into
+the fixed grid map-side (Catalyst HashAggregate, ≤ depth·width groups),
+and the shuffle moves at most ``depth · width · tasks`` partial rows —
+constant in the data size. Estimates only ever OVER-count (collisions
+add), with the classic ε = e/width, δ = e^-depth guarantee.
+
+Hash families (the minhash/DOULION pattern):
+
+- ``'portable'`` — md5-derived 31-bit row hash (``base_hash_31``) of
+  ``"j:key"``: bit-replicable in any engine, so sketch contents AND
+  estimates carry full value oracles.
+- ``'fast'`` — ``xxhash64(key, j)``: one codegen'd JVM hash per
+  (row, j), no string concat; engine-internal (rows-only checkable).
+
+Both are deterministic — no RNG, reruns build the identical grid, and
+two sketches with the same (width, depth, family) merge by cell-wise
+addition (``merge_sketches``), the same partial-state algebra as
+``agg_state``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pangool_spark.operators.dedup import base_hash_31
+
+
+def _bucket(key_col, j: int, width: int, hash_family: str):
+    if hash_family == "fast":
+        return F.pmod(F.xxhash64(key_col, F.lit(j)), F.lit(width))
+    return base_hash_31(F.concat_ws(":", F.lit(str(j)), key_col)) % width
+
+
+def _check_params(width: int, depth: int, hash_family: str) -> None:
+    if width < 1 or depth < 1:
+        raise ValueError(f"width and depth must be >= 1, got {width}×{depth}")
+    if hash_family not in ("fast", "portable"):
+        raise ValueError(f"unknown hash_family {hash_family!r}: fast|portable")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Build the count-min grid over ``key_col`` (one increment per row;
+    pre-aggregate upstream if rows carry counts). Output: (j, bucket, n)
+    — at most ``depth × width`` rows, absent cells are zero.
+
+    Plan shape: the per-row ``depth``-way fan-out is a generated array
+    explode (no shuffle), then ONE partial-combined aggregate whose
+    group count is capped at depth·width — the map-side combine does
+    almost all the work; the exchange is tiny and constant-size.
+    """
+    _check_params(width, depth, hash_family)
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(key, j, width, hash_family).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e__")
+    ).select("__e__.j", "__e__.bucket")
+    return cells.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two grids built with the SAME (width, depth,
+    hash_family) — the incremental-maintenance path: sketch today's
+    batch, merge with the standing sketch, never rescan history."""
+    return (
+        a.unionByName(b)
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Point-query the grid for every key in ``keys``: estimate =
+    min over the ``depth`` rows of the addressed counters (missing cell
+    = 0). Never under-counts the true frequency.
+
+    The probe relation is expected to be small (the candidate/watchlist
+    side); it fans out ``depth`` rows per key and joins the ≤
+    depth·width-row sketch — broadcast-sized by construction, so the
+    join is an exchange-free broadcast probe.
+    """
+    _check_params(width, depth, hash_family)
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _bucket(key, j, width, hash_family).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__e__"),
+    ).select(key_col, "__e__.j", "__e__.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 8192,
+    depth: int = 4,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """Keys whose estimated frequency ≥ ``threshold`` with EXACT counts
+    for the survivors — the two-pass hot-key report: pass 1 builds the
+    constant-size grid, pass 2 re-streams the data through the broadcast
+    grid's min-of-counters filter (a map-side prune — only rows whose
+    estimate clears the threshold reach the exact count), so the exact
+    groupBy shuffles only the plausible-hot slice, never full
+    cardinality. CMS never under-counts, so no true heavy hitter is
+    pruned (one-sided error: the exact count removes false positives).
+
+    Output: (key, n) with n the EXACT count, n ≥ threshold.
+    """
+    _check_params(width, depth, hash_family)
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    sketch = count_min_sketch(df, key_col, width, depth, hash_family)
+    # pivot the grid to one row per j: bucket-indexed counter array
+    rows = (
+        sketch.groupBy("j")
+        .agg(F.map_from_arrays(F.collect_list("bucket"), F.collect_list("n")).alias("m"))
+        .groupBy()
+        .agg(F.map_from_arrays(F.collect_list("j"), F.collect_list("m")).alias("grid"))
+    )
+    key = F.col(key_col)
+    counters = [
+        F.coalesce(
+            F.element_at(
+                F.element_at(F.col("grid"), F.lit(j)),
+                _bucket(key, j, width, hash_family).cast("bigint"),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for j in range(depth)
+    ]
+    est = F.least(*counters) if depth > 1 else counters[0]
+    pruned = df.crossJoin(F.broadcast(rows)).filter(est >= threshold)
+    return (
+        pruned.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+    )

@@ -4719,6 +4719,107 @@ def resample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_word_counts_docs",
+    f"""
+    WITH toks AS (
+      SELECT t.tok AS w
+      FROM (SELECT {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> '')) AS t(tok)
+    ),
+    cells AS (
+      SELECT u.j,
+             (('0x' || substr(md5(u.j || ':' || w), 1, 8))::BIGINT
+              & 2147483647) % 1024 AS bucket
+      FROM toks, unnest([0, 1, 2, 3]) AS u(j)
+    ),
+    grid AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM cells GROUP BY 1, 2
+    ),
+    probes(w) AS (
+      VALUES ('the'), ('hash'), ('join'), ('vector'), ('scan'),
+             ('window'), ('xyzzy_absent')
+    ),
+    addr AS (
+      SELECT p.w, u.j,
+             (('0x' || substr(md5(u.j || ':' || p.w), 1, 8))::BIGINT
+              & 2147483647) % 1024 AS bucket
+      FROM probes p, unnest([0, 1, 2, 3]) AS u(j)
+    )
+    SELECT a.w, CAST(min(COALESCE(g.n, 0)) AS BIGINT) AS est_count
+    FROM addr a LEFT JOIN grid g ON a.j = g.j AND a.bucket = g.bucket
+    GROUP BY a.w
+    """,
+)
+def cms_word_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) over the document token stream: a 4×1024 counter grid built as
+    ONE partial-combined aggregate (constant-size state no matter the
+    corpus cardinality — the whole point at 100 TB), probed for a fixed
+    watch-list. md5-portable bucket hashes make the grid AND the min-of-
+    counters estimates bit-replicable, so even the sketch's collision
+    noise is value-oracled (absent words over-count deterministically)."""
+    from pangool_spark.operators.norm import normalized_tokens
+    from pangool_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(normalized_tokens("text")).alias("w"))
+    sketch = count_min_sketch(toks, "w", width=1024, depth=4, hash_family="portable")
+    probes = spark.createDataFrame(
+        [("the",), ("hash",), ("join",), ("vector",), ("scan",),
+         ("window",), ("xyzzy_absent",)],
+        "w STRING",
+    )
+    return cms_estimate(sketch, probes, "w", width=1024, depth=4, hash_family="portable")
+
+
+@query(
+    "cms_heavy_hitters_docs",
+    f"""
+    WITH toks AS (
+      SELECT list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT ts[u.i] || ' ' || ts[u.i + 1] AS bigram
+      FROM toks, unnest(range(1, len(ts))) AS u(i)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY 1 HAVING count(*) >= 40
+    """,
+)
+def cms_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report over document BIGRAMS (squared vocabulary — the
+    high-cardinality case a fixed-size sketch exists for): pass 1 builds
+    the constant-size count-min grid with the PRODUCTION xxhash64 family,
+    pass 2 re-streams bigrams through the broadcast grid's min-of-
+    counters prune, and only the plausible-hot slice reaches the exact
+    groupBy. CMS never under-counts, so the output is EXACTLY the keys
+    with true count ≥ 40 with exact counts — which is why a plain exact
+    SQL aggregate can value-oracle a sketch-pruned plan regardless of
+    hash family (one-sided error + exact verify = oracle-stable)."""
+    from pangool_spark.operators.norm import normalized_tokens
+    from pangool_spark.operators.sketch import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("__t__")
+    bigrams = docs.select(
+        normalized_tokens("text").alias("__t__")
+    ).select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return cms_heavy_hitters(
+        bigrams, "bigram", threshold=40, width=8192, depth=4, hash_family="fast"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -4804,8 +4905,17 @@ _ROTATED_PAST_WINDOW = [
     #   family covered in-window by repetition_stats_docs (same plan
     #   gate class) + pytest pattern-parity tests; slot makes room for
     #   the new bm25_search_docs end-to-end retrieval oracle.
+    # funnel_events: 3× green (r05/r06/r07); ordered-event-sequence
+    #   family covered in-window by cohort_retention_events; slot makes
+    #   room for the new cms_word_counts_docs sketch oracle.
+    # winnow_fingerprints_docs: 3× green (r05/r06/r07); fingerprint
+    #   family pinned by the O(len) kernel pytest suite, minhash/simhash
+    #   dedup family rich in-window (minhash_lsh_dedup,
+    #   curation_pipeline); slot makes room for cms_heavy_hitters_docs.
     "q7_nation_volume",
     "pii_redact_docs",
+    "funnel_events",
+    "winnow_fingerprints_docs",
     "q8_market_share",
     "q11_important_parts",
     "q15_top_supplier",
