@@ -131,6 +131,10 @@ EXTENDED = [
     # sketch-pruned exact heavy hitters over bigrams)
     "cms_word_counts_docs",
     "cms_heavy_hitters_docs",
+    # round-8: hash-sampled quantile estimation + per-group closed-form
+    # OLS (exact-integer sums)
+    "approx_quantiles_events",
+    "linreg_user_trends",
 ]
 
 RUNS_PER_QUERY = 3

@@ -301,3 +301,49 @@ def split_bounds_sql(weights: Sequence[float]) -> list[int]:
         acc += w / total
         bounds.append(int(acc * _BUCKETS))
     return bounds
+
+
+def approx_quantiles_sampled(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    key_col: str | None = None,
+    fraction: float = 0.1,
+) -> DataFrame:
+    """Quantile ESTIMATES from a deterministic hash sample — the
+    100 TB answer to "give me p50/p95/p99 of a measure" when an exact
+    percentile would sort-shuffle every value: sample rows by the
+    portable content hash of ``key_col`` (or of the value itself), then
+    take EXACT interpolated percentiles of the sample. Statistically the
+    usual √(p(1−p)/n) quantile-estimator error; operationally the full
+    column never reaches an exchange — only the ``fraction`` slice does.
+
+    Deterministic and engine-replicable (no RNG): the same md5 bucket
+    contract as ``hash_sample``, and Spark's exact ``percentile`` over
+    the sample matches DuckDB ``quantile_cont`` bit-for-bit (pinned by
+    tests/test_property_percentile.py) — so even the ESTIMATES carry a
+    full value oracle, which no RNG- or t-digest-based approximation can.
+
+    Output: one row per prob: (p, value). NULL values are excluded (SQL
+    aggregate semantics).
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0, 1], got {p}")
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    key = key_col if key_col is not None else value_col
+    sampled = df.filter(_bucket(key) < int(fraction * _BUCKETS))
+    # ONE aggregate for every requested prob (percentile takes an array),
+    # then unpack positionally — never one scan per quantile
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        sampled.agg(F.percentile(value_col, probs_arr).alias("__v__"))
+        .select(F.posexplode("__v__").alias("__i__", "value"))
+        .select(
+            F.element_at(probs_arr, F.col("__i__") + 1).alias("p"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Grouped closed-form statistics — per-key model fits that reduce to
+algebraic sums, so they run as ONE partial-combined aggregate (the same
+map-side-combine shape as any groupBy-sum) and never need an iterative
+solver or a per-key data pass.
+
+The 100 TB shape: a "fit a trend per customer / per sensor / per shard"
+step is embarrassingly aggregable — Σx, Σy, Σxy, Σx² per key — yet is
+routinely implemented as a per-key pandas loop. Here the five sums are
+JVM-side aggregate expressions (whole-stage codegen, partial merge), and
+the closed-form solve is a handful of scalar doubles per GROUP, not per
+row.
+
+Determinism contract: with INTEGER x and y the five sums are exact
+64-bit integers — order-independent, engine-exact, and the downstream
+double formula is a fixed sequence of IEEE ops, so slope/intercept are
+bit-replicable in any engine (the value-oracle path; rescale measures
+to integers — days, cents, millis — to use it). With fractional inputs
+the sums run as decimal(38, scale) — still order-independent WITHIN
+Spark (cluster reruns are bit-identical), but the final decimal→double
+conversion is engine-internal rounding, so cross-engine comparisons of
+that path are rows-only. This is measured behavior, not caution: a
+Σ(x·y) with 12 fractional digits carries more significant digits than a
+double, and Spark and DuckDB round the excess differently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group simple linear regression y = slope·x + intercept by the
+    closed-form least-squares solution:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    One aggregate pass; NULL x or y rows are excluded pairwise. Groups
+    with n < 2 or zero x-variance emit NULL slope/intercept (a vertical
+    or single-point fit has no line).
+
+    If BOTH columns are integer-typed, sums are exact int64 (the
+    engine-portable path — see module docstring); keep per-group Σx²
+    and Σxy under 2⁵³ (rescale x to days/epochs-of-interest) so their
+    double images stay exact. Otherwise sums run as
+    decimal(38, ``scale``), holding |values| up to 10^(38−scale).
+
+    Output: (*group_cols, n, slope, intercept).
+    """
+    if not group_cols:
+        raise ValueError("grouped_linreg needs at least one group column")
+    if not 0 <= scale <= 37:
+        raise ValueError(f"scale must be in [0, 37], got {scale}")
+    types = dict(df.dtypes)
+    exact = (
+        types.get(x_col) in _INT_TYPES and types.get(y_col) in _INT_TYPES
+    )
+    sum_t = "bigint" if exact else f"decimal(38,{scale})"
+    x = F.col(x_col) if exact else F.col(x_col).cast("double")
+    y = F.col(y_col) if exact else F.col(y_col).cast("double")
+    both = F.when(x.isNotNull() & y.isNotNull(), True)
+    # each TERM is exact (integer path) or one exact-rounded double op
+    # (decimal path) before the order-independent sum
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.sum(F.when(both, x).cast(sum_t)).cast("double").alias("__sx__"),
+        F.sum(F.when(both, y).cast(sum_t)).cast("double").alias("__sy__"),
+        F.sum(F.when(both, x * y).cast(sum_t)).cast("double").alias("__sxy__"),
+        F.sum(F.when(both, x * x).cast(sum_t)).cast("double").alias("__sxx__"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    slope = F.when(
+        (F.col("n") >= 2) & (denom != 0.0),
+        (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")) / denom,
+    )
+    intercept = F.when(
+        slope.isNotNull(),
+        (F.col("__sy__") - slope * F.col("__sx__")) / n,
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

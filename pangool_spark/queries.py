@@ -4820,6 +4820,95 @@ def cms_heavy_hitters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_quantiles_events",
+    """
+    WITH s AS (
+      SELECT value FROM events
+      WHERE (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+             & 2147483647) % 1000000 < 100000
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS p,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS value FROM s
+    UNION ALL SELECT CAST(0.9 AS DOUBLE),
+           CAST(quantile_cont(value, 0.9) AS DOUBLE) FROM s
+    UNION ALL SELECT CAST(0.99 AS DOUBLE),
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) FROM s
+    """,
+)
+def approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic 10% hash sample of
+    events — the scale path for "p50/p95/p99 of a measure" where an
+    exact percentile would sort-shuffle every value; only the sampled
+    slice reaches the aggregate. md5-portable sampling + Spark exact
+    percentile == DuckDB quantile_cont (bit-for-bit, property-pinned)
+    means even the ESTIMATES are value-oracled — impossible for RNG- or
+    t-digest-based approximations."""
+    from pangool_spark.operators.sampling import approx_quantiles_sampled
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_quantiles_sampled(
+        ev, "value", [0.5, 0.9, 0.99], key_col="event_id", fraction=0.1
+    )
+
+
+@query(
+    "linreg_user_trends",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM d GROUP BY 1
+    ),
+    sl AS (
+      SELECT user_id, n, sx, sy,
+             CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0.0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+      FROM a
+    )
+    SELECT user_id, n, CAST(slope / 100.0 AS DOUBLE) AS slope,
+           CASE WHEN slope IS NOT NULL
+                THEN CAST(((sy - slope * sx) / n) / 100.0 AS DOUBLE)
+           END AS intercept
+    FROM sl
+    """,
+)
+def linreg_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (slope/intercept of value over epoch-DAY) by
+    closed-form least squares — the "fit a line per key" step as ONE
+    partial-combined aggregate of Σx/Σy/Σxy/Σx², never a per-key loop or
+    solver. Inputs are INTEGERS (epoch days × value cents), so all five
+    sums are exact int64 and the closed-form solve is a fixed double-op
+    sequence written identically in the oracle — slope and intercept
+    hash-match to the last bit (a decimal-summed double path measurably
+    does NOT: Σxy at 12 fractional digits exceeds double precision and
+    Spark/DuckDB round the excess differently — the operator docstring
+    records this). Outputs rescale cents back to value units."""
+    from pangool_spark.operators.stats import grouped_linreg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    out = grouped_linreg(ev, ["user_id"], "x", "y")
+    return out.select(
+        "user_id",
+        "n",
+        (F.col("slope") / 100.0).alias("slope"),
+        (F.col("intercept") / 100.0).alias("intercept"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -4912,10 +5001,20 @@ _ROTATED_PAST_WINDOW = [
     #   family pinned by the O(len) kernel pytest suite, minhash/simhash
     #   dedup family rich in-window (minhash_lsh_dedup,
     #   curation_pipeline); slot makes room for cms_heavy_hitters_docs.
+    # tf_idf_docs: 2× green (r06/r07); the tf/df/N statistics pipeline
+    #   is covered in-window by bm25_docs + bm25_search_docs +
+    #   inverted_index_docs (same aggregates, strictly more arithmetic);
+    #   slot makes room for approx_quantiles_events.
+    # epoch_shuffle_docs: 2× green (r06/r07); portable-hash deterministic
+    #   ordering family covered in-window by hash-sampled
+    #   approx_quantiles_events + group_sample_docs + mixture_sample_docs;
+    #   slot makes room for linreg_user_trends.
     "q7_nation_volume",
     "pii_redact_docs",
     "funnel_events",
     "winnow_fingerprints_docs",
+    "tf_idf_docs",
+    "epoch_shuffle_docs",
     "q8_market_share",
     "q11_important_parts",
     "q15_top_supplier",
