@@ -135,6 +135,7 @@ EXTENDED = [
     # OLS (exact-integer sums)
     "approx_quantiles_events",
     "linreg_user_trends",
+    "corr_event_value_time",
 ]
 
 RUNS_PER_QUERY = 3

@@ -95,3 +95,55 @@ def grouped_linreg(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group Pearson correlation by the same one-pass algebraic-sum
+    reduction as ``grouped_linreg``:
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    NULL x or y rows are excluded pairwise; groups with n < 2 or zero
+    variance on either axis emit NULL. Integer-typed inputs take the
+    exact-int64-sum path (engine-portable — sqrt is a single
+    exact-rounded IEEE op, so even r hash-matches cross-engine);
+    fractional inputs use decimal(38, ``scale``) sums (deterministic
+    within Spark, engine-internal across engines — module docstring).
+
+    Output: (*group_cols, n, corr).
+    """
+    if not group_cols:
+        raise ValueError("grouped_corr needs at least one group column")
+    if not 0 <= scale <= 37:
+        raise ValueError(f"scale must be in [0, 37], got {scale}")
+    types = dict(df.dtypes)
+    exact = (
+        types.get(x_col) in _INT_TYPES and types.get(y_col) in _INT_TYPES
+    )
+    sum_t = "bigint" if exact else f"decimal(38,{scale})"
+    x = F.col(x_col) if exact else F.col(x_col).cast("double")
+    y = F.col(y_col) if exact else F.col(y_col).cast("double")
+    both = F.when(x.isNotNull() & y.isNotNull(), True)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.sum(F.when(both, x).cast(sum_t)).cast("double").alias("__sx__"),
+        F.sum(F.when(both, y).cast(sum_t)).cast("double").alias("__sy__"),
+        F.sum(F.when(both, x * y).cast(sum_t)).cast("double").alias("__sxy__"),
+        F.sum(F.when(both, x * x).cast(sum_t)).cast("double").alias("__sxx__"),
+        F.sum(F.when(both, y * y).cast(sum_t)).cast("double").alias("__syy__"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__")
+    vy = n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")
+    corr = F.when(
+        (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+        (n * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__"))
+        / F.sqrt(vx * vy),
+    )
+    return agg.select(*group_cols, "n", corr.alias("corr"))

@@ -4909,6 +4909,50 @@ def linreg_user_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corr_event_value_time",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0.0
+                     AND (n * syy - sy * sy) > 0.0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS corr
+    FROM a
+    """,
+)
+def corr_event_value_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation of value against time (epoch
+    days × value cents) — drift detection as ONE partial-combined
+    aggregate of six exact-int64 sums. sqrt and every other op in the
+    closed form are single exact-rounded IEEE doubles, so the
+    correlation coefficient itself hash-matches cross-engine (scale is
+    dimensionless — no output rescale needed, unlike linreg's slope)."""
+    from pangool_spark.operators.stats import grouped_corr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400)).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return grouped_corr(ev, ["event_type"], "x", "y")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -5009,12 +5053,17 @@ _ROTATED_PAST_WINDOW = [
     #   ordering family covered in-window by hash-sampled
     #   approx_quantiles_events + group_sample_docs + mixture_sample_docs;
     #   slot makes room for linreg_user_trends.
+    # semantic_dedup_embeddings: 2× green (r06/r07); embedding-space
+    #   family covered in-window by ivf_topk_search (same centroid-cell
+    #   assignment + per-cell exact scoring), SemDeDup threshold logic
+    #   pinned by pytest; slot makes room for corr_event_value_time.
     "q7_nation_volume",
     "pii_redact_docs",
     "funnel_events",
     "winnow_fingerprints_docs",
     "tf_idf_docs",
     "epoch_shuffle_docs",
+    "semantic_dedup_embeddings",
     "q8_market_share",
     "q11_important_parts",
     "q15_top_supplier",

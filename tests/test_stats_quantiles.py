@@ -71,3 +71,29 @@ def test_approx_quantiles_sampled(spark):
         approx_quantiles_sampled(df, "v", [1.5])
     with pytest.raises(ValueError, match="fraction"):
         approx_quantiles_sampled(df, "v", [0.5], fraction=0.0)
+
+
+def test_grouped_corr(spark):
+    import math
+
+    from pangool_spark.operators.stats import grouped_corr
+
+    rows = (
+        [("pos", x, 2 * x + 1) for x in range(8)]       # perfect +1
+        + [("neg", x, -3 * x + 40) for x in range(8)]   # perfect -1
+        + [("flat", x, 5) for x in range(8)]            # zero y-variance
+        + [("one", 3, 9)]
+        + [("mix", 1, 1), ("mix", 2, 5), ("mix", 3, 2), ("mix", 4, 8)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, x LONG, y LONG")
+    got = {r.k: (r.n, r.corr) for r in grouped_corr(df, ["k"], "x", "y").collect()}
+    assert got["pos"] == (8, 1.0)
+    assert got["neg"] == (8, -1.0)
+    assert got["flat"][1] is None and got["one"][1] is None
+    # mix: cross-check against statistics.correlation
+    import statistics
+
+    want = statistics.correlation([1, 2, 3, 4], [1, 5, 2, 8])
+    assert math.isclose(got["mix"][1], want, rel_tol=1e-12)
+    with pytest.raises(ValueError, match="group column"):
+        grouped_corr(df, [], "x", "y")
