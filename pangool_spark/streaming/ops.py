@@ -322,3 +322,55 @@ def stream_dedup_against(
         .join(seen, "__digest__", "left_anti")
         .drop("__digest__")
     )
+
+
+def stream_cms(
+    stream: DataFrame,
+    key_col: str,
+    state_dir: str,
+    width: int = 8192,
+    depth: int = 4,
+    hash_family: str = "fast",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """Streaming count-min maintenance: each micro-batch sketches its
+    keys into the depth×width grid and MERGES cell-wise into a standing
+    on-disk sketch — frequency monitoring over an unbounded stream with
+    CONSTANT state (the grid never grows, unlike per-key streaming
+    aggregation whose state is the key cardinality).
+
+    foreachBatch + the batch operators (``count_min_sketch`` /
+    ``merge_sketches``): the same algebra the incremental-agg path uses,
+    so stream-maintained and batch-rebuilt grids are IDENTICAL — the
+    stream==batch parity test pins it. The state parquet is rewritten
+    per batch (≤ depth·width rows — trivially small); probe it any time
+    with ``cms_estimate``.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from pangool_spark.operators.sketch import count_min_sketch, merge_sketches
+
+    def _merge(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_sketch = count_min_sketch(
+            batch_df, key_col, width, depth, hash_family
+        )
+        try:
+            standing = spark.read.parquet(state_dir)
+            merged = merge_sketches(standing, batch_sketch)
+        except Exception:  # first batch: no standing state yet
+            merged = batch_sketch
+        # rewrite via a staging temp view: the grid is tiny, and collect/
+        # recreate keeps the read+overwrite of the SAME path safe
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

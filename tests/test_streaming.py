@@ -286,3 +286,39 @@ def test_stream_dedup_against_standing_corpus(spark, tmp_path_factory):
     )
     q.awaitTermination(60)
     assert [r.doc_id for r in spark.table("ingest_dedup").collect()] == [11]
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path_factory):
+    """Stream-maintained grid == batch-built grid over the same rows
+    (merge algebra), and estimates from the standing state match exact
+    counts when the grid is collision-free."""
+    from pangool_spark.operators.sketch import cms_estimate, count_min_sketch
+    from pangool_spark.streaming.ops import stream_cms
+
+    rows = [(w,) for w in ["a"] * 30 + ["b"] * 12 + ["c"] * 5 + ["d"]]
+    df = spark.createDataFrame(rows, "w STRING")
+    src = str(tmp_path_factory.mktemp("cms_src"))
+    state = str(tmp_path_factory.mktemp("cms_state")) + "/grid"
+    ckpt = str(tmp_path_factory.mktemp("cms_ckpt"))
+    # two files so the availableNow run sees more than one input split
+    df.filter("w IN ('a','c')").write.mode("overwrite").parquet(src + "/p1")
+    df.filter("w NOT IN ('a','c')").write.mode("overwrite").parquet(src + "/p2")
+    stream = (
+        spark.readStream.schema("w STRING").option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream_cms(stream, "w", state, width=256, depth=3, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    standing = spark.read.parquet(state)
+    batch = count_min_sketch(df, "w", width=256, depth=3, hash_family="fast")
+    assert {(r.j, r.bucket, r.n) for r in standing.collect()} == {
+        (r.j, r.bucket, r.n) for r in batch.collect()
+    }
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], "w STRING")
+    est = {
+        r.w: r.est_count
+        for r in cms_estimate(standing, keys, "w", width=256, depth=3, hash_family="fast").collect()
+    }
+    assert est["a"] == 30 and est["b"] == 12 and est["c"] == 5 and est["d"] == 1
+    assert est["zz"] >= 0  # absent key: over-count only
