@@ -136,6 +136,8 @@ EXTENDED = [
     "approx_quantiles_events",
     "linreg_user_trends",
     "corr_event_value_time",
+    # round-8: AllPairs/PPJoin prefix-filtered exact set-similarity join
+    "setsim_jaccard_docs",
 ]
 
 RUNS_PER_QUERY = 3
