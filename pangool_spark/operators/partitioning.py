@@ -317,3 +317,101 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>")),
     )
     return b.join(s, keys + ["__salt__"], how).drop("__salt__")
+
+
+def stable_row_ids(
+    df: DataFrame,
+    order_by: Sequence[str],
+    id_col: str = "row_id",
+    n_buckets: int | None = None,
+    sample_per_bucket: int = 128,
+) -> DataFrame:
+    """Dense global row numbers 1..N under a total order — WITHOUT the
+    single-partition ``row_number() OVER (ORDER BY …)`` window, which
+    serializes the entire dataset through one task (the canonical
+    100 TB anti-pattern; the reference got stable positions for free
+    from the MR sort phase, e.g. its sorted TupleFile outputs).
+
+    Sample-sort ranking (the TeraSort lineage), with every step a PURE
+    FUNCTION of the row so re-executed jobs can never disagree:
+
+    1. bound literals: a deterministic content-hash sample of the first
+       order column (``hash_sample`` semantics — rerun-stable), sorted
+       once on the driver (bounded: ``n_buckets · sample_per_bucket``
+       values), quantile positions picked as ``n_buckets − 1`` bounds;
+    2. ``bucket(row) = #bounds ≤ key`` — a fixed broadcast-literal
+       expression, NOT an exchange's runtime boundary sampling
+       (``repartitionByRange`` re-samples with RDD-id-derived seeds, so
+       two jobs over it can legitimately see different partition ids —
+       measured flaky before this design);
+    3. local rank: ``row_number`` per BUCKET (≈ equal-sized groups
+       spread across tasks — never one global window partition);
+    4. per-bucket counts (column-pruned scan of the first key only)
+       → cumulative offsets on the driver (≤ ``n_buckets`` rows, the
+       repo's bounded-collect contract) → broadcast join;
+       ``row_id = offset(bucket) + local_rank``.
+
+    Ids are dense 1..N always, and deterministic iff ``order_by`` is a
+    total order (unique key); ties get arbitrary-but-dense ids. NULL
+    keys bucket/sort first (Spark default). Skew caveat: bucketing uses
+    the FIRST order column only, so one hot first-key value bounds a
+    single window group — correctness holds, parallelism degrades.
+    """
+    keys = list(order_by)
+    if not keys:
+        raise ValueError("stable_row_ids needs at least one order column")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"order_by columns not in input: {missing}")
+    if id_col in df.columns:
+        raise ValueError(f"input already has a {id_col!r} column")
+    n = int(n_buckets or df.sparkSession.sparkContext.defaultParallelism)
+    if n <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    from pangool_spark.operators.sampling import _BUCKETS, _bucket
+
+    k0 = F.col(keys[0])
+    total = df.count()
+    target = n * sample_per_bucket
+    if total > target:
+        sample = df.filter(
+            _bucket(keys[0]) < int(target / total * _BUCKETS) + 1
+        )
+    else:
+        sample = df
+    vals = sorted(
+        r[0] for r in sample.select(k0).filter(k0.isNotNull()).collect()
+    )
+    bounds = sorted(
+        {vals[int(len(vals) * i / n)] for i in range(1, n)}
+    ) if vals else []
+
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(k0 >= b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    m = df.withColumn("__bkt__", bucket)
+    counts = sorted(
+        (r["__bkt__"], r["cnt"])
+        for r in m.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, cnt in counts:
+        offsets.append((bkt, acc))
+        acc += cnt
+    off = df.sparkSession.createDataFrame(offsets, "__bkt__ INT, __off__ LONG")
+    w = Window.partitionBy("__bkt__").orderBy(*keys)
+    return (
+        m.join(F.broadcast(off), "__bkt__")
+        .select(
+            (F.col("__off__") + F.row_number().over(w)).alias(id_col),
+            *df.columns,
+        )
+    )

@@ -147,3 +147,63 @@ def grouped_corr(
         / F.sqrt(vx * vy),
     )
     return agg.select(*group_cols, "n", corr.alias("corr"))
+
+
+def grouped_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group z-score outlier flagging: rows where
+    ``|y − μ_g| > z·σ_g`` (population σ), computed as one algebraic
+    aggregate (n, Σy, Σy² per group) joined back — never a per-group
+    pass or a sort. NULL values are never outliers; groups with n < 2
+    or zero variance flag nothing.
+
+    The join back is a plain equi-join on the group key: the aggregate
+    side has one row per group, so AQE broadcast-picks it whenever the
+    group cardinality is small; at 100 TB with high-cardinality keys it
+    degrades to a co-partitioned shuffle join, never a window sort.
+
+    Determinism: with integer-typed ``value_col`` the three sums are
+    exact int64, and μ, σ², sqrt, the comparison, and the emitted
+    zscore are each single exact-rounded IEEE double ops — the whole
+    output (rows AND zscore values) is engine-portable, same contract
+    as ``grouped_linreg``. Fractional inputs take decimal(38, ``scale``)
+    sums: deterministic within Spark, rows-only across engines.
+
+    Output: the flagged input rows + ``zscore`` (double).
+    """
+    if not group_cols:
+        raise ValueError("grouped_outliers needs at least one group column")
+    if z <= 0.0:
+        raise ValueError(f"z must be positive, got {z}")
+    if "zscore" in df.columns:
+        raise ValueError("input already has a 'zscore' column")
+    types = dict(df.dtypes)
+    exact = types.get(value_col) in _INT_TYPES
+    sum_t = "bigint" if exact else f"decimal(38,{scale})"
+    y = F.col(value_col) if exact else F.col(value_col).cast("double")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(y).alias("__n__"),
+        F.sum(y.cast(sum_t)).cast("double").alias("__sy__"),
+        F.sum((y * y).cast(sum_t)).cast("double").alias("__syy__"),
+    )
+    n = F.col("__n__").cast("double")
+    # fixed IEEE op sequence, mirrored verbatim in oracle SQL
+    mu = F.col("__sy__") / n
+    var = (n * F.col("__syy__") - F.col("__sy__") * F.col("__sy__")) / (n * n)
+    sigma = F.sqrt(var)
+    zscore = (y - mu) / sigma
+    return (
+        df.join(agg, list(group_cols))
+        .filter(
+            (F.col("__n__") >= 2)
+            & (var > 0.0)
+            & y.isNotNull()
+            & (F.abs(y - mu) > F.lit(float(z)) * sigma)
+        )
+        .select(*df.columns, zscore.alias("zscore"))
+    )

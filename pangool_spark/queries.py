@@ -5003,6 +5003,68 @@ def setsim_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "zscore_outliers_events",
+    """
+    WITH d AS (
+      SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(y) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.user_id, d.y,
+           (y - sy / n) / sqrt((n * syy - sy * sy) / (n * n)) AS zscore
+    FROM d JOIN a USING (event_type)
+    WHERE n >= 2 AND (n * syy - sy * sy) / (n * n) > 0.0
+      AND y IS NOT NULL
+      AND abs(y - sy / n) > 3.0 * sqrt((n * syy - sy * sy) / (n * n))
+    """,
+)
+def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flagging (|y − μ| > 3σ) as ONE
+    algebraic aggregate joined back — the "find the anomalous readings
+    per sensor" step with no window, no sort, no per-group pass.
+    Integer inputs (value cents) make n/Σy/Σy² exact, and every
+    downstream op (μ, σ, the comparison, the emitted zscore) is a
+    single exact-rounded IEEE double — rows AND zscores hash-match
+    cross-engine (the grouped_linreg determinism contract). 188 of 10k
+    events flag at sf0.01 — non-vacuous on both the keep and drop side."""
+    from pangool_spark.operators.stats import grouped_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return grouped_outliers(ev, ["event_type"], "y", z=3.0)
+
+
+@query(
+    "stable_ids_orders",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_id,
+           o_orderkey, o_custkey
+    FROM orders
+    """,
+)
+def stable_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids 1..N in o_orderkey order WITHOUT the oracle's
+    single-partition row_number window: one range exchange, then
+    monotonically_increasing_id decomposed into (partition id, local
+    rank) + broadcast cumulative offsets (operators/partitioning.py
+    stable_row_ids). The oracle IS the anti-pattern window — the point
+    is producing the identical total numbering distributed. Plan-gated
+    window-free in test_stats_outliers_ids.py."""
+    from pangool_spark.operators.partitioning import stable_row_ids
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return stable_row_ids(orders, ["o_orderkey"])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
