@@ -17,20 +17,36 @@ How it differs from the repo's other similarity joins:
 
 Losslessness (the PPJoin prefix lemma): order tokens by ascending
 global frequency (ties by token value); if J(x, y) ≥ t then
-|x∩y| ≥ ⌈t/(1+t)·(|x|+|y|)⌉ ≥ t·min(|x|,|y|), and two sets whose
+|x∩y| ≥ t/(1+t)·(|x|+|y|) ≥ t·min(|x|,|y|), and two sets whose
 prefixes are disjoint can share at most min(⌈t|x|⌉, ⌈t|y|⌉) − 1 <
 t·min(|x|,|y|) tokens — so every qualifying pair shares a PREFIX
-token and survives the equi-join. The length filter
-⌈t·|x|⌉ ≤ |y| ≤ ⌊|x|/t⌋ prunes the rest for free. Verification is
-exact: the candidate pair joins its two full sorted token arrays and
-counts the intersection JVM-side (array_intersect — tokens are
-distinct by construction).
+token and survives the equi-join. Two further lossless prunes before
+verification:
 
-Scale shape: one aggregate for token frequencies (the order), one for
-per-record sorted arrays, a prefix-token equi-join whose keys are
-8-byte xxhash64 values, and a broadcast-friendly verify. No UDFs, no
-driver collects; the frequency order is computed distributed and joined
-back, never held in driver memory.
+- length filter: J ≥ t forces t·|x| ≤ |y| (both directions);
+- positional filter: positions are ranks in one GLOBAL total order,
+  so the common tokens of a pair appear in the same relative order in
+  both records. The globally-rarest common token is therefore the
+  minimum-position prefix match on BOTH sides (it must be a
+  prefix-prefix match at all — were it outside x's prefix, every
+  common token would sit at position ≥ |x| − ⌈t|x|⌉ + 1, capping the
+  overlap below t·|x|), and every other common token sits strictly
+  after it in both records:
+  |x∩y| ≤ 1 + min(|x| − min_pos_x − 1, |y| − min_pos_y − 1).
+
+Verification is exact: candidates join their two full sorted token-HASH
+arrays and count the intersection JVM-side. Token identity throughout
+is xxhash64 (8-byte shuffle keys and 8-byte verify arrays — the same
+digest-collision class every dedup operator documents).
+
+Scale shape: one aggregate for token frequencies (the rarest-first
+order is the distributed struct sort key (df, hash) — never a global
+row_number window), one for per-record arrays, a prefix equi-join on
+8-byte keys, a pair-level aggregate applying the positional filter,
+and an array verify on the surviving pairs. No UDFs, no unbounded
+driver collects. Inputs scanned from few files are conditionally
+repartitioned (the dedup.py idiom) so compact test corpora don't run
+single-task.
 """
 
 from __future__ import annotations
@@ -40,89 +56,121 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def jaccard_selfjoin(
-    df: DataFrame,
+def jaccard_postings_selfjoin(
+    postings: DataFrame,
     id_col: str = "id",
-    tokens_col: str = "tokens",
+    token_col: str = "token",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold``.
-
-    ``tokens_col`` is an array column; duplicates within a record are
-    collapsed (set semantics). Records with empty token sets match
-    nothing. Output: (id_a, id_b, jaccard).
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold``,
+    from an EXPLODED postings relation (one row per record-token —
+    e.g. ``dedup.shingles`` output, already NGram-vectorized and
+    hash-keyed). Duplicate (id, token) rows are collapsed (set
+    semantics). Output: (id_a, id_b, jaccard).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     t = float(threshold)
+    spark = postings.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
 
     toks = (
-        df.select(F.col(id_col).alias("__id__"), F.col(tokens_col).alias("__ts__"))
-        .select("__id__", F.explode(F.array_distinct("__ts__")).alias("__tok__"))
-        .filter(F.col("__tok__").isNotNull())
+        postings.select(
+            F.col(id_col).alias("__id__"),
+            F.xxhash64(token_col).alias("__h__"),
+        )
+        .filter(F.col(token_col).isNotNull())
+        .distinct()
     )
     # global rarest-first order WITHOUT a global row_number (a
     # partition-less window is a single-task sort — the 100 TB
-    # anti-pattern): the sort key is the struct (df, xxhash64(token)),
-    # computed by one distributed aggregate and joined back. Struct
-    # ordering is (df asc, hash asc) — rarest first, ties broken by a
-    # fixed injective-modulo-2⁻⁶⁴ hash (the same collision class the
-    # digest-dedup operators already document).
-    freq = toks.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    # anti-pattern): the sort key is the struct (df, token hash),
+    # computed by one distributed aggregate and joined back.
+    freq = toks.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
     ranked = freq.select(
-        "__tok__",
-        F.struct(
-            F.col("__df__").alias("d"), F.xxhash64("__tok__").alias("h")
-        ).alias("__r__"),
+        "__h__",
+        F.struct(F.col("__df__").alias("d"), F.col("__h__").alias("h")).alias(
+            "__r__"
+        ),
     )
 
-    # per-record rarest-first sorted key arrays + sizes
+    # per-record arrays: rarest-first struct order for the prefix,
+    # plain sorted hashes for the verify intersect (8 B/token, not 16)
     rec = (
-        toks.join(ranked, "__tok__")
+        toks.join(ranked, "__h__")
         .groupBy("__id__")
-        .agg(F.sort_array(F.collect_list("__r__")).alias("__arr__"))
+        .agg(F.sort_array(F.collect_list("__r__")).alias("__rs__"))
         .select(
-            "__id__", "__arr__", F.size("__arr__").alias("__n__")
+            "__id__",
+            F.sort_array(
+                F.transform("__rs__", lambda r: r["h"])
+            ).alias("__arr__"),
+            "__rs__",
+            F.size("__rs__").alias("__n__"),
         )
     )
 
-    # prefix stream: first |r| - ceil(t*|r|) + 1 ranks of each record
+    # prefix stream with POSITIONS (0-based ranks in the global order)
     prefix_len = (
         F.col("__n__") - F.ceil(F.col("__n__") * F.lit(t)).cast("int") + F.lit(1)
     )
     prefixes = rec.select(
         "__id__",
         "__n__",
-        F.explode(F.slice("__arr__", 1, prefix_len)).alias("__r__"),
-    )
+        F.posexplode(F.slice("__rs__", 1, prefix_len)).alias("__pos__", "__r__"),
+    ).select("__id__", "__n__", "__pos__", F.col("__r__")["h"].alias("__h__"))
     pa = prefixes.select(
-        F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"), "__r__"
+        F.col("__id__").alias("id_a"),
+        F.col("__n__").alias("__na__"),
+        F.col("__pos__").alias("__pa__"),
+        "__h__",
     )
     pb = prefixes.select(
-        F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"), "__r__"
+        F.col("__id__").alias("id_b"),
+        F.col("__n__").alias("__nb__"),
+        F.col("__pos__").alias("__pb__"),
+        "__h__",
     )
+    na, nb = F.col("__na__"), F.col("__nb__")
     candidates = (
-        pa.join(pb, "__r__")
+        pa.join(pb, "__h__")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: J >= t forces t*|x| <= |y| (both directions)
-            & (F.col("__na__") * F.lit(t) <= F.col("__nb__"))
-            & (F.col("__nb__") * F.lit(t) <= F.col("__na__"))
+            & (na * F.lit(t) <= nb)
+            & (nb * F.lit(t) <= na)
+        )
+        .groupBy("id_a", "id_b", "__na__", "__nb__")
+        .agg(F.min("__pa__").alias("__ma__"), F.min("__pb__").alias("__mb__"))
+        # positional filter (module docstring): overlap <= 1 + the
+        # min remaining length after the rarest shared prefix token
+        .filter(
+            (
+                F.lit(1)
+                + F.least(na - F.col("__ma__") - 1, nb - F.col("__mb__") - 1)
+            ).cast("double")
+            >= F.lit(t / (1.0 + t)) * (na + nb).cast("double")
         )
         .select("id_a", "id_b")
-        .distinct()
     )
+    # The verify intersect is CPU-bound on tiny BYTES: AQE's byte-based
+    # coalescing would run it in one task on a compact corpus. A user
+    # repartition is never coalesced, and with the record-array side
+    # broadcast (AQE picks it whenever rec fits) the intersect executes
+    # in exactly these partitions. Cost at scale: one shuffle of slim
+    # (id, id) pairs — noise next to the verify itself.
+    candidates = candidates.repartition(n_parts, "id_a")
 
-    # exact verify on the full sorted rank arrays
+    # exact verify on the full sorted hash arrays
     ra = rec.select(
         F.col("__id__").alias("id_a"),
         F.col("__arr__").alias("__aa__"),
-        F.col("__n__").alias("__na__"),
+        F.col("__n__").alias("__va__"),
     )
     rb = rec.select(
         F.col("__id__").alias("id_b"),
         F.col("__arr__").alias("__ab__"),
-        F.col("__n__").alias("__nb__"),
+        F.col("__n__").alias("__vb__"),
     )
     inter = F.size(F.array_intersect("__aa__", "__ab__"))
     return (
@@ -133,11 +181,32 @@ def jaccard_selfjoin(
             "id_b",
             (
                 inter.cast("double")
-                / (F.col("__na__") + F.col("__nb__") - inter).cast("double")
+                / (F.col("__va__") + F.col("__vb__") - inter).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
     )
+
+
+def jaccard_selfjoin(
+    df: DataFrame,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Array-column form of ``jaccard_postings_selfjoin``: ``tokens_col``
+    is an array; duplicates within a record are collapsed (set
+    semantics); records with empty token sets match nothing."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        # compact sources otherwise explode + verify in too few tasks
+        # (the dedup.shingles idiom)
+        df = df.repartition(n_parts, F.col(id_col))
+    postings = df.select(
+        F.col(id_col).alias("__pid__"),
+        F.explode(F.array_distinct(tokens_col)).alias("__ptok__"),
+    )
+    return jaccard_postings_selfjoin(postings, "__pid__", "__ptok__", threshold)
 
 
 def jaccard_text_selfjoin(

@@ -4982,25 +4982,17 @@ def setsim_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter wrongly pruned would hash-mismatch. jaccard itself is one
     exact int-ratio divide, identical cross-engine. (Word sets were
     measured useless here: the synthetic Zipf vocab makes ~90% of doc
-    pairs share half their word set; 3-gram sets are bimodal.)"""
-    from pangool_spark.operators.norm import normalized_tokens
-    from pangool_spark.operators.setsim import jaccard_selfjoin
+    pairs share half their word set; 3-gram sets are bimodal.)
+    Shingling rides the NGram-vectorized, conditionally-repartitioned
+    ``dedup.shingles`` path — the HOF transform/slice/concat form this
+    query first shipped with ran 2-50 s at sf0.1 (dedup.py:108's
+    measured JIT pathology) and single-task."""
+    from pangool_spark.operators.dedup import shingles
+    from pangool_spark.operators.setsim import jaccard_postings_selfjoin
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = normalized_tokens("text")
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        ),
-        lambda s: s != "",
-    )
-    return jaccard_selfjoin(
-        docs.select("doc_id", grams.alias("__grams__")),
-        "doc_id",
-        "__grams__",
-        threshold=0.5,
-    )
+    grams = shingles(docs, n=3, hashed=True)
+    return jaccard_postings_selfjoin(grams, "doc_id", "shingle", threshold=0.5)
 
 
 @query(
@@ -5063,6 +5055,77 @@ def stable_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return stable_row_ids(orders, ["o_orderkey"])
+
+
+@query(
+    "funnel_events",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT s1.user_id, t1, MIN(CASE WHEN e.ts > t1 THEN e.ts END) AS t2
+      FROM s1 LEFT JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = 'click'
+      GROUP BY 1, 2
+    ), s3 AS (
+      SELECT s2.user_id, t1, t2, MIN(CASE WHEN e.ts > t2 THEN e.ts END) AS t3
+      FROM s2 LEFT JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+      GROUP BY 1, 2, 3
+    )
+    SELECT 1 AS step_idx, 'view' AS step, CAST(COUNT(t1) AS BIGINT) AS n_users FROM s3
+    UNION ALL
+    SELECT 2, 'click', CAST(COUNT(t2) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT) FROM s3
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (strictly increasing
+    timestamps — a purchase before the first view doesn't count):
+    K chained conditional-min aggregates on the user key, never a
+    per-user sorted walk (the reference would secondary-sort (user, ts)
+    and scan; cf. SecondarySort-family examples). Counts are integers —
+    fully engine-portable."""
+    from pangool_spark.operators.journeys import funnel_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_report(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention_events",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(FLOOR(FLOOR(epoch(ts)) / 86400 / 7) AS BIGINT) AS p
+      FROM events
+    ), fst AS (
+      SELECT u, MIN(p) AS p0 FROM act GROUP BY 1
+    ), cells AS (
+      SELECT p0 AS cohort_period, p - p0 AS period_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM act JOIN fst USING (u) GROUP BY 1, 2
+    ), sz AS (
+      SELECT p0 AS cohort_period, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM fst GROUP BY 1
+    )
+    SELECT cohort_period, period_offset, n_users, cohort_size,
+           CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+    FROM cells JOIN sz USING (cohort_period)
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over events: cohort = first-
+    activity week (epoch-day // 7 — FLOOR-cast in the oracle per the
+    q12/sampling precedent), cells = distinct users active k weeks
+    later. Two aggregates + a user-key join; retention is one exact
+    int→double divide, so even the ratio hash-matches."""
+    from pangool_spark.operators.journeys import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
