@@ -138,6 +138,15 @@ EXTENDED = [
     "corr_event_value_time",
     # round-8: AllPairs/PPJoin prefix-filtered exact set-similarity join
     "setsim_jaccard_docs",
+    # round-8: algebraic z-score outliers; sample-sort global row ids
+    "zscore_outliers_events",
+    "stable_ids_orders",
+    # round-8: journeys + drift + robust stats + histogram
+    "funnel_events",
+    "cohort_retention_events",
+    "category_drift_orders",
+    "robust_outliers_events",
+    "histogram_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -1,0 +1,161 @@
+"""User-journey analytics: ordered-funnel completion and cohort
+retention — the two canonical "sequence over time per user" reports.
+
+The reference expressed these as secondary-sorted reduce walks (sort by
+(user, ts), scan each user's stream in order — cf. the SecondarySort
+example family); both are re-expressed here as algebraic aggregates so
+they partial-combine map-side and never materialize a per-user event
+list:
+
+- funnel: step k's entry time is ``min(ts WHERE type = step_k AND
+  ts > t_{k-1})`` — K chained conditional-min aggregates (K is the
+  funnel length, a constant), each one shuffle on the user key. No
+  window, no per-user array.
+- cohort retention: two integer week computations (epoch-day // 7) and
+  one distinct-count per (cohort_week, offset) cell.
+
+Determinism: funnel times are MINs of input timestamps (exact values,
+no arithmetic); counts are integers; the week math is integer division
+— every output is engine-exact, so both operators carry full value
+oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel completion: for each user, the earliest timestamp
+    at which they completed step k having completed steps 1..k-1 at
+    STRICTLY increasing timestamps (the standard product-analytics
+    funnel: a purchase before the first view does not count).
+
+    Returns one row per user who completed step 1, with a nullable
+    ``t_<step>`` column per step — NULL from the first uncompleted step
+    on. Aggregate a step-count report with ``funnel_report``.
+
+    Scale shape: step 1 is one groupBy(user).min; each later step is a
+    semi-join of the (user, t_{k-1}) frame back to the events of that
+    step's type (filter pushes the type predicate to the scan) and
+    another conditional min — K-1 joins on the user key, all
+    partial-combined, never a per-user sort.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs at least 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+
+    cur = (
+        df.filter(ty == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias(f"t_{steps[0]}"))
+    )
+    for prev, step in zip(steps, steps[1:]):
+        ev = df.filter(ty == step).select(
+            u.alias(user_col), ts.alias("__ts__")
+        )
+        nxt = (
+            cur.join(ev, user_col, "left")
+            .groupBy(user_col, *[f"t_{s}" for s in steps[: steps.index(step)]])
+            .agg(
+                F.min(
+                    F.when(F.col("__ts__") > F.col(f"t_{prev}"), F.col("__ts__"))
+                ).alias(f"t_{step}")
+            )
+        )
+        cur = nxt
+    return cur
+
+
+def funnel_report(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The funnel as a report: one row per step with the number of users
+    who reached it (monotone non-increasing) — ``(step_idx, step,
+    n_users)``. Integer counts: fully engine-portable."""
+    per_user = funnel(df, steps, user_col, type_col, ts_col)
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t_{s}")).alias(f"t_{s}")
+            for s in steps
+        ]
+    )
+    # one tiny row -> explode into the report shape JVM-side
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"t_{s}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle: cohort = each user's FIRST-activity
+    period (epoch-day // period_days); for every (cohort, offset) cell,
+    how many of that cohort's users were active ``offset`` periods
+    later. (cohort_period, period_offset, n_users, cohort_size,
+    retention) — retention is one exact int→double divide.
+
+    Two aggregates: first-activity per user (groupBy-min), then a
+    distinct-count per cell after a user-key join — no windows, integer
+    week math (floor division, mirrored with FLOOR in oracles).
+    """
+    if period_days <= 0:
+        raise ValueError(f"period_days must be positive, got {period_days}")
+    period = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / 86400 / period_days)
+    ).cast("bigint")
+    act = df.select(F.col(user_col).alias("u"), period.alias("p")).distinct()
+    first = act.groupBy("u").agg(F.min("p").alias("p0"))
+    cells = (
+        act.join(first, "u")
+        .groupBy(
+            F.col("p0").alias("cohort_period"),
+            (F.col("p") - F.col("p0")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = first.groupBy(F.col("p0").alias("cohort_period")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(size, "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_users",
+            "cohort_size",
+            (
+                F.col("n_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -122,3 +122,101 @@ def expectations(df: DataFrame, constraints: dict) -> DataFrame:
         "n_violations",
         (1.0 - F.col("n_violations") / F.col("n_rows")).alias("pass_fraction"),
     )
+
+
+def grouped_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram (optionally per group) in one aggregate:
+    ``bin = floor((y − lo) / w)``, rows outside ``[lo, hi)`` dropped,
+    counts per (group, bin). Empty bins are absent (sparse output — at
+    100 TB a dense bin spine per group is the caller's explode).
+
+    Engine parity: the bin index is a floor of a fixed double expression
+    (oracles mirror it with CAST(FLOOR(...) AS BIGINT) — DuckDB's bare
+    int cast ROUNDS, the r05 lesson) and ``bin_lo = lo + bin·w`` is two
+    exact-rounded ops off integers, so edges hash-match too.
+
+    Output: (*group_cols, bin, bin_lo, n).
+    """
+    if not n_bins > 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    w = (float(hi) - float(lo)) / int(n_bins)
+    y = F.col(value_col).cast("double")
+    b = F.floor((y - F.lit(float(lo))) / F.lit(w)).cast("bigint")
+    return (
+        df.filter(y.isNotNull() & (y >= float(lo)) & (y < float(hi)))
+        .groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            "bin",
+            (F.lit(float(lo)) + F.col("bin").cast("double") * F.lit(w)).alias(
+                "bin_lo"
+            ),
+            "n",
+        )
+    )
+
+
+def category_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Categorical-distribution drift between a reference snapshot and a
+    current one, as per-category Pearson chi-squared terms — the "did
+    yesterday's pipeline change the language / source / label mix"
+    monitor. Two count aggregates + one full-outer join on the category;
+    no sorts, no windows; the category relation is one row per distinct
+    value (broadcast-sized in practice, AQE picks it).
+
+    chi2_term = (observed − expected)² / expected with expected =
+    n_cur · ref_share — a fixed chain of exact-rounded double ops off
+    integer counts, so every output value hash-matches cross-engine
+    (no ln/exp anywhere — unlike KL divergence, which is libm-divergent;
+    this is why the drift statistic here is chi-squared).
+
+    Categories absent from the reference get NULL chi2_term (expected =
+    0 — a NEW category is a schema-level alarm, not a number); absent
+    from current get observed = 0 and a real term. Output:
+    (category, n_ref, n_cur, expected, chi2_term).
+    """
+    a = ref.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    b = cur.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    joined = (
+        a.join(b, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(
+            F.broadcast(
+                a.agg(F.sum("n_ref").cast("double").alias("__ta__")).crossJoin(
+                    b.agg(F.sum("n_cur").cast("double").alias("__tb__"))
+                )
+            )
+        )
+    )
+    e = F.col("__tb__") * (F.col("n_ref").cast("double") / F.col("__ta__"))
+    o = F.col("n_cur").cast("double")
+    term = F.when(F.col("n_ref") > 0, (o - e) * (o - e) / e)
+    return joined.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.when(F.col("n_ref") > 0, e).alias("expected"),
+        term.alias("chi2_term"),
+    )

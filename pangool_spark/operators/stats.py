@@ -207,3 +207,64 @@ def grouped_outliers(
         )
         .select(*df.columns, zscore.alias("zscore"))
     )
+
+
+def grouped_robust_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group ROBUST outlier flagging via the median/MAD rule:
+    ``|y − median| > k · 1.4826 · MAD`` (MAD = median absolute
+    deviation; 1.4826 scales it to σ under normality — Iglewicz &
+    Hoaglin's modified z-score, default k=3.5). Unlike
+    ``grouped_outliers`` the thresholds are unmoved by the outliers
+    themselves — a planted 10⁶ spike inflates σ and masks its siblings,
+    but cannot move the median.
+
+    Two exact-percentile aggregates (median, then MAD of residuals)
+    with a group-key join between them — no windows. Spark's exact
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit
+    (property-pinned in tests/test_property_percentile.py), residuals
+    and the comparison are single exact-rounded IEEE ops, and
+    ``k·1.4826`` is folded into ONE Python-computed literal mirrored
+    verbatim in oracle SQL — the whole output is value-oracle-able.
+
+    Exact per-group percentile buffers a group's values in executor
+    memory — the documented cost of exactness; for heavy-tailed group
+    sizes at 100 TB use ``sampling.approx_quantiles_sampled`` medians
+    instead. Groups with MAD = 0 (≥ half the values identical) flag
+    NOTHING — the rule would otherwise flag every non-median value.
+
+    Output: flagged input rows + ``robust_z`` (double).
+    """
+    if not group_cols:
+        raise ValueError("grouped_robust_outliers needs a group column")
+    if k <= 0.0:
+        raise ValueError(f"k must be positive, got {k}")
+    if "robust_z" in df.columns:
+        raise ValueError("input already has a 'robust_z' column")
+    gc = list(group_cols)
+    y = F.col(value_col).cast("double")
+    med = df.groupBy(*gc).agg(
+        F.percentile(y, F.lit(0.5)).alias("__med__")
+    )
+    with_med = df.join(med, gc)
+    resid = F.abs(y - F.col("__med__"))
+    mad = with_med.groupBy(*gc).agg(
+        F.percentile(resid, F.lit(0.5)).alias("__mad__")
+    )
+    c = float(k) * 1.4826
+    return (
+        with_med.join(mad, gc)
+        .filter(
+            y.isNotNull()
+            & (F.col("__mad__") > 0.0)
+            & (resid > F.lit(c) * F.col("__mad__"))
+        )
+        .select(
+            *df.columns,
+            (resid / (F.lit(1.4826) * F.col("__mad__"))).alias("robust_z"),
+        )
+    )

@@ -5128,6 +5128,128 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
+@query(
+    "histogram_events",
+    """
+    WITH d AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS y FROM events
+    ), b AS (
+      SELECT CAST(FLOOR((CAST(y AS DOUBLE) - 0.0) / 1000.0) AS BIGINT) AS bin
+      FROM d
+      WHERE y IS NOT NULL AND CAST(y AS DOUBLE) >= 0.0
+        AND CAST(y AS DOUBLE) < 50000.0
+    )
+    SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 1000.0 AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (50 × 1000-cent bins over [0, 50000))
+    in one aggregate — bin index is a floor of a fixed double expression
+    (FLOOR-cast in the oracle: DuckDB's bare int cast ROUNDS, the r05
+    class) and bin_lo is two exact-rounded ops, so edges hash-match."""
+    from pangool_spark.operators.profile import grouped_histogram
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    return grouped_histogram(ev, "y", 0.0, 50000.0, 50)
+
+
+@query(
+    "category_drift_orders",
+    """
+    WITH ref AS (
+      SELECT o_orderpriority AS category FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ), cur AS (
+      SELECT o_orderpriority AS category FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), a AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY 1
+    ), b AS (
+      SELECT category, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT CAST(SUM(n_ref) AS DOUBLE) FROM a) AS ta,
+             (SELECT CAST(SUM(n_cur) AS DOUBLE) FROM b) AS tb
+    ), j AS (
+      SELECT COALESCE(a.category, b.category) AS category,
+             COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+      FROM a FULL OUTER JOIN b USING (category)
+    )
+    SELECT category, n_ref, n_cur,
+           CASE WHEN n_ref > 0
+                THEN tb * (CAST(n_ref AS DOUBLE) / ta) END AS expected,
+           CASE WHEN n_ref > 0
+                THEN (CAST(n_cur AS DOUBLE) - tb * (CAST(n_ref AS DOUBLE) / ta))
+                     * (CAST(n_cur AS DOUBLE) - tb * (CAST(n_ref AS DOUBLE) / ta))
+                     / (tb * (CAST(n_ref AS DOUBLE) / ta)) END AS chi2_term
+    FROM j, tot
+    """,
+)
+def category_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift between pre- and post-1998 order periods
+    as per-category chi-squared terms — two count aggregates + one
+    full-outer join; the statistic is chi-squared precisely because its
+    op chain ((o−e)²/e off integer counts) is exact-rounded IEEE with no
+    libm (KL's ln diverges 1 ulp between engines, the naive_bayes
+    lesson)."""
+    from pangool_spark.operators.profile import category_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return category_drift(
+        orders.filter(F.col("o_orderdate") < split).select(
+            F.col("o_orderpriority").alias("cat")
+        ),
+        orders.filter(F.col("o_orderdate") >= split).select(
+            F.col("o_orderpriority").alias("cat")
+        ),
+        "cat",
+    )
+
+
+@query(
+    "robust_outliers_events",
+    f"""
+    WITH d AS (
+      SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(CAST(y AS DOUBLE), 0.5) AS m
+      FROM d GROUP BY 1
+    ), r AS (
+      SELECT d.event_type, d.user_id, d.y, m,
+             abs(CAST(y AS DOUBLE) - m) AS res
+      FROM d JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(res, 0.5) AS md FROM r GROUP BY 1
+    )
+    SELECT event_type, user_id, y, res / (1.4826 * md) AS robust_z
+    FROM r JOIN mad USING (event_type)
+    WHERE md > 0 AND y IS NOT NULL AND res > {3.5 * 1.4826!r} * md
+    """,
+)
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flagging per event type (modified
+    z-score, k=3.5): the thresholds a planted spike cluster cannot move
+    (it inflates σ and masks itself under the classic z-score — pinned
+    in test_profile_drift.py). Two exact-percentile aggregates; Spark
+    percentile == DuckDB quantile_cont bit-for-bit (property-pinned),
+    so rows AND robust_z values carry the full hash oracle. 392 of 10k
+    events flag at sf0.01 vs 188 under zscore_outliers_events — the
+    robust rule sees through the tail's self-masking."""
+    from pangool_spark.operators.stats import grouped_robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return grouped_robust_outliers(ev, ["event_type"], "y", k=3.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

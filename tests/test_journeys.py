@@ -1,0 +1,84 @@
+"""funnel / funnel_report / cohort_retention vs hand-computed journeys —
+including the out-of-order trap (a purchase BEFORE the first view must
+not count) and repeat-activity cohort cells."""
+
+import datetime as dt
+
+import pytest
+
+from pangool_spark.operators.journeys import cohort_retention, funnel, funnel_report
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(spark):
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2 purchases BEFORE viewing: must stop after click
+        (2, "purchase", _ts(1)), (2, "view", _ts(2)), (2, "click", _ts(3)),
+        # u3 views only
+        (3, "view", _ts(5)),
+        # u4 never views (click+purchase): not in the funnel at all
+        (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+        # u5 view->click same funnel but click at the SAME ts as view:
+        # strict ordering requires ts >, so the click does not count
+        (5, "view", _ts(7)), (5, "click", _ts(7)),
+    ]
+    return spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+
+
+def test_funnel_per_user(spark):
+    out = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in funnel(_events(spark), ["view", "click", "purchase"]).collect()
+    }
+    assert set(out) == {1, 2, 3, 5}  # u4 never entered
+    assert out[1] == (_ts(1), _ts(2), _ts(3))
+    assert out[2] == (_ts(2), _ts(3), None)  # purchase was before the view
+    assert out[3] == (_ts(5), None, None)
+    assert out[5] == (_ts(7), None, None)  # same-ts click: strict >
+
+
+def test_funnel_report_and_validation(spark):
+    rep = {
+        (r.step_idx, r.step): r.n_users
+        for r in funnel_report(_events(spark), ["view", "click", "purchase"]).collect()
+    }
+    assert rep == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(_events(spark), ["view"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(_events(spark), ["view", "view"])
+
+
+def test_cohort_retention(spark):
+    rows = [
+        # u1 first active week 0, active weeks 0,1,2; u2 week 0 only;
+        # u3 first active week 1, active weeks 1,2
+        (1, "view", dt.datetime(2024, 1, 4)),    # thu week A
+        (1, "click", dt.datetime(2024, 1, 11)),
+        (1, "view", dt.datetime(2024, 1, 18)),
+        (2, "view", dt.datetime(2024, 1, 5)),
+        (2, "view", dt.datetime(2024, 1, 5, 12)),  # same period, distinct-safe
+        (3, "view", dt.datetime(2024, 1, 11)),
+        (3, "view", dt.datetime(2024, 1, 18)),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    got = {
+        (r.cohort_period, r.period_offset): (r.n_users, r.cohort_size, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    # weeks are epoch-day//7 buckets; Jan 4 2024 and Jan 5 are the same bucket
+    cohorts = sorted({c for c, _ in got})
+    a, b = cohorts[0], cohorts[1]
+    assert b == a + 1
+    assert got[(a, 0)] == (2, 2, 1.0)
+    assert got[(a, 1)] == (1, 2, 0.5)
+    assert got[(a, 2)] == (1, 2, 0.5)
+    assert got[(b, 0)] == (1, 1, 1.0)
+    assert got[(b, 1)] == (1, 1, 1.0)
+    with pytest.raises(ValueError, match="period_days"):
+        cohort_retention(df, period_days=0)
