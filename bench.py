@@ -147,6 +147,10 @@ EXTENDED = [
     "category_drift_orders",
     "robust_outliers_events",
     "histogram_events",
+    # round-8: transitions + winsorize + native hopping windows
+    "event_transitions",
+    "winsorize_events",
+    "hopping_window_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -268,3 +268,44 @@ def grouped_robust_outliers(
             (resid / (F.lit(1.4826) * F.col("__mad__"))).alias("robust_z"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    group_cols: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: CLIP values to their (per-group) [lo_q, hi_q]
+    exact-percentile band — the ML-preprocessing step that tames heavy
+    tails without dropping rows (``sampling.quantile_filter`` is the
+    dropping sibling). One percentile aggregate (one row per group,
+    broadcast-sized join back), then ``least(greatest(y, lo), hi)`` —
+    all ops inside the percentile==quantile_cont bit-parity plus two
+    exact comparisons, so clipped values carry full hash oracles.
+
+    Output: input columns + ``out_col`` (default ``<value_col>_w``),
+    NULL where the value is NULL.
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got ({lo_q}, {hi_q})")
+    out_col = out_col or f"{value_col}_w"
+    if out_col in df.columns:
+        raise ValueError(f"input already has a {out_col!r} column")
+    y = F.col(value_col).cast("double")
+    aggs = [
+        F.percentile(y, F.lit(float(lo_q))).alias("__lo__"),
+        F.percentile(y, F.lit(float(hi_q))).alias("__hi__"),
+    ]
+    gc = list(group_cols)
+    if gc:
+        bounds = df.groupBy(*gc).agg(*aggs)
+        joined = df.join(bounds, gc)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    return joined.select(
+        *df.columns,
+        F.least(F.greatest(y, F.col("__lo__")), F.col("__hi__")).alias(out_col),
+    )

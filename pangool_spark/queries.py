@@ -5250,6 +5250,121 @@ def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_robust_outliers(ev, ["event_type"], "y", k=3.5)
 
 
+@query(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+    FROM c JOIN tot USING (from_type)
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event transition matrix (the Markov-chain view of a
+    clickstream): one lead() over the user partition — a per-KEY window,
+    never global — then pair counts and row-normalized probabilities
+    (one exact int→double divide). Tie-broken by event_id so the
+    sequence is a total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return c.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
+    )
+
+
+@query(
+    "winsorize_events",
+    """
+    WITH d AS (
+      SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             quantile_cont(CAST(y AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(y AS DOUBLE), 0.95) AS hi
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, user_id, y,
+           least(greatest(CAST(y AS DOUBLE), lo), hi) AS y_w
+    FROM d JOIN b USING (event_type)
+    """,
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization to the [p5, p95] band — tame the
+    heavy tail without dropping rows (the clipping sibling of
+    quantile_filter). Exact percentile bounds ride the
+    percentile==quantile_cont bit-parity; least/greatest are exact —
+    every clipped value hash-matches."""
+    from pangool_spark.operators.stats import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return winsorize(ev, "y", 0.05, 0.95, ["event_type"], out_col="y_w")
+
+
+@query(
+    "hopping_window_events",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 43200) AS BIGINT) AS slot,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), w AS (
+      -- a 1-day window sliding 12 h = exactly the two slots [k-1, k]
+      SELECT (slot - g.k) * 43200 AS start_s, y
+      FROM d, (VALUES (0), (1)) AS g(k)
+    )
+    SELECT start_s, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sum_cents
+    FROM w GROUP BY 1
+    """,
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) event-time windows — 1-day windows sliding
+    12 h — via the native F.window expression (each row expands to
+    window-length/slide = 2 windows JVM-side; the oracle mirrors that
+    expansion with a 2-row VALUES join on epoch slots). Epoch-aligned
+    starts surface as BIGINT seconds to keep the comparison
+    timezone-free."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("start_s"), "n", "sum_cents"
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

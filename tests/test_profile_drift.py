@@ -81,3 +81,23 @@ def test_robust_outliers_mad_zero_and_validation(spark):
         grouped_robust_outliers(df, [], "y")
     with pytest.raises(ValueError, match="k must be"):
         grouped_robust_outliers(df, ["g"], "y", k=-1)
+
+
+def test_winsorize(spark):
+    from pangool_spark.operators.stats import winsorize
+
+    vals = sorted(float(v) for v in range(1, 101))
+    df = spark.createDataFrame([(0, v) for v in vals], "g INT, y DOUBLE")
+    # exact interpolated percentiles of 1..100 at 5%/95%
+    lo = 1 + 0.05 * 99
+    hi = 1 + 0.95 * 99
+    got = {r.y: r.y_w for r in winsorize(df, "y", 0.05, 0.95, ["g"]).collect()}
+    assert len(got) == 100
+    for y, y_w in got.items():
+        assert y_w == min(max(y, lo), hi)
+    # ungrouped form broadcasts one global bound row
+    assert winsorize(df, "y", 0.05, 0.95).count() == 100
+    with pytest.raises(ValueError, match="lo_q"):
+        winsorize(df, "y", 0.9, 0.1)
+    with pytest.raises(ValueError, match="already has"):
+        winsorize(df.withColumn("y_w", F.lit(1.0)), "y")
