@@ -151,6 +151,9 @@ EXTENDED = [
     "event_transitions",
     "winsorize_events",
     "hopping_window_events",
+    # round-8: iterative k-core (pagerank unrolling contract) + basket lift
+    "kcore_parts",
+    "basket_lift_parts",
 ]
 
 RUNS_PER_QUERY = 3

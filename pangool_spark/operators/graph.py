@@ -402,3 +402,50 @@ def triangle_count_approx(
             (F.col("n_triangles") * F.lit(scale)).alias("n_triangles_est"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 3,
+) -> DataFrame:
+    """k-core peeling, ``max_iter`` FIXED rounds: repeatedly drop
+    vertices whose degree in the surviving subgraph is < ``k`` (and the
+    edges they carry). The fixed iteration count is the same value-
+    oracle contract as ``pagerank``: the oracle unrolls exactly
+    ``max_iter`` peels, so results are comparable engine-to-engine even
+    when the peel hasn't converged (a converged core is a fixpoint —
+    extra rounds are no-ops; the operator reports convergence via the
+    monotone edge count). Each round is one degree aggregate + two
+    semi-joins — the plan depth grows linearly with ``max_iter``, which
+    stays small by design (real cores stabilize in a handful of peels;
+    at 100 TB checkpoint every ~10 rounds if you raise it).
+
+    Self-loops and duplicate/reverse edges are cleaned first (the
+    ``triangle_count`` contract). Output: the surviving canonical
+    (a < b) undirected edges.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionByName(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        cur = cur.join(
+            keep.select(F.col("v").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+    return cur.select("a", "b")

@@ -159,3 +159,64 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def market_basket(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket association mining (pairs): item pairs sharing a
+    basket in ≥ ``min_support`` baskets, with support and lift —
+    "customers who bought X also bought Y", the association-rule
+    primitive (Agrawal & Srikant's apriori, restricted to pairs, which
+    at 100 TB is the part you can afford exactly).
+
+    The pair generation is a self-join WITHIN the basket key, so its
+    fan-out is Σ basket_size² — bounded by the largest basket, never
+    |items|²; the support floor then prunes before the item-stat joins.
+    lift = (n_ab · n_baskets) / (n_a · n_b): all-integer inputs, one
+    fixed exact-rounded double chain (engine-portable, like support).
+
+    Output: (pa, pb, n_ab, support, lift) with pa < pb.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    li = df.select(
+        F.col(basket_col).alias("__k__"), F.col(item_col).alias("__p__")
+    ).distinct()
+    n_baskets = li.agg(
+        F.countDistinct("__k__").alias("n_orders")
+    )
+    item = li.groupBy(F.col("__p__").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    a = li.select("__k__", F.col("__p__").alias("pa"))
+    b = li.select("__k__", F.col("__p__").alias("pb"))
+    pair = (
+        a.join(b, "__k__")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    na = item.select(F.col("p").alias("pa"), F.col("n_p").alias("__na__"))
+    nb = item.select(F.col("p").alias("pb"), F.col("n_p").alias("__nb__"))
+    d = F.col("n_ab").cast("double")
+    n = F.col("n_orders").cast("double")
+    return (
+        pair.join(na, "pa")
+        .join(nb, "pb")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            (d / n).alias("support"),
+            (
+                (d * n)
+                / (F.col("__na__").cast("double") * F.col("__nb__").cast("double"))
+            ).alias("lift"),
+        )
+    )

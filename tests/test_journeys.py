@@ -82,3 +82,50 @@ def test_cohort_retention(spark):
     assert got[(b, 1)] == (1, 1, 1.0)
     with pytest.raises(ValueError, match="period_days"):
         cohort_retention(df, period_days=0)
+
+
+def test_market_basket(spark):
+    from pangool_spark.operators.journeys import market_basket
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"), (4, "c"),  # duplicate item in one basket collapses
+        (5, "d"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, p STRING")
+    got = {(r.pa, r.pb): r for r in market_basket(df, "k", "p", 2).collect()}
+    assert set(got) == {("a", "b")}  # only pair in >=2 baskets
+    r = got[("a", "b")]
+    assert r.n_ab == 3 and r.support == 3.0 / 5.0
+    assert r.lift == (3.0 * 5.0) / (3.0 * 3.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_support"):
+        market_basket(df, "k", "p", 0)
+
+
+def test_kcore_peeling(spark):
+    from pangool_spark.operators.graph import kcore
+
+    # a 4-clique with a pendant chain: the 3-core is exactly the clique;
+    # duplicate/reverse/self edges must be cleaned first
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # clique
+        (4, 5), (5, 6),                                    # chain
+        (2, 1), (3, 3),                                    # reverse + loop
+    ]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {(r.a, r.b) for r in kcore(df, k=3, max_iter=3).collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+    # a cycle has no 3-core: with enough rounds it empties;
+    # with max_iter=1 only one peel has happened (fixed-iteration contract)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(6, 0)], "src LONG, dst LONG"
+    )
+    assert kcore(chain, k=3, max_iter=2).count() == 0
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src LONG, dst LONG")
+    assert kcore(star, k=2, max_iter=1).count() == 0  # leaves die, hub starves
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore(df, k=0)
