@@ -142,8 +142,8 @@ EXTENDED = [
     "zscore_outliers_events",
     "stable_ids_orders",
     # round-8: journeys + drift + robust stats + histogram
-    "funnel_events",
-    "cohort_retention_events",
+    "funnel_report_events",
+    "activity_cohorts_events",
     "category_drift_orders",
     "robust_outliers_events",
     "histogram_events",

@@ -1,5 +1,9 @@
-"""User-journey analytics: ordered-funnel completion and cohort
-retention — the two canonical "sequence over time per user" reports.
+"""User-journey analytics: funnel completion TIMES, cohort
+retention, and market-basket association — "sequence over time per
+user" reports. (``operators/funnel.py`` answers the sibling question
+"how DEEP did each user get" as one subsequence fold; ``funnel_times``
+answers WHEN each step was reached, which needs the chained
+conditional-min formulation below.)
 
 The reference expressed these as secondary-sorted reduce walks (sort by
 (user, ts), scan each user's stream in order — cf. the SecondarySort
@@ -28,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel(
+def funnel_times(
     df: DataFrame,
     steps: Sequence[str],
     user_col: str = "user_id",
@@ -89,7 +93,7 @@ def funnel_report(
     """The funnel as a report: one row per step with the number of users
     who reached it (monotone non-increasing) — ``(step_idx, step,
     n_users)``. Integer counts: fully engine-portable."""
-    per_user = funnel(df, steps, user_col, type_col, ts_col)
+    per_user = funnel_times(df, steps, user_col, type_col, ts_col)
     counts = per_user.agg(
         *[
             F.count(F.col(f"t_{s}")).alias(f"t_{s}")

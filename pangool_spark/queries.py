@@ -5058,7 +5058,7 @@ def stable_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "funnel_events",
+    "funnel_report_events",
     """
     WITH s1 AS (
       SELECT user_id, MIN(ts) AS t1 FROM events
@@ -5081,7 +5081,7 @@ def stable_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT) FROM s3
     """,
 )
-def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def funnel_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase (strictly increasing
     timestamps — a purchase before the first view doesn't count):
     K chained conditional-min aggregates on the user key, never a
@@ -5095,7 +5095,7 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cohort_retention_events",
+    "activity_cohorts_events",
     """
     WITH act AS (
       SELECT DISTINCT user_id AS u,
@@ -5116,7 +5116,7 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cells JOIN sz USING (cohort_period)
     """,
 )
-def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def activity_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle over events: cohort = first-
     activity week (epoch-day // 7 — FLOOR-cast in the oracle per the
     q12/sampling precedent), cells = distinct users active k weeks

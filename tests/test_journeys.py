@@ -6,7 +6,7 @@ import datetime as dt
 
 import pytest
 
-from pangool_spark.operators.journeys import cohort_retention, funnel, funnel_report
+from pangool_spark.operators.journeys import cohort_retention, funnel_report, funnel_times
 
 
 def _ts(day, hour=0):
@@ -33,7 +33,7 @@ def _events(spark):
 def test_funnel_per_user(spark):
     out = {
         r.user_id: (r.t_view, r.t_click, r.t_purchase)
-        for r in funnel(_events(spark), ["view", "click", "purchase"]).collect()
+        for r in funnel_times(_events(spark), ["view", "click", "purchase"]).collect()
     }
     assert set(out) == {1, 2, 3, 5}  # u4 never entered
     assert out[1] == (_ts(1), _ts(2), _ts(3))
@@ -49,9 +49,9 @@ def test_funnel_report_and_validation(spark):
     }
     assert rep == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}
     with pytest.raises(ValueError, match="at least 2"):
-        funnel(_events(spark), ["view"])
+        funnel_times(_events(spark), ["view"])
     with pytest.raises(ValueError, match="distinct"):
-        funnel(_events(spark), ["view", "view"])
+        funnel_times(_events(spark), ["view", "view"])
 
 
 def test_cohort_retention(spark):
