@@ -182,14 +182,50 @@ def grouped_outliers(
         raise ValueError(f"z must be positive, got {z}")
     if "zscore" in df.columns:
         raise ValueError("input already has a 'zscore' column")
+    stats = outlier_stats(df, group_cols, value_col, scale)
+    return score_outliers(df, stats, group_cols, value_col, z)
+
+
+def outlier_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    scale: int = 12,
+) -> DataFrame:
+    """The reference-stats half of ``grouped_outliers``: one algebraic
+    aggregate → (*group_cols, __n__, __sy__, __syy__). Persist or
+    broadcast it to score OTHER data against these groups' baselines —
+    ``streaming.stream_outliers`` joins it stream-static (the model-
+    scoring shape: stats from yesterday's batch, scoring on the live
+    stream)."""
     types = dict(df.dtypes)
     exact = types.get(value_col) in _INT_TYPES
     sum_t = "bigint" if exact else f"decimal(38,{scale})"
     y = F.col(value_col) if exact else F.col(value_col).cast("double")
-    agg = df.groupBy(*group_cols).agg(
+    return df.groupBy(*group_cols).agg(
         F.count(y).alias("__n__"),
         F.sum(y.cast(sum_t)).cast("double").alias("__sy__"),
         F.sum((y * y).cast(sum_t)).cast("double").alias("__syy__"),
+    )
+
+
+def score_outliers(
+    df: DataFrame,
+    stats: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Score rows against precomputed ``outlier_stats`` baselines: keep
+    rows with ``|y − μ| > z·σ`` and attach the zscore. Works on batch
+    AND streaming ``df`` (the join is stream-static when ``df`` is a
+    stream); exact-int inputs keep the whole op chain engine-portable
+    (``grouped_outliers`` contract)."""
+    types = dict(df.dtypes)
+    y = (
+        F.col(value_col)
+        if types.get(value_col) in _INT_TYPES
+        else F.col(value_col).cast("double")
     )
     n = F.col("__n__").cast("double")
     # fixed IEEE op sequence, mirrored verbatim in oracle SQL
@@ -198,7 +234,7 @@ def grouped_outliers(
     sigma = F.sqrt(var)
     zscore = (y - mu) / sigma
     return (
-        df.join(agg, list(group_cols))
+        df.join(stats, list(group_cols))
         .filter(
             (F.col("__n__") >= 2)
             & (var > 0.0)

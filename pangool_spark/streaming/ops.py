@@ -374,3 +374,31 @@ def stream_cms(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_outliers(
+    stream_df: DataFrame,
+    stats_df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Streaming anomaly flagging against BATCH baselines: score each
+    arriving row's value against precomputed per-group (n, Σy, Σy²)
+    stats (``stats.outlier_stats`` over the reference table) via a
+    stream-static join — the model-scoring shape: baselines from
+    yesterday's batch, flags on the live stream, zero state, no
+    watermark needed (each row scores independently).
+
+    Works identically on a batch ``stream_df`` (the join degrades to a
+    plain equi-join), so stream == batch parity is directly testable
+    and the batch path value-oracles the arithmetic.
+    """
+    from pangool_spark.operators.stats import score_outliers
+
+    if stats_df.isStreaming:
+        raise ValueError(
+            "stats_df must be a static (batch) relation — compute it "
+            "with stats.outlier_stats over the reference table"
+        )
+    return score_outliers(stream_df, stats_df, group_cols, value_col, z)

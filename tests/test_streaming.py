@@ -322,3 +322,43 @@ def test_stream_cms_matches_batch_sketch(spark, tmp_path_factory):
     }
     assert est["a"] == 30 and est["b"] == 12 and est["c"] == 5 and est["d"] == 1
     assert est["zz"] >= 0  # absent key: over-count only
+
+
+def test_stream_outliers_matches_batch(spark, tmp_path_factory):
+    import uuid as _uuid
+
+    from pangool_spark.operators.stats import grouped_outliers, outlier_stats
+    from pangool_spark.streaming.ops import read_stream, stream_outliers
+
+    # one spike per group, enough inliers that it clears z=2 (a single
+    # spike's z is capped at (n-1)/sqrt(n) — n must be ~7+ to exceed 2)
+    rows = [(0, i, v) for i, v in enumerate([1, 2, 1, 3, 2, 1, 2, 500])] + [
+        (1, 100 + i, v) for i, v in enumerate([7, 9, 8, 7, 8, 9, 7, 8, 9, -900])
+    ]
+    batch = spark.createDataFrame(rows, "g INT, rid LONG, y LONG")
+    stats = outlier_stats(batch, ["g"], "y")
+    path = str(tmp_path_factory.mktemp("so_in"))
+    batch.write.mode("overwrite").parquet(path)
+    s = read_stream(spark, path, batch.schema)
+    flagged = stream_outliers(s, stats, ["g"], "y", z=2.0)
+    name = f"so_{_uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.g, r.rid, r.y, r.zscore)
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r.g, r.rid, r.y, r.zscore)
+        for r in grouped_outliers(batch, ["g"], "y", z=2.0).collect()
+    }
+    assert got == want and {(g, y) for g, _, y, _ in got} == {(0, 500), (1, -900)}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="static"):
+        stream_outliers(s, s, ["g"], "y")
