@@ -12,6 +12,7 @@ from pangool_spark.streaming.ops import (
     sessionize,
     stream_dedup,
     stateful_running_totals,
+    stream_outliers,
 )
 from pangool_spark.streaming.joins import (
     stream_static_join,
@@ -25,6 +26,7 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stateful_running_totals",
+    "stream_outliers",
     "stream_static_join",
     "stream_stream_join",
     "foreach_batch_sink",
