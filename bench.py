@@ -154,6 +154,8 @@ EXTENDED = [
     # round-8: iterative k-core (pagerank unrolling contract) + basket lift
     "kcore_parts",
     "basket_lift_parts",
+    # round-8: exact cross-relation set-similarity (probe x corpus)
+    "setsim_join_docs",
 ]
 
 RUNS_PER_QUERY = 3

@@ -3,7 +3,8 @@ Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
 WWW 2007; Xiao, Wang, Lin & Yu, "Efficient Similarity Joins for Near
 Duplicate Detection", WWW 2008) — all pairs of records whose TOKEN-SET
 Jaccard similarity clears a threshold, candidates generated from an
-inverted index over each record's RARE-TOKEN PREFIX only.
+inverted index over each record's RARE-TOKEN PREFIX only. Self-join
+and cross-relation (probe × corpus) forms share one pipeline.
 
 How it differs from the repo's other similarity joins:
 
@@ -20,8 +21,9 @@ global frequency (ties by token value); if J(x, y) ≥ t then
 |x∩y| ≥ t/(1+t)·(|x|+|y|) ≥ t·min(|x|,|y|), and two sets whose
 prefixes are disjoint can share at most min(⌈t|x|⌉, ⌈t|y|⌉) − 1 <
 t·min(|x|,|y|) tokens — so every qualifying pair shares a PREFIX
-token and survives the equi-join. Two further lossless prunes before
-verification:
+token and survives the equi-join. (For the cross form both relations
+rank against ONE shared frequency order, so the lemma carries over
+unchanged.) Two further lossless prunes before verification:
 
 - length filter: J ≥ t forces t·|x| ≤ |y| (both directions);
 - positional filter: positions are ranks in one GLOBAL total order,
@@ -41,12 +43,12 @@ digest-collision class every dedup operator documents).
 
 Scale shape: one aggregate for token frequencies (the rarest-first
 order is the distributed struct sort key (df, hash) — never a global
-row_number window), one for per-record arrays, a prefix equi-join on
-8-byte keys, a pair-level aggregate applying the positional filter,
-and an array verify on the surviving pairs. No UDFs, no unbounded
-driver collects. Inputs scanned from few files are conditionally
-repartitioned (the dedup.py idiom) so compact test corpora don't run
-single-task.
+row_number window), one per-record-array aggregate per side, a prefix
+equi-join on 8-byte keys, a pair-level aggregate applying the
+positional filter, and an array verify on the surviving pairs. No
+UDFs, no unbounded driver collects. Inputs scanned from few files are
+conditionally repartitioned (the dedup.py idiom) so compact test
+corpora don't run single-task.
 """
 
 from __future__ import annotations
@@ -56,25 +58,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def jaccard_postings_selfjoin(
-    postings: DataFrame,
-    id_col: str = "id",
-    token_col: str = "token",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold``,
-    from an EXPLODED postings relation (one row per record-token —
-    e.g. ``dedup.shingles`` output, already NGram-vectorized and
-    hash-keyed). Duplicate (id, token) rows are collapsed (set
-    semantics). Output: (id_a, id_b, jaccard).
-    """
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = float(threshold)
-    spark = postings.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-
-    toks = (
+def _hashed_tokens(postings: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    return (
         postings.select(
             F.col(id_col).alias("__id__"),
             F.xxhash64(token_col).alias("__h__"),
@@ -82,63 +67,97 @@ def jaccard_postings_selfjoin(
         .filter(F.col(token_col).isNotNull())
         .distinct()
     )
+
+
+def _records(toks: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Per-record arrays: rarest-first struct order for the prefix,
+    plain sorted hashes for the verify intersect (8 B/token, not 16)."""
+    return (
+        toks.join(ranked, "__h__")
+        .groupBy("__id__")
+        .agg(F.sort_array(F.collect_list("__r__")).alias("__rs__"))
+        .select(
+            "__id__",
+            F.sort_array(F.transform("__rs__", lambda r: r["h"])).alias("__arr__"),
+            "__rs__",
+            F.size("__rs__").alias("__n__"),
+        )
+    )
+
+
+#: All three prune thresholds compare an integer against a float
+#: expression in n·t; double rounding can land the float a half-ulp
+#: ABOVE the true value and prune an exactly-at-threshold pair
+#: (measured: t=0.4, |x|=4, |y|=3 → α computed 2.0000000000000004 vs
+#: true 2.0). Every pruning comparison therefore gets 1e-9 of slack in
+#: the KEEP direction — a few spurious candidates go to the exact
+#: verify (which rescreens them for free); a lost candidate is
+#: unrecoverable. 1e-9 dominates the ~1e-16·(n_a+n_b) rounding scale up
+#: to ~10⁷-token records.
+_EPS = 1e-9
+
+
+def _prefixes(rec: DataFrame, t: float) -> DataFrame:
+    """Prefix stream with POSITIONS (0-based ranks in the global order)."""
+    prefix_len = (
+        F.col("__n__")
+        - F.ceil(F.col("__n__") * F.lit(t) - F.lit(_EPS)).cast("int")
+        + F.lit(1)
+    )
+    return rec.select(
+        "__id__",
+        "__n__",
+        F.posexplode(F.slice("__rs__", 1, prefix_len)).alias("__pos__", "__r__"),
+    ).select("__id__", "__n__", "__pos__", F.col("__r__")["h"].alias("__h__"))
+
+
+def _jaccard_pairs(
+    toks_a: DataFrame, toks_b: DataFrame | None, t: float
+) -> DataFrame:
+    """Shared pipeline. ``toks_b is None`` → self-join (pairs id_a <
+    id_b within ``toks_a``); else cross join (every qualifying (a, b)
+    pair, both relations ranked against ONE shared frequency order)."""
+    spark = toks_a.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    cross = toks_b is not None
+
     # global rarest-first order WITHOUT a global row_number (a
     # partition-less window is a single-task sort — the 100 TB
     # anti-pattern): the sort key is the struct (df, token hash),
     # computed by one distributed aggregate and joined back.
-    freq = toks.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
+    universe = toks_a.unionByName(toks_b) if cross else toks_a
+    freq = universe.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
     ranked = freq.select(
         "__h__",
         F.struct(F.col("__df__").alias("d"), F.col("__h__").alias("h")).alias(
             "__r__"
         ),
     )
+    rec_a = _records(toks_a, ranked)
+    rec_b = _records(toks_b, ranked) if cross else rec_a
 
-    # per-record arrays: rarest-first struct order for the prefix,
-    # plain sorted hashes for the verify intersect (8 B/token, not 16)
-    rec = (
-        toks.join(ranked, "__h__")
-        .groupBy("__id__")
-        .agg(F.sort_array(F.collect_list("__r__")).alias("__rs__"))
-        .select(
-            "__id__",
-            F.sort_array(
-                F.transform("__rs__", lambda r: r["h"])
-            ).alias("__arr__"),
-            "__rs__",
-            F.size("__rs__").alias("__n__"),
-        )
-    )
-
-    # prefix stream with POSITIONS (0-based ranks in the global order)
-    prefix_len = (
-        F.col("__n__") - F.ceil(F.col("__n__") * F.lit(t)).cast("int") + F.lit(1)
-    )
-    prefixes = rec.select(
-        "__id__",
-        "__n__",
-        F.posexplode(F.slice("__rs__", 1, prefix_len)).alias("__pos__", "__r__"),
-    ).select("__id__", "__n__", "__pos__", F.col("__r__")["h"].alias("__h__"))
-    pa = prefixes.select(
+    pa = _prefixes(rec_a, t).select(
         F.col("__id__").alias("id_a"),
         F.col("__n__").alias("__na__"),
         F.col("__pos__").alias("__pa__"),
         "__h__",
     )
-    pb = prefixes.select(
+    pb = _prefixes(rec_b, t).select(
         F.col("__id__").alias("id_b"),
         F.col("__n__").alias("__nb__"),
         F.col("__pos__").alias("__pb__"),
         "__h__",
     )
     na, nb = F.col("__na__"), F.col("__nb__")
+    pair_pred = F.lit(True) if cross else (F.col("id_a") < F.col("id_b"))
     candidates = (
         pa.join(pb, "__h__")
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            # length filter: J >= t forces t*|x| <= |y| (both directions)
-            & (na * F.lit(t) <= nb)
-            & (nb * F.lit(t) <= na)
+            pair_pred
+            # length filter: J >= t forces t*|x| <= |y| (both directions;
+            # _EPS slack keeps exactly-at-threshold pairs — module note)
+            & (na * F.lit(t) - F.lit(_EPS) <= nb)
+            & (nb * F.lit(t) - F.lit(_EPS) <= na)
         )
         .groupBy("id_a", "id_b", "__na__", "__nb__")
         .agg(F.min("__pa__").alias("__ma__"), F.min("__pb__").alias("__mb__"))
@@ -149,7 +168,7 @@ def jaccard_postings_selfjoin(
                 F.lit(1)
                 + F.least(na - F.col("__ma__") - 1, nb - F.col("__mb__") - 1)
             ).cast("double")
-            >= F.lit(t / (1.0 + t)) * (na + nb).cast("double")
+            >= F.lit(t / (1.0 + t)) * (na + nb).cast("double") - F.lit(_EPS)
         )
         .select("id_a", "id_b")
     )
@@ -162,12 +181,12 @@ def jaccard_postings_selfjoin(
     candidates = candidates.repartition(n_parts, "id_a")
 
     # exact verify on the full sorted hash arrays
-    ra = rec.select(
+    ra = rec_a.select(
         F.col("__id__").alias("id_a"),
         F.col("__arr__").alias("__aa__"),
         F.col("__n__").alias("__va__"),
     )
-    rb = rec.select(
+    rb = rec_b.select(
         F.col("__id__").alias("id_b"),
         F.col("__arr__").alias("__ab__"),
         F.col("__n__").alias("__vb__"),
@@ -185,6 +204,50 @@ def jaccard_postings_selfjoin(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= t)
+    )
+
+
+def jaccard_postings_selfjoin(
+    postings: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ ``threshold``,
+    from an EXPLODED postings relation (one row per record-token —
+    e.g. ``dedup.shingles`` output, already NGram-vectorized and
+    hash-keyed). Duplicate (id, token) rows are collapsed (set
+    semantics). Output: (id_a, id_b, jaccard).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return _jaccard_pairs(
+        _hashed_tokens(postings, id_col, token_col), None, float(threshold)
+    )
+
+
+def jaccard_postings_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-relation form — every (probe record, corpus record) pair
+    with Jaccard ≥ ``threshold``: the "which of today's documents
+    near-duplicate the standing corpus" shape (the setsim sibling of
+    ``minhash_lsh_against`` / ``ngram_jaccard_against``, exact instead
+    of banded). Both relations share one frequency order, so the prefix
+    lemma and both prunes stay lossless. Output: (id_a = probe id,
+    id_b = corpus id, jaccard) — ids may collide across relations
+    (they are different keyspaces); disambiguation is the caller's.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return _jaccard_pairs(
+        _hashed_tokens(probe, id_col, token_col),
+        _hashed_tokens(corpus, id_col, token_col),
+        float(threshold),
     )
 
 

@@ -5445,6 +5445,45 @@ def basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return market_basket(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+@query(
+    "setsim_join_docs",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    ga AS (SELECT doc_id, shingle FROM grams_all WHERE doc_id % 2 = 1),
+    gb AS (SELECT doc_id, shingle FROM grams_all WHERE doc_id % 2 = 0),
+    sa AS (SELECT doc_id, COUNT(*) AS n FROM ga GROUP BY 1),
+    sb AS (SELECT doc_id, COUNT(*) AS n FROM gb GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ga a JOIN gb b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM common
+    JOIN sa ON sa.doc_id = id_a
+    JOIN sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-relation exact set-similarity: odd-id docs probed against
+    the even-id corpus (3-gram sets, J ≥ 0.5) — the "which of today's
+    batch near-duplicates the standing corpus" shape, exact where
+    minhash_lsh_against is banded. Both relations rank against ONE
+    shared frequency order so the prefix lemma carries over; the
+    pruning thresholds carry the measured half-ulp epsilon slack
+    (operators/setsim.py _EPS) so exactly-at-threshold pairs survive.
+    Oracle is the brute-force cross SQL."""
+    from pangool_spark.operators.dedup import shingles
+    from pangool_spark.operators.setsim import jaccard_postings_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles(docs, n=3, hashed=True)
+    probe = grams.filter(F.col("doc_id") % 2 == 1)
+    corpus = grams.filter(F.col("doc_id") % 2 == 0)
+    return jaccard_postings_join(probe, corpus, "doc_id", "shingle", threshold=0.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

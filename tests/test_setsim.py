@@ -85,3 +85,39 @@ def test_text_form_and_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_cross_join_matches_bruteforce(spark):
+    from pangool_spark.operators.setsim import jaccard_postings_join
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(25)]
+    probe = [(i, rng.sample(vocab, rng.randint(1, 10))) for i in range(30)]
+    corpus = [(i, rng.sample(vocab, rng.randint(1, 10))) for i in range(40)]
+
+    def _postings(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, toks in rows for t in toks], "id LONG, token STRING"
+        )
+
+    for t in (0.4, 0.7, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_postings_join(
+                _postings(probe), _postings(corpus), threshold=t
+            ).collect()
+        }
+        want = {}
+        for ia, a in probe:
+            for ib, b in corpus:
+                sa, sb = set(a), set(b)
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= t:
+                    want[(ia, ib)] = jac
+        assert got.keys() == want.keys(), f"t={t}"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+    # same-id records across relations ARE distinct records
+    p = _postings([(7, ["x", "y"])])
+    c = _postings([(7, ["x", "y"])])
+    assert jaccard_postings_join(p, c, threshold=1.0).count() == 1
