@@ -156,6 +156,7 @@ EXTENDED = [
     "basket_lift_parts",
     # round-8: exact cross-relation set-similarity (probe x corpus)
     "setsim_join_docs",
+    "equidepth_histogram_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -220,3 +220,75 @@ def category_drift(
         F.when(F.col("n_ref") > 0, e).alias("expected"),
         term.alias("chi2_term"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bins hold ~equal ROW counts
+    instead of equal width — the robust profile for heavy-tailed
+    columns where ``grouped_histogram`` would put 99% of rows in one
+    bucket (and exactly what a range-partitioner or an optimizer
+    cardinality model wants). One exact-percentile-ARRAY aggregate
+    (Spark evaluates all edges in a single pass per group) + one
+    join + one count aggregate.
+
+    Rows land in bin i when ``edge[i] ≤ y < edge[i+1]`` (last bin
+    closed). Counts are ~equal, not exact, when values repeat —
+    duplicates cannot straddle an edge. Edges ride the
+    percentile==quantile_cont bit-parity, so bin edges AND counts are
+    fully value-oracle-able.
+
+    Output: (*group_cols, bin, lo, hi, n).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    y = F.col(value_col).cast("double")
+    aggs = [
+        F.percentile(y, F.lit(q)).alias(f"__e{i}__") for i, q in enumerate(qs)
+    ]
+    gc = list(group_cols)
+    if gc:
+        edges = df.groupBy(*gc).agg(*aggs)
+        joined = df.join(edges, gc)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    # bin = count of interior edges <= y (edges ascend): 0..n_bins-1,
+    # with the top edge folded into the last bin (closed upper bound)
+    interior = [F.col(f"__e{i}__") for i in range(1, n_bins)]
+    b = sum(
+        (F.when(y >= e, 1).otherwise(0) for e in interior), F.lit(0)
+    )
+    return (
+        joined.filter(y.isNotNull())
+        .select(
+            *gc,
+            b.alias("bin"),
+            *[F.col(f"__e{i}__") for i in range(n_bins + 1)],
+        )
+        .groupBy(*gc, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.first(f"__e{i}__").alias(f"__e{i}__")
+                for i in range(n_bins + 1)
+            ],
+        )
+        .select(
+            *gc,
+            "bin",
+            F.element_at(
+                F.array(*[F.col(f"__e{i}__") for i in range(n_bins + 1)]),
+                F.col("bin").cast("int") + 1,
+            ).alias("lo"),
+            F.element_at(
+                F.array(*[F.col(f"__e{i}__") for i in range(n_bins + 1)]),
+                F.col("bin").cast("int") + 2,
+            ).alias("hi"),
+            "n",
+        )
+    )

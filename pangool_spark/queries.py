@@ -5484,6 +5484,46 @@ def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_postings_join(probe, corpus, "doc_id", "shingle", threshold=0.5)
 
 
+@query(
+    "equidepth_histogram_events",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events
+    ), e AS (
+      SELECT event_type,
+             quantile_cont(CAST(y AS DOUBLE),
+                           [0.0, 0.2, 0.4, 0.6, 0.8, 1.0]) AS es
+      FROM d GROUP BY 1
+    ), binned AS (
+      SELECT d.event_type,
+             (CASE WHEN CAST(y AS DOUBLE) >= es[2] THEN 1 ELSE 0 END
+            + CASE WHEN CAST(y AS DOUBLE) >= es[3] THEN 1 ELSE 0 END
+            + CASE WHEN CAST(y AS DOUBLE) >= es[4] THEN 1 ELSE 0 END
+            + CASE WHEN CAST(y AS DOUBLE) >= es[5] THEN 1 ELSE 0 END) AS bin
+      FROM d JOIN e USING (event_type)
+      WHERE y IS NOT NULL
+    ), cnt AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.bin, es[c.bin + 1] AS lo, es[c.bin + 2] AS hi, n
+    FROM cnt c JOIN e USING (event_type)
+    """,
+)
+def equidepth_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-depth histogram (5 quantile bins over value
+    cents) — the heavy-tail-proof profile where fixed-width bins would
+    dump 99% of rows in one bucket. One percentile-ARRAY aggregate
+    evaluates all six edges in a single pass per group; edges AND
+    counts ride the percentile==quantile_cont bit-parity."""
+    from pangool_spark.operators.profile import equidepth_histogram
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    return equidepth_histogram(ev, "y", 5, ["event_type"])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -101,3 +101,29 @@ def test_winsorize(spark):
         winsorize(df, "y", 0.9, 0.1)
     with pytest.raises(ValueError, match="already has"):
         winsorize(df.withColumn("y_w", F.lit(1.0)), "y")
+
+
+def test_equidepth_histogram(spark):
+    from pangool_spark.operators.profile import equidepth_histogram
+
+    vals = [float(v) for v in range(1, 101)]  # uniform 1..100
+    df = spark.createDataFrame([(v,) for v in vals], "y DOUBLE")
+    rows = {r.bin: r for r in equidepth_histogram(df, "y", 4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # equal depth on unique uniform values (edges are interpolated
+    # percentiles, so interior bins split 25/25/25/25)
+    assert [rows[b].n for b in range(4)] == [25, 25, 25, 25]
+    # edges: exact interpolated percentiles of 1..100
+    assert rows[0].lo == 1.0 and rows[3].hi == 100.0
+    assert rows[0].hi == rows[1].lo == 1 + 0.25 * 99
+    # heavy tail: one hot value can't straddle an edge
+    hot = spark.createDataFrame([(1.0,)] * 90 + [(v,) for v in vals[:10]], "y DOUBLE")
+    got = {r.bin: r.n for r in equidepth_histogram(hot, "y", 4).collect()}
+    assert sum(got.values()) == 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_bins"):
+        equidepth_histogram(df, "y", 0)
+    # grouped form
+    g = spark.createDataFrame([(i % 2, float(i)) for i in range(100)], "g INT, y DOUBLE")
+    rows2 = equidepth_histogram(g, "y", 5, ["g"]).collect()
+    assert sum(r.n for r in rows2) == 100 and {r.g for r in rows2} == {0, 1}
