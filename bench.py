@@ -157,6 +157,7 @@ EXTENDED = [
     # round-8: exact cross-relation set-similarity (probe x corpus)
     "setsim_join_docs",
     "equidepth_histogram_events",
+    "attribution_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -5524,6 +5524,55 @@ def equidepth_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(ev, "y", 5, ["event_type"])
 
 
+@query(
+    "attribution_events",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), a AS (
+      SELECT p.event_id,
+             (SELECT t.event_type FROM t
+              WHERE t.user_id = p.user_id AND t.ts < p.ts
+              ORDER BY t.ts DESC, t.event_type DESC LIMIT 1) AS touch_type
+      FROM p
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM a GROUP BY 1
+    """,
+)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the latest strictly-
+    preceding view/click by the same user — ONE as-of join (the
+    one-exchange union-sort-last plan, never a per-purchase range scan),
+    then a count by touch channel. Unattributed purchases (no prior
+    touch) keep the NULL bucket. The oracle states the same semantics
+    as a correlated top-1 subquery with the matching (ts, event_type)
+    tie order."""
+    from pangool_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["event_type"],
+        allow_exact=False,
+    )
+    return j.groupBy(F.col("asof_event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
