@@ -158,6 +158,7 @@ EXTENDED = [
     "setsim_join_docs",
     "equidepth_histogram_events",
     "attribution_events",
+    "json_props_stats",
 ]
 
 RUNS_PER_QUERY = 3

@@ -5573,6 +5573,42 @@ def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_props_stats",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(SUM(k) AS DOUBLE) / CAST(COUNT(k) AS BIGINT) AS avg_k
+    FROM d GROUP BY 1
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events ``props`` JSON column
+    parsed with a SCHEMA'd from_json (JVM-side Jackson, whole-stage
+    codegen — never a Python json.loads loop) and aggregated per event
+    type. Malformed/missing keys become NULLs and fall out of the
+    aggregates (from_json PERMISSIVE default). avg is the exact
+    int→double ratio, so every output value hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
