@@ -159,6 +159,7 @@ EXTENDED = [
     "equidepth_histogram_events",
     "attribution_events",
     "json_props_stats",
+    "observability_pipeline",
 ]
 
 RUNS_PER_QUERY = 3

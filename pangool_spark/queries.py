@@ -5609,6 +5609,150 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "observability_pipeline",
+    """
+    WITH prof AS (
+      SELECT 'profile' AS section, 'o_custkey' AS item, 'n_null' AS metric,
+             CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) AS value FROM orders
+      UNION ALL
+      SELECT 'profile', 'o_custkey', 'n_distinct',
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'profile', 'o_orderpriority', 'n_null',
+             CAST(COUNT(*) - COUNT(o_orderpriority) AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'profile', 'o_orderpriority', 'n_distinct',
+             CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) FROM orders
+    ), qual_a AS (
+      SELECT
+        CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN COALESCE(o_totalprice >= 150000, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3
+      FROM orders
+    ), qual AS (
+      SELECT 'quality' AS section, 'positive_price' AS item,
+             'n_violations' AS metric, CAST(v0 AS DOUBLE) AS value FROM qual_a
+      UNION ALL SELECT 'quality', 'status_domain', 'n_violations',
+             CAST(v1 AS DOUBLE) FROM qual_a
+      UNION ALL SELECT 'quality', 'date_present', 'n_violations',
+             CAST(v2 AS DOUBLE) FROM qual_a
+      UNION ALL SELECT 'quality', 'high_value', 'n_violations',
+             CAST(v3 AS DOUBLE) FROM qual_a
+    ), da AS (
+      SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ), db AS (
+      SELECT o_orderpriority AS category, CAST(COUNT(*) AS BIGINT) AS n_cur
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    ), dtot AS (
+      SELECT (SELECT CAST(SUM(n_ref) AS DOUBLE) FROM da) AS ta,
+             (SELECT CAST(SUM(n_cur) AS DOUBLE) FROM db) AS tb
+    ), drift AS (
+      SELECT 'drift' AS section, COALESCE(da.category, db.category) AS item,
+             'chi2_term' AS metric,
+             CASE WHEN COALESCE(n_ref, 0) > 0 THEN
+               (CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                  - tb * (CAST(COALESCE(n_ref, 0) AS DOUBLE) / ta))
+             * (CAST(COALESCE(n_cur, 0) AS DOUBLE)
+                  - tb * (CAST(COALESCE(n_ref, 0) AS DOUBLE) / ta))
+             / (tb * (CAST(COALESCE(n_ref, 0) AS DOUBLE) / ta)) END AS value
+      FROM da FULL OUTER JOIN db USING (category), dtot
+    ), oe AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events
+    ), oa AS (
+      SELECT event_type, CAST(COUNT(y) AS BIGINT) AS n,
+             CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM oe GROUP BY 1
+    ), outl AS (
+      SELECT 'outliers' AS section, oe.event_type AS item,
+             'n_flagged' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+      FROM oe JOIN oa USING (event_type)
+      WHERE n >= 2 AND (n * syy - sy * sy) / (n * n) > 0.0 AND y IS NOT NULL
+        AND abs(y - sy / n) > 3.0 * sqrt((n * syy - sy * sy) / (n * n))
+      GROUP BY 2
+    )
+    SELECT * FROM prof UNION ALL SELECT * FROM qual
+    UNION ALL SELECT * FROM drift UNION ALL SELECT * FROM outl
+    """,
+)
+def observability_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-monitoring composite — the observability sibling of
+    curation_pipeline / training_prep_pipeline: column profile + named
+    quality constraints + categorical drift + z-score anomaly counts,
+    composed into ONE (section, item, metric, value) report relation.
+    Every value is an exact count or a fixed exact-rounded double
+    chain, so the whole heterogeneous report hash-matches. Each section
+    reuses the already-oracled operator (column_profile, expectations,
+    category_drift, grouped_outliers) — the pipeline pins their
+    COMPOSITION, not new arithmetic."""
+    from pangool_spark.operators.profile import (
+        category_drift,
+        column_profile,
+        expectations,
+    )
+    from pangool_spark.operators.stats import grouped_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    prof = column_profile(orders, ["o_custkey", "o_orderpriority"])
+    sec_prof = prof.selectExpr(
+        "'profile' AS section",
+        "column AS item",
+        "stack(2, 'n_null', CAST(n_null AS DOUBLE), "
+        "'n_distinct', CAST(n_distinct AS DOUBLE)) AS (metric, value)",
+    ).select("section", "item", "metric", "value")
+
+    qual = expectations(
+        orders,
+        {
+            "positive_price": "o_totalprice > 0",
+            "status_domain": "o_orderstatus IN ('O','F','P')",
+            "date_present": "o_orderdate IS NOT NULL",
+            "high_value": "o_totalprice >= 150000",
+        },
+    ).select(
+        F.lit("quality").alias("section"),
+        F.col("constraint_name").alias("item"),
+        F.lit("n_violations").alias("metric"),
+        F.col("n_violations").cast("double").alias("value"),
+    )
+
+    split = F.lit("1998-01-01").cast("timestamp")
+    drift = category_drift(
+        orders.filter(F.col("o_orderdate") < split).select(
+            F.col("o_orderpriority").alias("cat")
+        ),
+        orders.filter(F.col("o_orderdate") >= split).select(
+            F.col("o_orderpriority").alias("cat")
+        ),
+        "cat",
+    ).select(
+        F.lit("drift").alias("section"),
+        F.col("category").alias("item"),
+        F.lit("chi2_term").alias("metric"),
+        F.col("chi2_term").alias("value"),
+    )
+
+    ev = events.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    outl = (
+        grouped_outliers(ev, ["event_type"], "y", z=3.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .select(
+            F.lit("outliers").alias("section"),
+            F.col("event_type").alias("item"),
+            F.lit("n_flagged").alias("metric"),
+            F.col("__c__").cast("double").alias("value"),
+        )
+    )
+    return sec_prof.unionByName(qual).unionByName(drift).unionByName(outl)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
