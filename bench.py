@@ -160,6 +160,7 @@ EXTENDED = [
     "attribution_events",
     "json_props_stats",
     "observability_pipeline",
+    "session_paths_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -5753,6 +5753,75 @@ def observability_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sec_prof.unionByName(qual).unionByName(drift).unionByName(outl)
 
 
+@query(
+    "session_paths_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN t - lag(t) OVER
+                       (PARTITION BY user_id ORDER BY t, event_id) < 1800
+                     THEN 0 ELSE 1 END AS new_s
+      FROM e
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), paths AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, sid ORDER BY t, event_id)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM paths WHERE path IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 in-session event paths of length 3 (clickstream pattern
+    mining): gaps-and-islands sessionization (30-min gap on truncated
+    epoch seconds, consistent cross-engine) + two leads per session
+    partition + a distributed top-k (TakeOrderedAndProject — never a
+    global sort), tie-broken on the path string so the LIMIT boundary
+    is deterministic. All per-USER/per-session windows — no global
+    window partition anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("t"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(F.col("t") - F.lag("t").over(wu) < 1800, 0).otherwise(1),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wp = Window.partitionBy("user_id", "sid").orderBy("t", "event_id")
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            "event_type",
+            F.lead("event_type", 1).over(wp),
+            F.lead("event_type", 2).over(wp),
+        ).alias("path"),
+        F.lead("event_type", 2).over(wp).alias("__last__"),
+    ).filter(F.col("__last__").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
