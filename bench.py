@@ -161,6 +161,7 @@ EXTENDED = [
     "json_props_stats",
     "observability_pipeline",
     "session_paths_events",
+    "pit_state_events",
 ]
 
 RUNS_PER_QUERY = 3

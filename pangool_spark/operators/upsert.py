@@ -169,3 +169,61 @@ def dataset_diff(
         .filter(F.col("status").isNotNull())
         .select(*keys, "status")
     )
+
+
+def point_in_time_join(
+    probe: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    probe_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: Sequence[str] | None = None,
+    prefix: str = "pit_",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """Point-in-time lookup over an SCD2 history (``scd2_history``
+    output): attach to every probe row the version whose
+    ``[valid_from, valid_to)`` interval contains the probe timestamp —
+    the feature-store join that keeps training data leakage-free (a
+    label row must see yesterday's feature value, never tomorrow's).
+
+    One as-of join on ``valid_from`` (the one-exchange union-sort-last
+    plan — never a per-probe interval scan), then a validity guard:
+    with a CONTIGUOUS history the latest-start version automatically
+    contains the probe ts, but a gapped history (deleted periods,
+    retention cuts) can as-of-match a version that already EXPIRED —
+    those attach NULLs instead of stale values. Probe rows are always
+    kept (left semantics). Output: probe columns + ``prefix``-ed attr
+    and validity columns.
+    """
+    ks = list(keys)
+    attrs = list(attr_cols) if attr_cols is not None else [
+        c for c in history.columns
+        if c not in (*ks, valid_from, valid_to, "is_current")
+    ]
+    if not attrs:
+        raise ValueError("point_in_time_join: no attribute columns to attach")
+    from pangool_spark.operators.joins import asof_join
+
+    h = history.select(
+        *ks,
+        F.col(valid_from).alias(probe_ts),
+        F.col(valid_to).alias("__vto__"),
+        *attrs,
+    )
+    j = asof_join(
+        probe,
+        h,
+        on=ks,
+        ts_col=probe_ts,
+        right_cols=[*attrs, "__vto__"],
+        prefix=prefix,
+        allow_exact=allow_exact,
+    )
+    vto = F.col(f"{prefix}__vto__")
+    ok = vto.isNull() | (F.col(probe_ts) < vto)
+    out_cols = [
+        F.when(ok, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in attrs
+    ]
+    return j.select(*probe.columns, *out_cols)

@@ -5822,6 +5822,59 @@ def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pit_state_events",
+    """
+    WITH nonp AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           (SELECT d.event_type FROM nonp d
+            WHERE d.user_id = p.user_id AND d.ts <= p.ts
+            ORDER BY d.ts DESC LIMIT 1) AS pit_event_type
+    FROM probe p
+    """,
+)
+def pit_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup: each purchase sees the user's
+    non-purchase activity STATE as of purchase time, through an SCD2
+    history + the leakage-safe PIT join (one as-of exchange + the
+    expired-version guard; the feature-store primitive — a training
+    label must never see a future feature value). The oracle restates
+    the semantics as a correlated latest-at-or-before subquery (the
+    history here is contiguous; the gapped/expiry behavior is pinned
+    by pytest)."""
+    from pangool_spark.operators.upsert import (
+        keep_latest,
+        point_in_time_join,
+        scd2_history,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    nonp = keep_latest(
+        ev.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_type", "event_id"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
+    ).drop("event_id")
+    hist = scd2_history(nonp, ["user_id"], "ts", ["event_type"])
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(probe, hist, ["user_id"]).select(
+        "event_id", "user_id", "pit_event_type"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -93,3 +93,43 @@ def test_scd2_history_intervals(spark):
     # attr_cols default: everything but keys and ts
     cols = set(scd2_history(df, ["k"], "ts").columns)
     assert cols == {"k", "tier", "valid_from", "valid_to", "is_current"}
+
+
+def test_point_in_time_join(spark):
+    import datetime as dt
+
+    from pangool_spark.operators.upsert import point_in_time_join, scd2_history
+
+    def _t(d):
+        return dt.datetime(2024, 1, d)
+
+    changes = spark.createDataFrame(
+        [(1, _t(1), "bronze"), (1, _t(10), "silver"), (1, _t(20), "gold"),
+         (2, _t(5), "bronze")],
+        "user_id LONG, ts TIMESTAMP, tier STRING",
+    )
+    hist = scd2_history(changes, ["user_id"], "ts", ["tier"])
+    probe = spark.createDataFrame(
+        [(100, 1, _t(1)),   # exactly at a version start: allow_exact
+         (101, 1, _t(15)),  # mid-silver
+         (102, 1, _t(25)),  # open-ended gold
+         (103, 2, _t(4)),   # before any version: NULL
+         (104, 3, _t(9))],  # unknown key: NULL
+        "probe_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    got = {r.probe_id: r.pit_tier for r in
+           point_in_time_join(probe, hist, ["user_id"]).collect()}
+    assert got == {100: "bronze", 101: "silver", 102: "gold", 103: None, 104: None}
+    # GAPPED history: an expired version must NOT leak past its valid_to
+    gapped = hist.filter("tier <> 'silver'")  # [jan10, jan20) removed
+    got2 = {r.probe_id: r.pit_tier for r in
+            point_in_time_join(probe, gapped, ["user_id"]).collect()}
+    assert got2[101] is None  # bronze expired jan10; silver deleted
+    assert got2[102] == "gold"
+    # strict mode: a probe exactly at valid_from sees the PREVIOUS version
+    strict = {r.probe_id: r.pit_tier for r in
+              point_in_time_join(probe, hist, ["user_id"], allow_exact=False).collect()}
+    assert strict[100] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="attribute"):
+        point_in_time_join(probe, hist.select("user_id", "valid_from", "valid_to"), ["user_id"])
