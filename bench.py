@@ -162,6 +162,7 @@ EXTENDED = [
     "observability_pipeline",
     "session_paths_events",
     "pit_state_events",
+    "kmv_state_lineitem",
 ]
 
 RUNS_PER_QUERY = 3

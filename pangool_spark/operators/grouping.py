@@ -121,3 +121,78 @@ def merge_agg_states(
             for name, (op, _c) in aggs.items()
         ]
     )
+
+
+def kmv_state(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Mergeable K-minimum-values distinct-count STATE per group — the
+    sketch analog of ``agg_state``: each group keeps its k smallest
+    md5-derived unit-interval hashes as a sorted array (≤ k·8 bytes of
+    state per group regardless of history size). Build one per batch,
+    fold batches with ``merge_kmv_states``, read the estimate with
+    ``kmv_estimate`` — O(batch + state) per day for an
+    approximate-distinct the driver can HASH-VERIFY (the md5 hash is
+    deterministic and engine-portable, unlike HLL's).
+
+    Output: (*keys, kmv BIGINT ARRAY sorted ascending).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pangool_spark.operators.dedup import base_hash_31
+
+    h = base_hash_31(F.col(value_col).cast("string"))
+    hashes = (
+        df.select(*keys, h.alias("__h__"))
+        .filter(F.col(value_col).isNotNull())
+        .distinct()
+    )
+    return _k_smallest(hashes, keys, k)
+
+
+def _k_smallest(hashes: DataFrame, keys: Sequence[str], k: int) -> DataFrame:
+    """(keys, __h__) → (keys, kmv): sorted array of the k smallest hashes
+    per group. rank ≤ k compiles to WindowGroupLimit — every task keeps a
+    k-row heap per group, so the build is CONSTANT-state even when a
+    group has billions of distinct hashes (collect_set-then-slice would
+    buffer them all first)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("__h__")
+    pruned = (
+        hashes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+    )
+    return pruned.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__h__")).alias("kmv")
+    )
+
+
+def merge_kmv_states(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Fold a batch's ``kmv_state`` into the standing state: union the
+    hash arrays, dedupe, keep the k smallest — equals ``kmv_state`` over
+    the concatenated raw history (the merge-equals-recompute contract,
+    value-oracled). Groups present in only one side carry over."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ks = list(keys)
+    both = state.select(*ks, "kmv").unionByName(delta.select(*ks, "kmv"))
+    merged = both.select(*ks, F.explode("kmv").alias("__h__")).distinct()
+    return _k_smallest(merged, ks, k)
+
+
+def kmv_estimate(state: DataFrame, keys: Sequence[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimates from a KMV state: groups holding fewer
+    than k hashes report the EXACT count (the sketch's exact regime);
+    full sketches report (k−1)/h_(k) with the hash scaled to (0, 1] —
+    a fixed exact-rounded double chain, engine-portable."""
+    n = F.size("kmv")
+    hk = (
+        F.element_at("kmv", k).cast("double") / F.lit(2147483647.0)
+    )
+    est = F.when(n < k, n.cast("bigint")).otherwise(
+        F.round(F.lit(float(k - 1)) / hk).cast("bigint")
+    )
+    return state.select(*keys, est.alias("est_distinct"))

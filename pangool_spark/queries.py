@@ -5875,6 +5875,59 @@ def pit_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmv_state_lineitem",
+    """
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647 AS hv
+      FROM lineitem
+    ), ranked AS (
+      SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      FROM h
+    ), nd AS (
+      SELECT l_returnflag, COUNT(*) AS n FROM h GROUP BY 1
+    )
+    SELECT nd.l_returnflag,
+           CAST(CASE WHEN nd.n < 32 THEN nd.n
+                     ELSE round(31.0 / (CAST(k.hv AS DOUBLE) / 2147483647.0))
+                END AS BIGINT) AS est_distinct
+    FROM nd LEFT JOIN (SELECT l_returnflag, hv FROM ranked WHERE rn = 32) k
+      USING (l_returnflag)
+    """,
+)
+def kmv_state_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance: lineitem split into two
+    date batches, each built into a bounded KMV STATE (k=32 smallest
+    md5 hashes per returnflag — a WindowGroupLimit k-heap, never a
+    buffered group), folded with merge_kmv_states, then estimated.
+    merge == recompute is the contract: the oracle computes the sketch
+    directly over the FULL relation, so any merge defect (lost hash,
+    unsorted array, truncation drift) hash-mismatches. The sketch
+    analog of agg_state_orders."""
+    from pangool_spark.operators.grouping import (
+        kmv_estimate,
+        kmv_state,
+        merge_kmv_states,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_shipdate"
+    )
+    split = F.lit("1996-01-01").cast("timestamp")
+    a = li.filter(F.col("l_shipdate") < split)
+    b = li.filter(F.col("l_shipdate") >= split)
+    merged = merge_kmv_states(
+        kmv_state(a, ["l_returnflag"], "l_partkey", k=32),
+        kmv_state(b, ["l_returnflag"], "l_partkey", k=32),
+        ["l_returnflag"],
+        k=32,
+    )
+    return kmv_estimate(merged, ["l_returnflag"], k=32)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -76,3 +76,37 @@ def test_cms_heavy_hitters_exact_counts(spark):
         cms_heavy_hitters(df, "w", threshold=1, width=0)
     with pytest.raises(ValueError, match="hash_family"):
         cms_heavy_hitters(df, "w", threshold=1, hash_family="sha1")
+
+
+def test_kmv_state_merge_equals_recompute(spark):
+    from pangool_spark.operators.grouping import (
+        kmv_estimate,
+        kmv_state,
+        merge_kmv_states,
+    )
+
+    rows = [(i % 3, f"v{i % 500}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g INT, v STRING")
+    a = df.filter("g != 0 OR v < 'v3'")       # arbitrary split
+    b = df.exceptAll(a)
+    merged = merge_kmv_states(
+        kmv_state(a, ["g"], "v", k=32), kmv_state(b, ["g"], "v", k=32), ["g"], k=32
+    )
+    full = kmv_state(df, ["g"], "v", k=32)
+    assert {(r.g, tuple(r.kmv)) for r in merged.collect()} == {
+        (r.g, tuple(r.kmv)) for r in full.collect()
+    }
+    # estimate: sub-k groups exact, full sketches within ~3/sqrt(k)
+    est = {r.g: r.est_distinct for r in kmv_estimate(full, ["g"], k=32).collect()}
+    truth = {g: len({v for gg, v in rows if gg == g}) for g in (0, 1, 2)}
+    for g in truth:
+        assert abs(est[g] - truth[g]) / truth[g] < 0.6
+    small = kmv_state(spark.createDataFrame([(0, "x"), (0, "y")], "g INT, v STRING"),
+                      ["g"], "v", k=32)
+    assert kmv_estimate(small, ["g"], k=32).first().est_distinct == 2
+    # bounded build: the plan keeps a k-row heap, never full groups
+    plan = kmv_state(df, ["g"], "v", k=32)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        kmv_state(df, ["g"], "v", k=1)
