@@ -163,6 +163,7 @@ EXTENDED = [
     "session_paths_events",
     "pit_state_events",
     "kmv_state_lineitem",
+    "containment_join_docs",
 ]
 
 RUNS_PER_QUERY = 3

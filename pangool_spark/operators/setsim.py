@@ -288,3 +288,96 @@ def jaccard_text_selfjoin(
         "__toks__",
         threshold,
     )
+
+
+def containment_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT join: every (probe, corpus) pair with
+    ``|A∩B| / |A| ≥ threshold`` (A = probe record's token set) — the
+    quote/subset detector: "is this document mostly contained in some
+    corpus document", which Jaccard misses when |B| ≫ |A| (a full
+    containment of a tweet in a book scores near-zero Jaccard).
+
+    Prefix lemma, containment form: i ≥ t·|A| depends only on A, so if
+    none of A's prefix tokens (first |A| − ⌈t|A|⌉ + 1 under the shared
+    rarest-first order) appears ANYWHERE in B, then
+    i ≤ |A| − p_A = ⌈t|A|⌉ − 1 < t·|A| — every qualifying pair shares
+    a token between A's PREFIX and B's FULL posting list. The corpus
+    side therefore indexes fully (no length filter exists: B may be
+    arbitrarily large), but the probe prefix is rare-token-short, so
+    the candidate join is Σ over probe prefix tokens of df_corpus —
+    the same inverted-index bill as ``ngram_jaccard_against``, cut by
+    the prefix. The positional prune mirrors the symmetric one on the
+    probe side only: i ≤ 1 + (|A| − min_prefix_pos − 1). Verification
+    is the exact hash-array intersect. Pruning comparisons carry the
+    module's _EPS keep-direction slack.
+
+    Output: (id_a = probe id, id_b = corpus id, containment).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    toks_a = _hashed_tokens(probe, id_col, token_col)
+    toks_b = _hashed_tokens(corpus, id_col, token_col)
+    n_parts = toks_a.sparkSession.sparkContext.defaultParallelism
+
+    universe = toks_a.unionByName(toks_b)
+    freq = universe.groupBy("__h__").agg(F.count(F.lit(1)).alias("__df__"))
+    ranked = freq.select(
+        "__h__",
+        F.struct(F.col("__df__").alias("d"), F.col("__h__").alias("h")).alias(
+            "__r__"
+        ),
+    )
+    rec_a = _records(toks_a, ranked)
+    rec_b = _records(toks_b, ranked)
+
+    pa = _prefixes(rec_a, t).select(
+        F.col("__id__").alias("id_a"),
+        F.col("__n__").alias("__na__"),
+        F.col("__pos__").alias("__pa__"),
+        "__h__",
+    )
+    # corpus side: FULL posting list (sizes ride along for the verify)
+    pb = toks_b.select(F.col("__id__").alias("id_b"), "__h__")
+    na = F.col("__na__")
+    candidates = (
+        pa.join(pb, "__h__")
+        .groupBy("id_a", "id_b", "__na__")
+        .agg(F.min("__pa__").alias("__ma__"))
+        # probe-side positional prune: common tokens all sit at or after
+        # the rarest shared one in A's order
+        .filter(
+            (F.lit(1) + (na - F.col("__ma__") - 1)).cast("double")
+            >= F.lit(t) * na.cast("double") - F.lit(_EPS)
+        )
+        .select("id_a", "id_b")
+    )
+    candidates = candidates.repartition(n_parts, "id_a")
+
+    ra = rec_a.select(
+        F.col("__id__").alias("id_a"),
+        F.col("__arr__").alias("__aa__"),
+        F.col("__n__").alias("__va__"),
+    )
+    rb = rec_b.select(
+        F.col("__id__").alias("id_b"), F.col("__arr__").alias("__ab__")
+    )
+    inter = F.size(F.array_intersect("__aa__", "__ab__"))
+    return (
+        candidates.join(ra, "id_a")
+        .join(rb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.col("__va__").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= t)
+    )

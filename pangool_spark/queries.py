@@ -5928,6 +5928,41 @@ def kmv_state_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(merged, ["l_returnflag"], k=32)
 
 
+@query(
+    "containment_join_docs",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    ga AS (SELECT doc_id, shingle FROM grams_all WHERE doc_id % 10 = 3),
+    gb AS (SELECT doc_id, shingle FROM grams_all WHERE doc_id % 10 <> 3),
+    sa AS (SELECT doc_id, COUNT(*) AS n FROM ga GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM ga a JOIN gb b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / sa.n AS containment
+    FROM common JOIN sa ON sa.doc_id = id_a
+    WHERE CAST(i AS DOUBLE) / sa.n >= 0.5
+    """,
+)
+def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment: every tenth document probed against the
+    rest of the corpus for |A∩B|/|A| ≥ 0.5 over 3-gram sets — the
+    quote/subset detector Jaccard misses when the corpus document is
+    much larger than the probe. Probe prefixes join the corpus's FULL
+    posting list (the containment prefix lemma needs only A's prefix);
+    oracle is the brute-force cross SQL, so a wrongly-pruned probe
+    hash-mismatches."""
+    from pangool_spark.operators.dedup import shingles
+    from pangool_spark.operators.setsim import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles(docs, n=3, hashed=True)
+    probe = grams.filter(F.col("doc_id") % 10 == 3)
+    corpus = grams.filter(F.col("doc_id") % 10 != 3)
+    return containment_join(probe, corpus, "doc_id", "shingle", threshold=0.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -121,3 +121,43 @@ def test_cross_join_matches_bruteforce(spark):
     p = _postings([(7, ["x", "y"])])
     c = _postings([(7, ["x", "y"])])
     assert jaccard_postings_join(p, c, threshold=1.0).count() == 1
+
+
+def test_containment_join_matches_bruteforce(spark):
+    from pangool_spark.operators.setsim import containment_join
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(40)]
+    probe = [(i, rng.sample(vocab, rng.randint(1, 6))) for i in range(25)]
+    # corpus records much LARGER than probes: the case Jaccard misses
+    corpus = [(i, rng.sample(vocab, rng.randint(10, 30))) for i in range(30)]
+
+    def _postings(rows):
+        return spark.createDataFrame(
+            [(i, t) for i, toks in rows for t in toks], "id LONG, token STRING"
+        )
+
+    for t in (0.5, 1.0):
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_join(
+                _postings(probe), _postings(corpus), threshold=t
+            ).collect()
+        }
+        want = {}
+        for ia, a in probe:
+            for ib, b in corpus:
+                sa, sb = set(a), set(b)
+                c = len(sa & sb) / len(sa)
+                if c >= t:
+                    want[(ia, ib)] = c
+        assert got.keys() == want.keys(), f"t={t}"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+    # full containment of a tiny probe in a huge doc: jaccard ~0.1 but
+    # containment 1.0 — the asymmetric point
+    some = {(ia, ib) for (ia, ib), c in want.items() if c == 1.0}
+    assert some  # fixture produces at least one full containment
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="threshold"):
+        containment_join(_postings(probe), _postings(corpus), threshold=0.0)
