@@ -164,6 +164,7 @@ EXTENDED = [
     "pit_state_events",
     "kmv_state_lineitem",
     "containment_join_docs",
+    "running_revenue_orders",
 ]
 
 RUNS_PER_QUERY = 3

@@ -357,21 +357,48 @@ def stable_row_ids(
     the FIRST order column only, so one hot first-key value bounds a
     single window group — correctness holds, parallelism degrades.
     """
+    keys = _validate_order(df, order_by, id_col, "stable_row_ids")
+    m = _bucketed(df, keys, n_buckets, sample_per_bucket)
+    from pyspark.sql import Window
+
+    off = _bucket_offsets(m, F.count(F.lit(1)))
+    w = Window.partitionBy("__bkt__").orderBy(*keys)
+    return (
+        m.join(F.broadcast(off), "__bkt__")
+        .select(
+            (F.col("__off__") + F.row_number().over(w)).alias(id_col),
+            *df.columns,
+        )
+    )
+
+
+def _validate_order(df, order_by, out_col, name) -> list:
     keys = list(order_by)
     if not keys:
-        raise ValueError("stable_row_ids needs at least one order column")
+        raise ValueError(f"{name} needs at least one order column")
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"order_by columns not in input: {missing}")
-    if id_col in df.columns:
-        raise ValueError(f"input already has a {id_col!r} column")
+    if out_col in df.columns:
+        raise ValueError(f"input already has a {out_col!r} column")
+    return keys
+
+
+def _bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int | None,
+    sample_per_bucket: int,
+) -> DataFrame:
+    """Sample-sort bucketing: deterministic content-hash sample of the
+    first order column → driver-sorted bound literals → ``__bkt__`` as
+    a PURE row function (never an exchange's runtime boundary sampling,
+    which is RDD-id-seeded and not re-execution-stable — measured)."""
+    from pangool_spark.operators.sampling import _BUCKETS, _bucket
+
     n = int(n_buckets or df.sparkSession.sparkContext.defaultParallelism)
     if n <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    from pyspark.sql import Window
-
-    from pangool_spark.operators.sampling import _BUCKETS, _bucket
-
     k0 = F.col(keys[0])
     total = df.count()
     target = n * sample_per_bucket
@@ -387,7 +414,6 @@ def stable_row_ids(
     bounds = sorted(
         {vals[int(len(vals) * i / n)] for i in range(1, n)}
     ) if vals else []
-
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         bucket = F.aggregate(
@@ -397,21 +423,66 @@ def stable_row_ids(
         )
     else:
         bucket = F.lit(0)
-    m = df.withColumn("__bkt__", bucket)
-    counts = sorted(
-        (r["__bkt__"], r["cnt"])
-        for r in m.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    return df.withColumn("__bkt__", bucket)
+
+
+def _bucket_offsets(m: DataFrame, agg_expr) -> DataFrame:
+    """Cumulative EXCLUSIVE per-bucket totals of ``agg_expr``: the
+    bounded driver collect (≤ n_buckets rows) → broadcast offsets
+    relation (__bkt__, __off__)."""
+    sums = sorted(
+        (r["__bkt__"], r["s"])
+        for r in m.groupBy("__bkt__").agg(agg_expr.alias("s")).collect()
     )
     offsets, acc = [], 0
-    for bkt, cnt in counts:
+    for bkt, s in sums:
         offsets.append((bkt, acc))
-        acc += cnt
-    off = df.sparkSession.createDataFrame(offsets, "__bkt__ INT, __off__ LONG")
-    w = Window.partitionBy("__bkt__").orderBy(*keys)
+        acc += s if s is not None else 0
+    return m.sparkSession.createDataFrame(offsets, "__bkt__ INT, __off__ LONG")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "running_total",
+    n_buckets: int | None = None,
+    sample_per_bucket: int = 128,
+) -> DataFrame:
+    """Global running (prefix) sum of an integer column under a total
+    order — ``SUM(v) OVER (ORDER BY …)`` semantics WITHOUT the
+    single-partition window: the distributed prefix-sum primitive
+    behind cumulative dashboards, Pareto/ABC analyses, and systematic
+    weighted sampling over cumulative-weight space.
+
+    Same sample-sort shape as ``stable_row_ids`` (shared helpers): the
+    per-bucket local cumsum is a bucket-partitioned window, the
+    cross-bucket carry is the exclusive cumulative of per-bucket SUMS
+    (≤ n_buckets rows on the driver). Requires an integer-typed value
+    (exact, order-independent partials — doubles would make the carry
+    depend on the bucketing); NULL values add 0. Deterministic iff
+    ``order_by`` is a total order.
+
+    Output: input columns + ``out_col`` (BIGINT).
+    """
+    keys = _validate_order(df, order_by, out_col, "global_running_sum")
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"global_running_sum needs an integer value column (exact "
+            f"carry), got {value_col}: {vt} — rescale to cents/micros"
+        )
+    m = _bucketed(df, keys, n_buckets, sample_per_bucket)
+    from pyspark.sql import Window
+
+    off = _bucket_offsets(m, F.sum(F.col(value_col).cast("bigint")))
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.sum(F.coalesce(F.col(value_col).cast("bigint"), F.lit(0))).over(w)
     return (
         m.join(F.broadcast(off), "__bkt__")
-        .select(
-            (F.col("__off__") + F.row_number().over(w)).alias(id_col),
-            *df.columns,
-        )
+        .select(*df.columns, (F.col("__off__") + local).alias(out_col))
     )

@@ -5963,6 +5963,36 @@ def containment_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(probe, corpus, "doc_id", "shingle", threshold=0.5)
 
 
+@query(
+    "running_revenue_orders",
+    """
+    WITH d AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, cents,
+           CAST(SUM(cents) OVER (ORDER BY o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_total
+    FROM d
+    """,
+)
+def running_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cumulative revenue in o_orderkey order — the distributed
+    prefix sum (operators/partitioning.py global_running_sum: sample-
+    sort buckets + per-bucket window + exclusive carry of per-bucket
+    totals) against the oracle's single-partition-window anti-pattern.
+    Integer cents make every partial exact, so all 15k running totals
+    hash-match."""
+    from pangool_spark.operators.partitioning import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return global_running_sum(orders, ["o_orderkey"], "cents")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

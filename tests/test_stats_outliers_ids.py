@@ -104,3 +104,37 @@ def test_stable_ids_plan_and_edges(spark):
         stable_row_ids(df, ["nope"])
     with pytest.raises(ValueError, match="already has"):
         stable_row_ids(df.withColumn("row_id", F.lit(1)), ["k"])
+
+
+def test_global_running_sum_matches_window(spark):
+    from pangool_spark.operators.partitioning import global_running_sum
+
+    rng = random.Random(9)
+    keys = rng.sample(range(100_000), 400)
+    df = spark.createDataFrame(
+        [(k, k % 97, None if k % 31 == 0 else k % 1000) for k in keys],
+        "k LONG, g INT, v LONG",
+    )
+    got = global_running_sum(df, ["k"], "v", n_buckets=7, sample_per_bucket=8)
+    want = df.withColumn(
+        "running_total",
+        F.sum(F.coalesce("v", F.lit(0))).over(
+            Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert got.count() == 400
+    assert (
+        got.select("k", "running_total")
+        .exceptAll(want.select("k", "running_total"))
+        .count()
+        == 0
+    )
+    # every Window in the plan is bucket-partitioned
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "__bkt__" in line, line
+    with pytest.raises(ValueError, match="integer value"):
+        global_running_sum(df.withColumn("d", F.lit(1.5)), ["k"], "d")
+    with pytest.raises(ValueError, match="already has"):
+        global_running_sum(df.withColumn("running_total", F.lit(1)), ["k"], "v")
