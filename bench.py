@@ -165,6 +165,7 @@ EXTENDED = [
     "kmv_state_lineitem",
     "containment_join_docs",
     "running_revenue_orders",
+    "weighted_sample_orders",
 ]
 
 RUNS_PER_QUERY = 3

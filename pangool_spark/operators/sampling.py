@@ -347,3 +347,68 @@ def approx_quantiles_sampled(
             F.col("value").cast("double").alias("value"),
         )
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_by: Sequence[str],
+    weight_col: str,
+    n: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) sampling of
+    ~``n`` rows via SYSTEMATIC selection over cumulative-weight space:
+    lay the rows out on [0, W) by their integer weights (the
+    distributed prefix sum — never a one-task window), then take the n
+    selection points k·W/n (k = 1..n); a row is selected iff a point
+    lands in its weight interval. P(selected) ≈ n·w/W, rows with
+    w ≥ W/n are ALWAYS selected (the classic PPS regime), and —
+    unlike Efraimidis–Spirakis keys — there is no RNG and no pow/log,
+    so the selection is rerun-stable, engine-portable, and fully
+    value-oracle-able: the count of points in (a, b] is
+    floor(b·n/W) − floor(a·n/W), pure int64 arithmetic.
+
+    Weights must be non-negative integers (rescale to cents/micros);
+    zero-weight rows are never selected. Raises when W·n would overflow
+    int64 (rescale weights down). Requires a total ``order_by`` for
+    determinism. Output: selected input rows + ``n_points`` (how many
+    selection points the row's interval absorbed — its multiplicity in
+    a with-replacement reading).
+    """
+    from pangool_spark.operators.partitioning import global_running_sum
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    vt = dict(df.dtypes).get(weight_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weights must be integer-typed, got {weight_col}: {vt}"
+        )
+    neg = df.filter(F.col(weight_col) < 0).limit(1).count()
+    if neg:
+        raise ValueError("weights must be non-negative")
+    run = global_running_sum(
+        df, order_by, weight_col, out_col="__run__", n_buckets=n_buckets
+    )
+    total = df.agg(F.sum(F.col(weight_col).cast("bigint"))).first()[0] or 0
+    if total <= 0:
+        return df.limit(0).withColumn("n_points", F.lit(0).cast("bigint"))
+    if total > (2**63 - 1) // n:
+        raise ValueError(
+            f"W*n = {total}*{n} would overflow int64 — rescale weights"
+        )
+    # INTEGER division (DIV), not "/": bigint/bigint in Spark is DOUBLE
+    # division, whose 53-bit mantissa mis-floors near the int64 range.
+    # Operands are non-negative, so DIV (truncate) == floor exactly.
+    run = run.withColumn(
+        "__a__",
+        F.col("__run__") - F.coalesce(F.col(weight_col).cast("bigint"), F.lit(0)),
+    )
+    pts = F.expr(f"(__run__ * {n}L) DIV {total}L") - F.expr(
+        f"(__a__ * {n}L) DIV {total}L"
+    )
+    return (
+        run.withColumn("n_points", pts)
+        .filter(F.col("n_points") >= 1)
+        .select(*df.columns, "n_points")
+    )

@@ -5993,6 +5993,41 @@ def running_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_running_sum(orders, ["o_orderkey"], "cents")
 
 
+@query(
+    "weighted_sample_orders",
+    """
+    WITH d AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT *, SUM(cents) OVER (ORDER BY o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS b
+      FROM d
+    ), t AS (SELECT SUM(cents) AS W FROM d)
+    SELECT o_orderkey, cents,
+           CAST((b * 200) // W - ((b - cents) * 200) // W AS BIGINT)
+             AS n_points
+    FROM r, t
+    WHERE (b * 200) // W - ((b - cents) * 200) // W >= 1
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sample of ~200 orders, selection probability
+    proportional to order value: systematic points over cumulative-
+    weight space (the distributed prefix sum underneath) — no RNG, no
+    pow/log, pure int64 arithmetic, so the driver hash-verifies the
+    SAMPLING itself (Efraimidis–Spirakis keys could never be oracled
+    cross-engine — libm pow). High-value orders are always in (the PPS
+    regime); n_points carries with-replacement multiplicity."""
+    from pangool_spark.operators.sampling import weighted_systematic_sample
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return weighted_systematic_sample(orders, ["o_orderkey"], "cents", 200)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

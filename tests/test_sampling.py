@@ -120,3 +120,47 @@ def test_epoch_shuffle_deterministic_and_epoch_sensitive(spark):
     # repartitioning the input does not change the assignment
     c = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(docs.repartition(7), "doc_id", 8, epoch=0).collect()}
     assert c == a1
+
+
+def test_weighted_systematic_sample(spark):
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pangool_spark.operators.sampling import weighted_systematic_sample
+
+    rng = _random.Random(13)
+    rows = [(i, rng.randint(0, 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k LONG, w LONG")
+    n = 40
+    got = {r.k: r.n_points for r in
+           weighted_systematic_sample(df, ["k"], "w", n).collect()}
+    # python reference: systematic points k*W/n over cumulative weights
+    W = sum(w for _, w in rows)
+    run, want = 0, {}
+    for k, w in sorted(rows):
+        a, run = run, run + w
+        pts = (run * n) // W - (a * n) // W
+        if pts >= 1:
+            want[k] = pts
+    assert got == want
+    assert sum(got.values()) == n  # the points partition exactly
+    # zero-weight rows never selected; heavy rows always
+    assert all(w > 0 for k, w in rows if k in got)
+    heavy = spark.createDataFrame(rows + [(999, 10_000)], "k LONG, w LONG")
+    hs = {r.k for r in weighted_systematic_sample(heavy, ["k"], "w", 20).collect()}
+    assert 999 in hs
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-negative"):
+        weighted_systematic_sample(
+            spark.createDataFrame([(1, -5)], "k LONG, w LONG"), ["k"], "w", 3
+        )
+    with _pytest.raises(ValueError, match="integer-typed"):
+        weighted_systematic_sample(
+            spark.createDataFrame([(1, 0.5)], "k LONG, w DOUBLE"), ["k"], "w", 3
+        )
+    # all-zero weights -> empty, schema intact
+    z = weighted_systematic_sample(
+        spark.createDataFrame([(1, 0), (2, 0)], "k LONG, w LONG"), ["k"], "w", 3
+    )
+    assert z.count() == 0 and z.columns == ["k", "w", "n_points"]
