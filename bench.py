@@ -166,6 +166,8 @@ EXTENDED = [
     "containment_join_docs",
     "running_revenue_orders",
     "weighted_sample_orders",
+    "pareto_class_customers",
+    "melt_order_stats",
 ]
 
 RUNS_PER_QUERY = 3

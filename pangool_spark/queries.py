@@ -6028,6 +6028,101 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_systematic_sample(orders, ["o_orderkey"], "cents", 200)
 
 
+@query(
+    "pareto_class_customers",
+    """
+    WITH d AS (
+      SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT *, SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS run
+      FROM d
+    ), t AS (SELECT SUM(cents) AS W FROM d)
+    SELECT o_custkey, cents,
+           CASE WHEN run * 100 <= W * 80 THEN 'A'
+                WHEN run * 100 <= W * 95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r, t
+    """,
+)
+def pareto_class_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue, classed
+    A/B/C at the 80% / 95% cumulative-share cuts — the prefix-sum
+    application (global_running_sum over (revenue DESC, custkey), then
+    a pure integer comparison run·100 ≤ W·80: no ratio, no double, so
+    the class boundaries are knife-edge exact)."""
+    from pangool_spark.operators.partitioning import global_running_sum
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("__negrev__", -F.col("cents"))
+    )
+    run = global_running_sum(
+        cust, ["__negrev__", "o_custkey"], "cents", out_col="__run__"
+    )
+    total = F.broadcast(
+        cust.agg(F.sum("cents").cast("bigint").alias("__w__"))
+    )
+    return (
+        run.crossJoin(total)
+        .select(
+            "o_custkey",
+            "cents",
+            F.when(F.col("__run__") * 100 <= F.col("__w__") * 80, "A")
+            .when(F.col("__run__") * 100 <= F.col("__w__") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@query(
+    "melt_order_stats",
+    """
+    WITH w AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'n_customers', n_customers FROM w
+    UNION ALL
+    SELECT o_orderpriority, 'revenue_cents', revenue_cents FROM w
+    """,
+)
+def melt_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of the pivot family (§2.4): a wide
+    per-priority stats relation melted to (key, metric, value) long
+    form via the NATIVE df.unpivot (Expand under codegen, one pass —
+    not a UNION of three scans like the oracle states it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "revenue_cents"
+        ),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "n_customers", "revenue_cents"],
+        "metric",
+        "value",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
