@@ -168,6 +168,7 @@ EXTENDED = [
     "weighted_sample_orders",
     "pareto_class_customers",
     "melt_order_stats",
+    "trimmed_mean_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -6123,6 +6123,54 @@ def melt_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trimmed_mean_events",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y FROM events
+    ), b AS (
+      SELECT event_type,
+             quantile_cont(CAST(y AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(y AS DOUBLE), 0.95) AS hi
+      FROM d GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+             AS trimmed_mean
+    FROM d JOIN b USING (event_type)
+    WHERE CAST(y AS DOUBLE) >= lo AND CAST(y AS DOUBLE) <= hi
+    GROUP BY 1
+    """,
+)
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 5% trimmed mean — the robust location estimate between
+    winsorize (clip) and the plain mean: values outside the exact
+    [p5, p95] percentile band are DROPPED, the survivors averaged as
+    one exact int sum / count ratio. Bounds ride the
+    percentile==quantile_cont bit-parity; one bounds aggregate + one
+    filtered aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    y = F.col("y").cast("double")
+    b = ev.groupBy("event_type").agg(
+        F.percentile(y, F.lit(0.05)).alias("__lo__"),
+        F.percentile(y, F.lit(0.95)).alias("__hi__"),
+    )
+    return (
+        ev.join(b, "event_type")
+        .filter((y >= F.col("__lo__")) & (y <= F.col("__hi__")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias(
+                "trimmed_mean"
+            ),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
