@@ -169,6 +169,10 @@ EXTENDED = [
     "pareto_class_customers",
     "melt_order_stats",
     "trimmed_mean_events",
+    # k-truss is NOT benched at sf0.1: two full triangle enumerations at
+    # 760k co-purchase edges are the measured ~130s exact-triangle bill
+    # x2 (SCALE.md) — an inherent Theta(E^1.5) cost, not a plan defect.
+    # Correctness stays gated at sf0.001 + sf0.01.
 ]
 
 RUNS_PER_QUERY = 3

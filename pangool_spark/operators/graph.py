@@ -449,3 +449,101 @@ def kcore(
             keep.select(F.col("v").alias("a")), "a", "left_semi"
         ).join(keep.select(F.col("v").alias("b")), "b", "left_semi")
     return cur.select("a", "b")
+
+
+def edge_support(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-edge triangle SUPPORT (how many triangles contain the edge) —
+    the k-truss building block. Same degree-ordered orientation as
+    ``triangle_count`` (wedge fan-out ≤ O(√E)), but the wedge-closing
+    join runs INNER to keep the triangle tuples, which then explode
+    into their three canonical edges for one count aggregate. Edges in
+    no triangle report support 0 (kept via left join).
+
+    Output: canonical (a < b, support BIGINT).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        sym.select(F.col("a").alias("v"))
+        .unionByName(sym.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        sym.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    w1 = oriented.select("u", F.col("w").alias("w1"))
+    w2 = oriented.select("u", F.col("w").alias("w2"))
+    wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
+    tri = wedges.join(
+        sym, (F.col("w1") == F.col("a")) & (F.col("w2") == F.col("b"))
+    ).select("u", "w1", "w2")
+    tri3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "w1").alias("a"), F.greatest("u", "w1").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "w2").alias("a"), F.greatest("u", "w2").alias("b")
+                ),
+                F.struct(F.col("w1").alias("a"), F.col("w2").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = tri3.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__s__"))
+    return sym.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("__s__", F.lit(0)).alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 2,
+) -> DataFrame:
+    """k-truss peeling, ``max_iter`` FIXED rounds: repeatedly drop edges
+    in fewer than k−2 triangles of the surviving subgraph — the
+    edge-cohesion sibling of ``kcore`` (every edge of a k-truss lies in
+    a (k−2)-connected triangle mesh; cores bound vertices, trusses bind
+    EDGES). Same fixed-iteration value-oracle contract as kcore /
+    pagerank: the oracle unrolls exactly ``max_iter`` support+filter
+    rounds, so mid-peel and fixpoint states are both pinned. Each round
+    costs one triangle enumeration (the Θ(E^1.5) wedge bill — why
+    ``max_iter`` stays small; converged trusses are fixpoints).
+
+    Output: the surviving canonical (a < b) undirected edges.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 (a 2-truss is every edge), got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    for _ in range(max_iter):
+        cur = (
+            edge_support(cur, "src", "dst")
+            .filter(F.col("support") >= k - 2)
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+    return cur.select(F.col("src").alias("a"), F.col("dst").alias("b"))

@@ -129,3 +129,28 @@ def test_kcore_peeling(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must be"):
         kcore(df, k=0)
+
+
+def test_edge_support_and_ktruss(spark):
+    from pangool_spark.operators.graph import edge_support, ktruss
+
+    # 5-clique + a pendant triangle sharing one vertex
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    extra = [(5, 6), (5, 7), (6, 7)]
+    df = spark.createDataFrame(clique + extra, "src LONG, dst LONG")
+    sup = {(r.a, r.b): r.support for r in edge_support(df).collect()}
+    for e in clique:
+        assert sup[e] == 3  # every clique edge: 3 common neighbors
+    assert sup[(6, 7)] == 1 and sup[(5, 6)] == 1
+    # 5-truss (support >= 3): exactly the clique survives
+    got = {(r.a, r.b) for r in ktruss(df, k=5, max_iter=2).collect()}
+    assert got == set(clique)
+    # cascade: removing the weak edges cannot resurrect support
+    assert ktruss(df, k=6, max_iter=2).count() == 0
+    # an edge in no triangle reports 0 and dies at any k
+    lone = spark.createDataFrame([(1, 2)], "src LONG, dst LONG")
+    assert edge_support(lone).first().support == 0
+    assert ktruss(lone, k=3, max_iter=1).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        ktruss(df, k=2)
