@@ -1341,3 +1341,105 @@ def embedding_cosine_dups(
         .select("id_a", "id_b", cosine_udf("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    min_len: int | None = None,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated TOKEN SPANS across document pairs — substring-
+    level dedup (the ExactSubstr regime of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), the layer between
+    line_dedup (whole repeated lines) and minhash near-dedup (whole
+    near-identical docs): it localizes WHERE two documents share verbatim
+    text, so curation can cut the span instead of dropping a document.
+
+    Spark-first design — no suffix array. Every k-token window ("anchor")
+    is hashed; anchors equi-join on the hash; within a (doc_a, doc_b,
+    diagonal = pos_a - pos_b) group, consecutive anchor runs merge into
+    maximal spans via one window pass. A run of r consecutive anchors
+    proves a shared span of exactly r + k - 1 tokens, and mid-span anchor
+    gaps are impossible (a missing anchor inside a shared region
+    contradicts the two anchors flanking it), so run-merge IS maximal-span
+    recovery — same output as the suffix-array formulation for spans
+    ≥ k tokens, but expressed as join + window, which Spark distributes.
+
+    Scale shape: the anchor join shuffles (md5, id, pos) — corpus text
+    never shuffles; both join sides read one exchange (self-join reuse).
+    The run-merge window partitions by (doc_a, doc_b, diag) and the
+    closing aggregate groups by a superset, so it rides the same exchange
+    (EnsureRequirements: hash partitioning on a subset of the grouping
+    keys satisfies the clustered distribution — one window shuffle total).
+    Hot k-grams (boilerplate headers shared by millions of docs) fan the
+    join quadratically: ``max_gram_df`` drops anchors whose gram appears
+    in more than that many DISTINCT documents — lossy for spans whose
+    every anchor is that common (cut-marked in the output contract), the
+    standard ExactSubstr stop-gram concession.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_len) — 0-based token
+    positions, ``doc_a < doc_b``, one row per maximal span, spans shorter
+    than ``min_len`` tokens dropped when given.
+    """
+    from pyspark.ml.feature import NGram
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n_parts:
+        df = df.repartition(n_parts, F.col(id_col))
+    toks = df.select(
+        F.col(id_col).alias("__id__"), normalized_tokens(text_col).alias("__tokens__")
+    )
+    grams = NGram(n=k, inputCol="__tokens__", outputCol="__grams__").transform(toks)
+    # NGram emits [] for docs shorter than k tokens — they have no anchors.
+    anchors = grams.select(
+        "__id__", F.posexplode("__grams__").alias("__pos__", "__gram__")
+    ).select("__id__", "__pos__", F.md5("__gram__").alias("__key__"))
+    if max_gram_df is not None:
+        hot = (
+            anchors.select("__key__", "__id__")
+            .distinct()
+            .groupBy("__key__")
+            .agg(F.count(F.lit(1)).alias("__df__"))
+            .filter(F.col("__df__") > max_gram_df)
+            .select("__key__")
+        )
+        anchors = anchors.join(hot, "__key__", "left_anti")
+    a = anchors.select(
+        F.col("__id__").alias("doc_a"), F.col("__pos__").alias("__pa__"), "__key__"
+    )
+    b = anchors.select(
+        F.col("__id__").alias("doc_b"), F.col("__pos__").alias("__pb__"), "__key__"
+    )
+    pairs = (
+        a.join(b, "__key__")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "__pa__",
+            "__pb__",
+            (F.col("__pa__") - F.col("__pb__")).alias("__diag__"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "__diag__").orderBy("__pa__")
+    runs = pairs.withColumn(
+        "__brk__",
+        F.when(F.col("__pa__") - F.lag("__pa__").over(w) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__run__", F.sum("__brk__").over(w))
+    out = (
+        runs.groupBy("doc_a", "doc_b", "__diag__", "__run__")
+        .agg(
+            F.min("__pa__").alias("start_a"),
+            F.min("__pb__").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+    )
+    if min_len is not None:
+        out = out.filter(F.col("span_len") >= min_len)
+    return out

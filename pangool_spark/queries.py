@@ -6225,6 +6225,59 @@ def ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss(edges, k=16, max_iter=2)
 
 
+@query(
+    "duplicate_spans_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS gpos,
+             md5(array_to_string(tl[i:i+5], ' ')) AS key
+      FROM (SELECT doc_id, tl,
+                   unnest(generate_series(1, len(tl) - 5)) AS i
+            FROM base)
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.gpos AS pa, b.gpos AS pb, a.gpos - b.gpos AS diag
+      FROM grams a JOIN grams b ON a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT *, CASE WHEN pa - lag(pa) OVER
+                       (PARTITION BY doc_a, doc_b, diag ORDER BY pa) = 1
+                     THEN 0 ELSE 1 END AS brk
+      FROM p
+    ),
+    runs AS (
+      SELECT *, SUM(brk) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+      FROM r
+    )
+    SELECT doc_a, doc_b, start_a, start_b, span_len FROM (
+      SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+             COUNT(*) + 5 AS span_len
+      FROM runs GROUP BY doc_a, doc_b, diag, run
+    ) WHERE span_len >= 12
+    """,
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: maximal duplicated token spans (≥12 tokens,
+    k=6 anchors) across document pairs — the ExactSubstr regime
+    localizing WHERE near-dup docs share verbatim text. The oracle
+    replays the anchor/diagonal/run-merge formulation in SQL; the Spark
+    plan shuffles only (md5, id, pos) anchors and merges runs in one
+    window pass (see ``dedup.duplicate_spans``). min_len=12 is
+    non-vacuous at both driver scales (drops a 10- and an 11-token span).
+    """
+    from pangool_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, k=6, min_len=12)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
