@@ -197,3 +197,51 @@ def resample_forward_fill(
         ],
     )
     return filled
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the standard
+    monitoring smoother: ``acc = alpha*x + (1-alpha)*acc`` folded over
+    the key's values in ``order_by`` order, seeded with the FIRST value
+    (the pandas ``ewm(adjust=False)`` recursion). Returns one row per
+    key: (keys..., n_obs, out_col).
+
+    Engine-portable by construction: one partial-agg shuffle collects
+    (order, value) structs, ``array_sort`` fixes a total order (callers
+    must include a tiebreak column for deterministic results), and a JVM
+    ``aggregate`` fold runs the recursion left-to-right — the binary64
+    op sequence is identical to DuckDB's ``list_reduce(list(v ORDER BY
+    ...), (acc, x) -> a*x + (1-a)*acc)``, so results hash-match
+    bit-for-bit (the fold-sorted-doubles contract). The complement is
+    COMPUTED as ``1.0 - alpha`` (never a pre-rounded literal) so both
+    engines perform the same IEEE subtraction.
+
+    Per-key state is the collected list: bounded by the key's
+    observation count (the funnel ``mode='fold'`` contract — keys with
+    unbounded histories belong in the streaming running-total operator,
+    which carries O(1) state instead).
+    """
+    beta = 1.0 - alpha
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_by], F.col(value_col).alias("__v__")
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["__v__"].cast("double"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(beta) * acc,
+    )
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"), fold.alias(out_col)
+    )

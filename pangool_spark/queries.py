@@ -6278,6 +6278,29 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, k=6, min_len=12)
 
 
+@query(
+    "ewma_events",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> 0.3*x + (1.0 - 0.3)*acc) AS ewma
+    FROM events GROUP BY 1
+    """,
+)
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (alpha=0.3, time order) — the
+    monitoring smoother, fully value-oracled via the fold-sorted-doubles
+    contract: both engines run the identical binary64 recursion
+    ``0.3*x + (1.0-0.3)*acc`` left-to-right over the (ts, event_id)
+    order, so the doubles match to the last bit (see
+    ``windows.ewma``)."""
+    from pangool_spark.operators.windows import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
