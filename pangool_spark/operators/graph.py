@@ -547,3 +547,61 @@ def ktruss(
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
     return cur.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS hop distances over the undirected graph,
+    ``max_iter`` FIXED rounds — the kcore/pagerank value-oracle
+    contract: the oracle unrolls exactly ``max_iter`` expansion rounds,
+    so engine results are comparable even before the frontier dies out.
+
+    Frontier discipline (the part label propagation lacks): each round
+    joins only the vertices FIRST REACHED last round against the
+    adjacency — settled vertices never re-shuffle, so round cost tracks
+    the frontier size, not |V|. A round is one equi-join + distinct +
+    one anti-join against the settled set. Vertices unreached after
+    ``max_iter`` rounds are absent from the output (their true distance
+    is unknown, not infinite — report, don't guess). At larger round
+    counts, checkpoint every ~10 rounds (``plans.iterate``) to truncate
+    the settled-set lineage.
+
+    Output: (v, dist) with dist in [0, max_iter], dist 0 = seed.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    if seed_col is None:
+        seed_col = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(seed_col).alias("v"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = dist.select("v")
+    for i in range(1, max_iter + 1):
+        reached = (
+            frontier.join(sym, frontier["v"] == sym["a"])
+            .select(F.col("b").alias("v"))
+            .distinct()
+        )
+        new = reached.join(dist, "v", "left_anti").withColumn(
+            "dist", F.lit(i)
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("v")
+    return dist

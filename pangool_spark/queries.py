@@ -6301,6 +6301,55 @@ def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
 
 
+@query(
+    "bfs_hops_parts",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    d0 AS (SELECT DISTINCT p_partkey AS v, 0 AS dist FROM part
+           WHERE p_size = 50),
+    r1 AS (SELECT DISTINCT s.b AS v FROM d0 JOIN sym s ON s.a = d0.v
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x WHERE x.v = s.b)),
+    d1 AS (SELECT v, dist FROM d0 UNION ALL SELECT v, 1 FROM r1),
+    r2 AS (SELECT DISTINCT s.b AS v FROM r1 JOIN sym s ON s.a = r1.v
+           WHERE NOT EXISTS (SELECT 1 FROM d1 x WHERE x.v = s.b)),
+    d2 AS (SELECT v, dist FROM d1 UNION ALL SELECT v, 2 FROM r2),
+    r3 AS (SELECT DISTINCT s.b AS v FROM r2 JOIN sym s ON s.a = r2.v
+           WHERE NOT EXISTS (SELECT 1 FROM d2 x WHERE x.v = s.b)),
+    d3 AS (SELECT v, dist FROM d2 UNION ALL SELECT v, 3 FROM r3)
+    SELECT v, dist FROM d3
+    """,
+)
+def bfs_hops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (3 fixed rounds) from the
+    max-size parts over the co-purchase graph — frontier-only expansion
+    (settled vertices never re-shuffle), unrolled-round value oracle
+    (the pagerank/kcore contract). All of dist 0/1/2 are populated at
+    both driver scales; round 3 exercises the empty-frontier fixpoint.
+    See ``graph.bfs_distances``."""
+    from pangool_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("v"))
+    )
+    return bfs_distances(edges, seeds, max_iter=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
