@@ -348,8 +348,8 @@ def stable_row_ids(
        spread across tasks — never one global window partition);
     4. per-bucket counts (column-pruned scan of the first key only)
        → cumulative offsets on the driver (≤ ``n_buckets`` rows, the
-       repo's bounded-collect contract) → broadcast join;
-       ``row_id = offset(bucket) + local_rank``.
+       repo's bounded-collect contract) → a map-literal lookup column
+       (no join at all); ``row_id = offset(bucket) + local_rank``.
 
     Ids are dense 1..N always, and deterministic iff ``order_by`` is a
     total order (unique key); ties get arbitrary-but-dense ids. NULL
@@ -363,13 +363,7 @@ def stable_row_ids(
 
     off = _bucket_offsets(m, F.count(F.lit(1)))
     w = Window.partitionBy("__bkt__").orderBy(*keys)
-    return (
-        m.join(F.broadcast(off), "__bkt__")
-        .select(
-            (F.col("__off__") + F.row_number().over(w)).alias(id_col),
-            *df.columns,
-        )
-    )
+    return m.select((off + F.row_number().over(w)).alias(id_col), *df.columns)
 
 
 def _validate_order(df, order_by, out_col, name) -> list:
@@ -426,10 +420,15 @@ def _bucketed(
     return df.withColumn("__bkt__", bucket)
 
 
-def _bucket_offsets(m: DataFrame, agg_expr) -> DataFrame:
-    """Cumulative EXCLUSIVE per-bucket totals of ``agg_expr``: the
-    bounded driver collect (≤ n_buckets rows) → broadcast offsets
-    relation (__bkt__, __off__)."""
+def _bucket_offsets(m: DataFrame, agg_expr):
+    """Cumulative EXCLUSIVE per-bucket totals of ``agg_expr`` as a
+    map-literal lookup COLUMN over ``__bkt__`` (≤ n_buckets driver rows,
+    the bounded-collect contract). A literal expression instead of a
+    broadcast-join relation: one fewer join in every consumer, and no
+    LocalRelation in the plan — joining the offsets relation back in
+    tripped an internal Catalyst binding error (ATTRIBUTE_NOT_FOUND)
+    whenever an unrelated same-named local relation existed in the
+    session (Spark 4.1.2, small-universe path; measured)."""
     sums = sorted(
         (r["__bkt__"], r["s"])
         for r in m.groupBy("__bkt__").agg(agg_expr.alias("s")).collect()
@@ -438,7 +437,13 @@ def _bucket_offsets(m: DataFrame, agg_expr) -> DataFrame:
     for bkt, s in sums:
         offsets.append((bkt, acc))
         acc += s if s is not None else 0
-    return m.sparkSession.createDataFrame(offsets, "__bkt__ INT, __off__ LONG")
+    if not offsets:
+        return F.lit(0).cast("long")
+    lookup = F.map_from_arrays(
+        F.array(*[F.lit(int(b)) for b, _ in offsets]),
+        F.array(*[F.lit(int(o)).cast("long") for _, o in offsets]),
+    )
+    return F.element_at(lookup, F.col("__bkt__"))
 
 
 def global_running_sum(
@@ -482,7 +487,4 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = F.sum(F.coalesce(F.col(value_col).cast("bigint"), F.lit(0))).over(w)
-    return (
-        m.join(F.broadcast(off), "__bkt__")
-        .select(*df.columns, (F.col("__off__") + local).alias(out_col))
-    )
+    return m.select(*df.columns, (off + local).alias(out_col))

@@ -412,3 +412,87 @@ def weighted_systematic_sample(
         .filter(F.col("n_points") >= 1)
         .select(*df.columns, "n_points")
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    items: DataFrame,
+    n_neg: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    tries_factor: int = 3,
+) -> DataFrame:
+    """Deterministic hash-walk NEGATIVE sampling for contrastive /
+    recommender training pairs: for every user in ``positives``, draw up
+    to ``n_neg`` items the user has NO positive interaction with,
+    uniformly over the item universe, with a fate that is a pure
+    function of (user, try-index) — rerun-, repartition- and
+    engine-stable (the hash-sampling charter of this module).
+
+    The walk: try t ∈ [0, n_neg·tries_factor) maps to item index
+    ``base_hash_31(user ':' t) % n_items``; candidates that hit a
+    positive or a repeated item are discarded, survivors rank by t and
+    the first ``n_neg`` win. Users whose tries exhaust (dense positive
+    rows over a small universe) return fewer than ``n_neg`` rows —
+    deterministically, both engines agree which (the standard
+    rejection-sampling concession; raise ``tries_factor`` to shrink it).
+
+    Scale shape: the item universe gets dense 0-based indices via
+    sample-sort ``stable_row_ids`` (no single-task global window), the
+    candidate join is an equi-join on the index (AQE broadcasts the dim
+    when it fits), rejection is one anti-join against the distinct
+    positives, and ranking windows over ≤ tries rows per user. The only
+    driver scalar is ``n_items`` (bounded-collect contract: counting a
+    dimension).
+
+    Output: (user_col, item_col, neg_rank) with neg_rank in [1, n_neg].
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    if tries_factor < 1:
+        raise ValueError(f"tries_factor must be >= 1, got {tries_factor}")
+    from pyspark.sql import Window
+
+    from pangool_spark.operators.partitioning import stable_row_ids
+
+    universe = items.select(item_col).distinct()
+    # size the modulus from the UNIVERSE, not the indexed relation: the
+    # count is the same, the plan is one aggregate instead of the full
+    # rank pipeline (and pruning a count() down through the rank window
+    # trips an internal Catalyst binding error on tiny local relations)
+    n_items = universe.count()
+    if n_items == 0:
+        raise ValueError("items universe is empty")
+    indexed = stable_row_ids(universe, [item_col], id_col="__rid__").select(
+        (F.col("__rid__") - 1).alias("__idx__"), F.col(item_col)
+    )
+    tries = n_neg * tries_factor
+    users = positives.select(user_col).distinct()
+    cand = users.select(
+        user_col,
+        F.explode(F.sequence(F.lit(0), F.lit(tries - 1))).alias("__t__"),
+    ).select(
+        user_col,
+        "__t__",
+        (
+            base_hash_31(
+                F.concat_ws(
+                    ":",
+                    F.col(user_col).cast("string"),
+                    F.col("__t__").cast("string"),
+                )
+            )
+            % F.lit(n_items)
+        ).alias("__idx__"),
+    )
+    pos = positives.select(user_col, item_col).distinct()
+    hits = cand.join(indexed, "__idx__").join(
+        pos, [user_col, item_col], "left_anti"
+    )
+    first = hits.groupBy(user_col, item_col).agg(F.min("__t__").alias("__t__"))
+    w = Window.partitionBy(user_col).orderBy("__t__")
+    return (
+        first.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(user_col, item_col, "neg_rank")
+    )

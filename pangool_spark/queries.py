@@ -6350,6 +6350,62 @@ def bfs_hops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_iter=3)
 
 
+@query(
+    "negative_sample_orders",
+    """
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    items AS (
+      SELECT p_partkey AS item_id,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+      FROM part
+    ),
+    n AS (SELECT COUNT(*) AS n_items FROM part),
+    users AS (SELECT DISTINCT user_id FROM pos),
+    cand AS (
+      SELECT user_id, t,
+             (('0x' || substr(md5(user_id || ':' || t), 1, 8))::BIGINT
+               & 2147483647) % (SELECT n_items FROM n) AS idx
+      FROM users, (SELECT unnest(generate_series(0, 14)) AS t) s
+    ),
+    hit AS (
+      SELECT c.user_id, i.item_id, c.t
+      FROM cand c JOIN items i USING (idx)
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.user_id = c.user_id
+                          AND p.item_id = i.item_id)
+    ),
+    first AS (SELECT user_id, item_id, MIN(t) AS t FROM hit GROUP BY 1, 2)
+    SELECT user_id, item_id, neg_rank FROM (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY t) AS neg_rank
+      FROM first
+    ) WHERE neg_rank <= 5
+    """,
+)
+def negative_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training pairs:
+    5 non-purchased parts per customer via the portable hash walk
+    ``base_hash_31(user ':' t) % |parts|`` — rerun/engine-stable fate,
+    full value oracle replicating the walk, rejection (anti-join against
+    positives) and try-rank in SQL. See ``sampling.negative_sample``."""
+    from pangool_spark.operators.sampling import negative_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    positives = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    items = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    return negative_sample(positives, items, n_neg=5, tries_factor=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
