@@ -292,3 +292,49 @@ def equidepth_histogram(
             "n",
         )
     )
+
+
+def group_quality_gate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metric_col: str,
+    min_rows: int = 1,
+    min_mean: float | None = None,
+    max_mean: float | None = None,
+) -> DataFrame:
+    """Admission gate at GROUP granularity — the C4/CommonCrawl "bad
+    source" cut: a row survives iff its group (source, domain, shard …)
+    has at least ``min_rows`` rows AND a mean ``metric_col`` inside
+    [``min_mean``, ``max_mean``]. Dropping whole low-signal groups beats
+    per-row filtering when quality failures correlate within origin —
+    the standard corpus-curation move this generalizes.
+
+    One partial-agg shuffle computes per-group (count, exact integer
+    sum); the verdict relation is |groups|-sized and semi-joins back
+    (AQE broadcasts it when small — the normal case: group keys are
+    origins, not rows). ``metric_col`` must be integer-typed so the
+    mean is an exact ``sum/count`` double, identical on every engine
+    (the ``global_running_sum`` contract — rescale doubles to
+    cents/micros first).
+    """
+    vt = dict(df.dtypes).get(metric_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"group_quality_gate needs an integer metric column (exact, "
+            f"order-independent mean), got {metric_col}: {vt} — rescale "
+            f"to cents/micros"
+        )
+    keys = list(group_cols)
+    if not keys:
+        raise ValueError("group_quality_gate needs at least one group column")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.sum(F.col(metric_col).cast("bigint")).alias("__s__"),
+    )
+    cond = F.col("__n__") >= F.lit(min_rows)
+    mean = F.col("__s__").cast("double") / F.col("__n__")
+    if min_mean is not None:
+        cond = cond & (mean >= F.lit(float(min_mean)))
+    if max_mean is not None:
+        cond = cond & (mean <= F.lit(float(max_mean)))
+    return df.join(g.filter(cond).select(*keys), keys, "left_semi")

@@ -6406,6 +6406,36 @@ def negative_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sample(positives, items, n_neg=5, tries_factor=3)
 
 
+@query(
+    "source_gate_docs",
+    """
+    WITH g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS m
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN g ON g.source = d.source AND g.lang = d.lang
+    WHERE g.n >= 5 AND g.m >= 300.0
+    """,
+)
+def source_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-granularity admission gate (the C4 'bad source' cut):
+    documents survive iff their (source, lang) group holds ≥5 docs with
+    mean length ≥300 chars. BOTH conditions bind at both driver scales
+    (51/55 groups fail the count, 23/20 fail the mean, 25/22 pass).
+    One partial-agg shuffle + semi-join back; exact integer-sum mean
+    (see ``profile.group_quality_gate``)."""
+    from pangool_spark.operators.profile import group_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = group_quality_gate(
+        docs, ["source", "lang"], "n_chars", min_rows=5, min_mean=300.0
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
