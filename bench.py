@@ -173,6 +173,13 @@ EXTENDED = [
     # 760k co-purchase edges are the measured ~130s exact-triangle bill
     # x2 (SCALE.md) — an inherent Theta(E^1.5) cost, not a plan defect.
     # Correctness stays gated at sf0.001 + sf0.01.
+    # round-8 continuation wave: substring-level dedup, fold-sorted EWMA,
+    # frontier BFS, hash-walk negative sampling, group admission gate
+    "duplicate_spans_docs",
+    "ewma_events",
+    "bfs_hops_parts",
+    "negative_sample_orders",
+    "source_gate_docs",
 ]
 
 RUNS_PER_QUERY = 3

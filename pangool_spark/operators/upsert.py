@@ -227,3 +227,120 @@ def point_in_time_join(
         F.when(ok, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in attrs
     ]
     return j.select(*probe.columns, *out_cols)
+
+
+def _cols(spec) -> "list[str]":
+    return [spec] if isinstance(spec, str) else list(spec)
+
+
+def _eq(left: DataFrame, right: DataFrame, lcols, rcols):
+    conds = [left[a] == right[b] for a, b in zip(lcols, rcols)]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def cascade_delete(
+    tables: "dict[str, tuple[DataFrame, object]]",
+    seed_table: str,
+    seed_keys: DataFrame,
+    fk_edges: Sequence[tuple[str, str, object]],
+) -> "tuple[dict[str, DataFrame], DataFrame]":
+    """Right-to-be-forgotten propagation: delete the ``seed_keys`` rows
+    of ``seed_table`` and cascade through the foreign-key graph — each
+    ``fk_edges`` entry ``(parent, child, child_fk)`` marks child rows
+    whose ``child_fk`` column(s) reference a deleted parent primary key
+    as deleted too, transitively. The GDPR/CCPA erasure job every
+    lakehouse runs against fact tables hanging off the user dimension.
+
+    ``tables`` maps name → (DataFrame, deletion key — a column or list
+    for composite keys, e.g. lineitem's (orderkey, linenumber)). The
+    key sets the deletion GRANULARITY and need not be unique: every row
+    sharing a doomed key dies together, and the report counts rows, not
+    key tuples. Deletion state lives as per-table KEY relations, so
+    every shuffle moves keys, never rows — each edge is one semi-join
+    projected to the child's key (AQE broadcasts small key sets, the
+    common case), each surviving table one anti-join on its own key.
+    Nothing is collected; survivors and the report are lazy plans
+    composing into the caller's overwrite job. NULL foreign keys match
+    no parent (SQL semantics) and survive.
+
+    ``fk_edges`` must be topologically ordered (FK graphs are DAGs;
+    every parent's incoming deletions before its onward edges). Raises
+    on unknown tables or an edge whose parent has no deletion set yet —
+    a mis-ordered DAG would silently delete nothing downstream.
+
+    Returns ``(survivors, report)``: per-table surviving DataFrames and
+    the lazy (table_name, n_deleted, n_kept) report relation.
+    """
+    if seed_table not in tables:
+        raise ValueError(f"unknown seed table {seed_table!r}")
+    doomed: dict[str, DataFrame] = {}
+    df0, pk0 = tables[seed_table]
+    pk0 = _cols(pk0)
+    doomed[seed_table] = (
+        df0.join(
+            seed_keys, _eq(df0, seed_keys, pk0, seed_keys.columns), "left_semi"
+        )
+        .select(*pk0)
+        .distinct()
+    )
+    for parent, child, child_fk in fk_edges:
+        for t in (parent, child):
+            if t not in tables:
+                raise ValueError(f"unknown table {t!r} in fk_edges")
+        if parent not in doomed:
+            raise ValueError(
+                f"edge ({parent} -> {child}) before any deletion reached "
+                f"{parent!r} — fk_edges must be topologically ordered"
+            )
+        cdf, cpk = tables[child]
+        cpk = _cols(cpk)
+        fk = _cols(child_fk)
+        pkeys = doomed[parent]
+        if len(fk) != len(pkeys.columns):
+            raise ValueError(
+                f"edge ({parent} -> {child}): fk {fk} arity does not match "
+                f"parent key {pkeys.columns}"
+            )
+        hit = (
+            cdf.join(pkeys, _eq(cdf, pkeys, fk, pkeys.columns), "left_semi")
+            .select(*cpk)
+            .distinct()
+        )
+        doomed[child] = (
+            doomed[child].unionByName(hit).distinct()
+            if child in doomed
+            else hit
+        )
+    survivors: dict[str, DataFrame] = {}
+    report = None
+    for name, (df, pk) in tables.items():
+        pk = _cols(pk)
+        keys = doomed.get(name)
+        if keys is None:
+            survivors[name] = df
+            row = df.agg(
+                F.lit(name).alias("table_name"),
+                F.lit(0).cast("bigint").alias("n_deleted"),
+                F.count(F.lit(1)).alias("n_kept"),
+            )
+        else:
+            survivors[name] = df.join(
+                keys, _eq(df, keys, pk, keys.columns), "left_anti"
+            )
+            total = df.agg(F.count(F.lit(1)).alias("__total__"))
+            # count deleted ROWS (semi-join), not key tuples: deletion
+            # keys need not be unique — every row sharing a doomed key
+            # dies, and the report must say how many rows that was
+            ndel = df.join(keys, _eq(df, keys, pk, keys.columns), "left_semi").agg(
+                F.count(F.lit(1)).alias("__del__")
+            )
+            row = total.crossJoin(ndel).select(
+                F.lit(name).alias("table_name"),
+                F.col("__del__").alias("n_deleted"),
+                (F.col("__total__") - F.col("__del__")).alias("n_kept"),
+            )
+        report = row if report is None else report.unionByName(row)
+    return survivors, report

@@ -6436,6 +6436,56 @@ def source_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang")
 
 
+@query(
+    "cascade_delete_customers",
+    """
+    WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 20 = 0),
+    del_o AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM seeds)),
+    del_l AS (SELECT l_orderkey FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM seeds) AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM customer)
+                - (SELECT COUNT(*) FROM seeds) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM del_o) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders)
+                - (SELECT COUNT(*) FROM del_o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM del_l) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem)
+                - (SELECT COUNT(*) FROM del_l) AS BIGINT)
+    """,
+)
+def cascade_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR cascade erasure: every 20th customer is forgotten; deletion
+    propagates customer → orders → lineitem through the FK DAG (keys
+    shuffle, never rows; lineitem's composite (orderkey, linenumber)
+    primary key exercises the multi-column path). Output is the lazy
+    per-table (deleted, kept) report. See ``upsert.cascade_delete``."""
+    from pangool_spark.operators.upsert import cascade_delete
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tables = {
+        "customer": (cust, "c_custkey"),
+        "orders": (orders, "o_orderkey"),
+        "lineitem": (li, ["l_orderkey", "l_linenumber"]),
+    }
+    seeds = cust.filter(F.col("c_custkey") % 20 == 0).select("c_custkey")
+    _, report = cascade_delete(
+        tables,
+        "customer",
+        seeds,
+        [("customer", "orders", "o_custkey"), ("orders", "lineitem", "l_orderkey")],
+    )
+    return report
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
