@@ -12,6 +12,7 @@ from pangool_spark.streaming.ops import (
     sessionize,
     stream_dedup,
     stateful_running_totals,
+    stream_ewma,
     stream_outliers,
 )
 from pangool_spark.streaming.joins import (
@@ -26,6 +27,7 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stateful_running_totals",
+    "stream_ewma",
     "stream_outliers",
     "stream_static_join",
     "stream_stream_join",

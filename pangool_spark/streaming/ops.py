@@ -402,3 +402,76 @@ def stream_outliers(
             "with stats.outlier_stats over the reference table"
         )
     return score_outliers(stream_df, stats_df, group_cols, value_col, z)
+
+
+def stream_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = 0.3,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Per-key EWMA maintained across micro-batches — the streaming twin
+    of ``operators.windows.ewma`` (same recursion, same seed-with-first
+    contract): state is one (n, acc) pair per key; each micro-batch
+    sorts its rows by ``order_cols`` and folds them through
+    ``acc = alpha*x + (1-alpha)*acc`` sequentially.
+
+    Ordering caveat (inherent to update-mode state ops): the fold is
+    exact event-order only when batches arrive in order — rows are
+    sorted WITHIN a batch, but a late row landing in a later batch
+    folds late. Equal to the batch operator whenever arrival respects
+    event order (pinned in tests on real micro-batch runs). The fold
+    itself is a Python loop over the batch — EWMA is sequential by
+    definition; the per-row cost is bounded by the micro-batch, and the
+    bit-identical recursion is what makes stream == batch checkable.
+
+    On a batch DataFrame, falls back to ``windows.ewma`` (same schema).
+    """
+    if not df.isStreaming:
+        from pangool_spark.operators.windows import ewma
+
+        return ewma(
+            df, [key_col], list(order_cols), value_col, alpha, out_col="ewma"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType(), False),
+            T.StructField("n_obs", T.LongType(), False),
+            T.StructField("ewma", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("acc", T.DoubleType(), False),
+        ]
+    )
+    beta = 1.0 - alpha
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, acc = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(list(order_cols))
+            for x in pdf[value_col].astype(float):
+                acc = x if n == 0 else alpha * x + beta * acc
+                n += 1
+        state.update((n, float(acc)))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_obs": [n], "ewma": [acc if n else None]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
