@@ -180,6 +180,10 @@ EXTENDED = [
     "bfs_hops_parts",
     "negative_sample_orders",
     "source_gate_docs",
+    "cascade_delete_customers",
+    # 8-bit scalar quantization: ADC search + error audit
+    "quantized_knn_embeddings",
+    "quantization_error_embeddings",
 ]
 
 RUNS_PER_QUERY = 3

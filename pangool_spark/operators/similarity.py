@@ -624,3 +624,117 @@ def kmeans_centroids(
         feats = feats.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Per-dimension min-max SCALAR quantization of an embedding column
+    to ``bits``-bit integer codes — the memory/IO side of ANN at scale:
+    a 100 TB float32 corpus becomes ~25 TB of codes + one tiny bounds
+    row, and search runs asymmetric (raw query × dequantized corpus, the
+    ADC regime) with a bounded, engine-reproducible error of at most
+    half a quantization step per dimension.
+
+    Everything is a closed-form column expression — codebook = one
+    min/max aggregate (no training, no RNG), codes = one map-side
+    transform — so quantize → dequantize → search is fully
+    value-oracle-able, unlike learned codebooks (PQ/OPQ), whose k-means
+    seeds don't replicate across engines. The plan: one agg over the
+    corpus → broadcast 1-row bounds → zero-shuffle projection.
+
+    Returns ``(codes_df, bounds)``: (id_col, codes array<smallint>) and
+    the 1-row (lo array<double>, hi array<double>) bounds relation.
+    Constant dimensions (hi == lo) code to 0 and dequantize to lo.
+    """
+    if not 1 <= bits <= 15:
+        raise ValueError(f"bits must be in [1, 15], got {bits}")
+    levels = (1 << bits) - 1
+    if dim is None:
+        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = row["d"]
+    v = F.col(vec_col)
+    bounds = df.agg(
+        F.array(
+            *[F.min(F.element_at(v, i + 1).cast("double")) for i in range(dim)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(F.element_at(v, i + 1).cast("double")) for i in range(dim)]
+        ).alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    codes = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.transform(
+                v,
+                lambda x, i: F.when(F.get(hi, i) == F.get(lo, i), F.lit(0))
+                .otherwise(
+                    F.round(
+                        (x.cast("double") - F.get(lo, i))
+                        / (F.get(hi, i) - F.get(lo, i))
+                        * F.lit(float(levels))
+                    )
+                )
+                .cast("smallint"),
+            ).alias("codes"),
+        )
+    )
+    return codes, bounds
+
+
+def dequantize_embeddings(
+    codes_df: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    bits: int = 8,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruct double vectors from scalar-quantized codes:
+    ``lo + (code / levels) * (hi - lo)`` per dimension — the exact
+    binary64 expression an oracle replays, so reconstructions (hence
+    downstream ranks and error stats) match bit-for-bit across engines.
+    """
+    levels = (1 << bits) - 1
+    lo, hi = F.col("lo"), F.col("hi")
+    return codes_df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(codes_col),
+            lambda c, i: F.get(lo, i)
+            + (c.cast("double") / F.lit(float(levels)))
+            * (F.get(hi, i) - F.get(lo, i)),
+        ).alias(out_col),
+    )
+
+
+def quantized_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k search (the ADC regime): the corpus is
+    scalar-quantized (``quantize_embeddings``), queries stay full
+    precision, ranking runs raw-query × dequantized-corpus cosine via
+    ``knn_bruteforce``'s broadcast-query kernel. Output:
+    (query_id, neighbor_id, rank) — same contract as the exact search,
+    so recall against it is directly measurable.
+    """
+    codes, bounds = quantize_embeddings(
+        corpus, id_col=id_col, vec_col=vec_col, bits=bits
+    )
+    recon = dequantize_embeddings(
+        codes, bounds, id_col=id_col, bits=bits, out_col=vec_col
+    )
+    return knn_bruteforce(recon, queries, k, id_col=id_col, vec_col=vec_col)

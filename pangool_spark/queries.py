@@ -6486,6 +6486,101 @@ def cascade_delete_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+_SQ_BOUNDS_SQL = """
+    b AS (
+      SELECT list(mn ORDER BY d) AS lo, list(mx ORDER BY d) AS hi FROM (
+        SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM (
+          SELECT unnest(embedding::DOUBLE[]) AS x,
+                 generate_subscripts(embedding, 1) AS d
+          FROM embeddings) GROUP BY d)
+    ),
+    e AS (
+      SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    )
+"""
+
+_SQ_RECON_SQL = (
+    "CASE WHEN hi[d] = lo[d] THEN lo[d] ELSE lo[d] + "
+    "round((x - lo[d]) / (hi[d] - lo[d]) * 255.0) / 255.0 * (hi[d] - lo[d]) END"
+)
+
+
+@query(
+    "quantization_error_embeddings",
+    f"""
+    WITH {_SQ_BOUNDS_SQL}
+    SELECT d - 1 AS d,
+           MAX(abs(x - ({_SQ_RECON_SQL}))) AS max_abs_err
+    FROM e, b GROUP BY 1
+    """,
+)
+def quantization_error_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension max reconstruction error of 8-bit scalar
+    quantization — the ADC error audit, fully value-oracled: codes and
+    reconstructions are closed-form binary64 expressions (min/max
+    codebook, no training), so both engines produce bit-identical
+    errors; MAX aggregation is order-independent. Error is bounded by
+    half a quantization step per dimension (pinned in tests). See
+    ``similarity.quantize_embeddings``."""
+    from pangool_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, bounds = quantize_embeddings(emb)
+    rec = dequantize_embeddings(codes, bounds, out_col="__r__")
+    return (
+        emb.join(rec, "vec_id")
+        .select(
+            F.posexplode(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("__r__"),
+                    lambda a, c: F.abs(a - c),
+                )
+            ).alias("d", "__err__")
+        )
+        .groupBy("d")
+        .agg(F.max("__err__").alias("max_abs_err"))
+    )
+
+
+@query(
+    "quantized_knn_embeddings",
+    f"""
+    WITH {_SQ_BOUNDS_SQL},
+    recon AS (
+      SELECT vec_id, list({_SQ_RECON_SQL} ORDER BY d) AS r
+      FROM e, b GROUP BY vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.r) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN recon c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def quantized_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 search over the 8-bit quantized corpus
+    (raw queries × dequantized corpus — the ADC regime): rank-only
+    output, the ``knn_bruteforce`` decision contract; the oracle
+    replays quantize → dequantize → cosine rank in SQL. 8-bit recall
+    vs the exact search is ≥0.9 (pinned in tests). See
+    ``similarity.quantized_knn``."""
+    from pangool_spark.operators.similarity import quantized_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return quantized_knn(emb, queries_df, k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
