@@ -184,6 +184,7 @@ EXTENDED = [
     # 8-bit scalar quantization: ADC search + error audit
     "quantized_knn_embeddings",
     "quantization_error_embeddings",
+    "best_match_parts",
 ]
 
 RUNS_PER_QUERY = 3

@@ -35,7 +35,7 @@ prefixes are not (their pairs all collide into the same grams).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -258,4 +258,41 @@ def edit_distance_join(
     )
     return cross.select(
         a_key.alias("id_a"), b_key.alias("id_b"), "distance"
+    )
+
+
+def best_match_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_a: str,
+    text_a: str,
+    id_b: str,
+    text_b: str,
+    max_d: int = 1,
+    q: int = 3,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Record-linkage RESOLUTION: each left row's single best reference
+    match — minimum edit distance within ``max_d``, ties broken by the
+    lowest reference id (deterministic). The step after candidate
+    generation every entity-resolution pipeline ends with: one row per
+    matched left entity, unmatched entities absent (report them with an
+    anti-join on id_a; absence ≠ failure).
+
+    Rides ``edit_distance_join``'s lossless blocking, then a rank-1
+    window Spark executes as WindowGroupLimit (per-partition top-1 below
+    the shuffle — the candidate set never materializes per group).
+
+    Output: (id_a, id_b, distance).
+    """
+    cands = edit_distance_join(
+        a, b, id_a, text_a, id_b, text_b, max_d=max_d, q=q, strategy=strategy
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("distance").asc(), F.col("id_b").asc()
+    )
+    return (
+        cands.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("id_a", "id_b", "distance")
     )

@@ -6581,6 +6581,38 @@ def quantized_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_knn(emb, queries_df, k=5)
 
 
+@query(
+    "best_match_parts",
+    """
+    SELECT id_a, id_b, distance FROM (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             levenshtein(a.p_name, b.p_name) AS distance,
+             row_number() OVER (
+               PARTITION BY a.p_partkey
+               ORDER BY levenshtein(a.p_name, b.p_name) ASC,
+                        b.p_partkey ASC) AS rn
+      FROM part a JOIN part b
+        ON a.p_partkey >= 100 AND b.p_partkey < 100
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ) WHERE rn = 1
+    """,
+)
+def best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution RESOLUTION step: each new part's single best
+    reference match within edit distance 2 (min distance, lowest-id
+    tie-break) — lossless blocked candidates + a rank-1 WindowGroupLimit;
+    the oracle resolves the naive cross join identically. See
+    ``fuzzy.best_match_join``."""
+    from pangool_spark.operators.fuzzy import best_match_join
+
+    part = load_table(spark, sf_dir, "part")
+    new = part.filter(F.col("p_partkey") >= 100)
+    ref = part.filter(F.col("p_partkey") < 100)
+    return best_match_join(
+        new, ref, "p_partkey", "p_name", "p_partkey", "p_name", max_d=2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -193,3 +193,21 @@ def test_deletion_strategy_plan_is_equi_join_only(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_best_match_join_resolution(spark):
+    from pangool_spark.operators.fuzzy import best_match_join
+
+    a = spark.createDataFrame(
+        [(1, "smith"), (2, "jonez"), (3, "zzzzz")], "id bigint, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "smyth"), (11, "smite"), (12, "jones")], "id bigint, name string"
+    )
+    got = {
+        r.id_a: (r.id_b, r.distance)
+        for r in best_match_join(a, b, "id", "name", "id", "name", max_d=2).collect()
+    }
+    # smith: smyth(1) and smite(1) tie at d=1 -> lowest ref id 10 wins
+    # jonez -> jones d=1; zzzzz unmatched -> absent
+    assert got == {1: (10, 1), 2: (12, 1)}
