@@ -184,7 +184,10 @@ EXTENDED = [
     # 8-bit scalar quantization: ADC search + error audit
     "quantized_knn_embeddings",
     "quantization_error_embeddings",
-    "best_match_parts",
+    # best_match_parts is NOT benched at sf0.1 (17s): its d=2 candidate
+    # volume inherits the fuzzy_pairs_parts fixture property (tiny name
+    # vocabulary -> ~5.5M candidates); the RESULT is bounded (one row
+    # per left part) and correctness stays gated at sf0.001 + sf0.01.
 ]
 
 RUNS_PER_QUERY = 3
