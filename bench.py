@@ -188,6 +188,8 @@ EXTENDED = [
     # volume inherits the fuzzy_pairs_parts fixture property (tiny name
     # vocabulary -> ~5.5M candidates); the RESULT is bounded (one row
     # per left part) and correctness stays gated at sf0.001 + sf0.01.
+    # 2-D Pareto frontier via sample-sort suffix-max carry
+    "skyline_parts",
 ]
 
 RUNS_PER_QUERY = 3

@@ -488,3 +488,86 @@ def global_running_sum(
     )
     local = F.sum(F.coalesce(F.col(value_col).cast("bigint"), F.lit(0))).over(w)
     return m.select(*df.columns, (off + local).alias(out_col))
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int | None = None,
+    sample_per_bucket: int = 128,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows no other row dominates,
+    where b dominates a iff b.x >= a.x AND b.y >= a.y AND b is strictly
+    greater in at least one — the "best trade-off" preference query
+    (price vs quality, latency vs recall). Both columns are MAXIMIZED;
+    pass a negated expression to minimize one. Exact duplicates of a
+    frontier point all survive; rows with a NULL coordinate neither
+    join nor dominate (filtered out, SQL comparison semantics).
+
+    Textbook skylines sort once and sweep — a single-partition global
+    window, the canonical 100 TB anti-pattern. This is the sample-sort
+    restatement (the ``global_running_sum`` machinery): survivors are
+    exactly the rows with ``y == E(x)`` and ``y > M(x)``, where E(x) =
+    max y at the same x (one aggregate) and M(x) = max y over all
+    strictly-greater x — an exclusive SUFFIX max computed as
+    per-x-bucket windows plus a driver-side cross-bucket carry
+    (≤ n_buckets values, map-literal lookup, no global window, no
+    join for the carry). One shuffle for E, one for the bucket window,
+    one semi-join back.
+    """
+    from pyspark.sql import Window
+
+    keys = [x_col]
+    x, y = F.col(x_col), F.col(y_col)
+    clean = df.filter(x.isNotNull() & y.isNotNull())
+    agg = clean.groupBy(x_col).agg(F.max(y_col).alias("__e__"))
+    m = _bucketed(agg, keys, n_buckets, sample_per_bucket)
+    # cross-bucket carry: exclusive suffix max of per-bucket max(E),
+    # walking buckets top-down on the driver (bounded collect)
+    per_bucket = sorted(
+        (
+            (r["__bkt__"], r["s"])
+            for r in m.groupBy("__bkt__")
+            .agg(F.max("__e__").alias("s"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    carry: dict[int, object] = {}
+    acc = None
+    for bkt, s in per_bucket:
+        carry[bkt] = acc
+        if s is not None and (acc is None or s > acc):
+            acc = s
+    with_carry = {b: c for b, c in carry.items() if c is not None}
+    if with_carry:
+        lookup = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(int(b)) for b in with_carry]),
+                F.array(*[F.lit(c) for c in with_carry.values()]),
+            ),
+            F.col("__bkt__"),
+        )
+    else:
+        lookup = F.lit(None)
+    # within-bucket exclusive suffix max over x DESC (x is unique in the
+    # aggregated relation, so equal-x leakage into the window is
+    # impossible); F.greatest skips NULLs, so the top bucket's missing
+    # carry and the first row's empty window both behave
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix = F.greatest(F.max("__e__").over(w), lookup)
+    sky = (
+        m.withColumn("__m__", suffix)
+        .filter(F.col("__m__").isNull() | (F.col("__e__") > F.col("__m__")))
+        .select(x_col, "__e__")
+    )
+    return clean.join(
+        sky,
+        (clean[x_col] == sky[x_col]) & (clean[y_col] == sky["__e__"]),
+        "left_semi",
+    )

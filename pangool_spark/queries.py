@@ -6613,6 +6613,42 @@ def best_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skyline_parts",
+    """
+    WITH t AS (
+      SELECT p_partkey, p_size,
+             -CAST(round(p_retailprice * 100) AS BIGINT) AS neg_cents
+      FROM part
+    )
+    SELECT p_partkey, p_size, neg_cents FROM t a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t b
+      WHERE b.p_size >= a.p_size AND b.neg_cents >= a.neg_cents
+        AND (b.p_size > a.p_size OR b.neg_cents > a.neg_cents)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — max size at min price (price negated
+    into cents; both axes maximized): the preference query answered
+    WITHOUT a global sort window — per-x max + sample-sort bucket
+    windows + a driver-side suffix-max carry (map-literal, no join).
+    Oracle is the independent NOT EXISTS dominance formulation.
+    5 / 4 frontier rows at the driver scales. See
+    ``partitioning.skyline_2d``."""
+    from pangool_spark.operators.partitioning import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        (-F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+            "neg_cents"
+        ),
+    )
+    return skyline_2d(part, "p_size", "neg_cents")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
