@@ -190,6 +190,8 @@ EXTENDED = [
     # per left part) and correctness stays gated at sf0.001 + sf0.01.
     # 2-D Pareto frontier via sample-sort suffix-max carry
     "skyline_parts",
+    # ANN eval harness: recall@5 of 8-bit ADC vs exact brute force
+    "ann_recall_embeddings",
 ]
 
 RUNS_PER_QUERY = 3

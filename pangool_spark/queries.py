@@ -6649,6 +6649,79 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(part, "p_size", "neg_cents")
 
 
+@query(
+    "ann_recall_embeddings",
+    f"""
+    WITH {_SQ_BOUNDS_SQL},
+    recon AS (
+      SELECT vec_id, list({_SQ_RECON_SQL} ORDER BY d) AS r
+      FROM e, b GROUP BY vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.r)
+                          DESC, c.vec_id ASC) AS rank
+        FROM embeddings q JOIN recon c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rank <= 5
+    )
+    SELECT x.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) / 5.0 AS recall
+    FROM exact x LEFT JOIN adc a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY 1
+    """,
+)
+def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN EVAL harness: recall@5 of the 8-bit ADC search against
+    the exact brute-force ranking, per query — the measurement that
+    justifies (or vetoes) a compressed index at scale. Both rankings
+    are the already-oracled decision contracts; the oracle recomputes
+    both and intersects. Output (query_id, n_hits, recall)."""
+    from pangool_spark.operators.similarity import (
+        knn_bruteforce,
+        quantized_knn,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    adc = quantized_knn(emb, queries_df, k=5).select(
+        F.col("query_id").alias("__aq__"), F.col("neighbor_id").alias("__an__")
+    )
+    return (
+        exact.join(
+            adc,
+            (exact["query_id"] == adc["__aq__"])
+            & (exact["neighbor_id"] == adc["__an__"]),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__an__").alias("n_hits"),
+            (F.count("__an__") / F.lit(5.0)).alias("recall"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
