@@ -455,9 +455,13 @@ def stream_ewma(
         import pandas as pd
 
         n, acc = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(list(order_cols))
-            for x in pdf[value_col].astype(float):
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks in shuffle
+        # order — sorting each chunk alone folds out of order (measured
+        # under load); materialize the batch (bounded per key) and sort ONCE
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            batch = pd.concat(frames).sort_values(list(order_cols))
+            for x in batch[value_col].astype(float):
                 acc = x if n == 0 else alpha * x + beta * acc
                 n += 1
         state.update((n, float(acc)))
