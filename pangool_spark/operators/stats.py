@@ -345,3 +345,90 @@ def winsorize(
         *df.columns,
         F.least(F.greatest(y, F.col("__lo__")), F.col("__hi__")).alias(out_col),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test (unequal variances) — the A/B
+    experiment readout, reduced to the same one-pass algebraic-sum shape
+    as ``grouped_linreg``: per (group, arm) we need only n, Σx, Σx², so
+    the whole test is ONE partial-combined aggregate over the metric
+    table, a handful of scalar doubles per experiment after it.
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    Rows whose arm is neither ``arm_a`` nor ``arm_b`` or whose value is
+    NULL are ignored. Groups where either arm has n < 2 or the pooled
+    standard error is 0 emit NULL t/df (no test exists).
+
+    Engine-portable when ``value_col`` is integer-typed (rescale the
+    metric to cents/millis first): the three sums per arm are exact
+    int64, and the t/df formulas are a fixed chain of IEEE double ops
+    (each division/multiply/sqrt exactly rounded), so the statistics
+    hash-match cross-engine bit-for-bit — write the SAME expression
+    order in any oracle. Fractional inputs fall back to
+    decimal(38,12) sums: deterministic within Spark, rows-only across
+    engines (module docstring).
+
+    The 100 TB shape: one shuffle keyed by the group columns with full
+    map-side combine — arm conditionals are projections, never a second
+    pass; no window, no per-key collect.
+
+    Output: (*group_cols, n_a, n_b, mean_a, mean_b, t_stat, df_w).
+    """
+    if not group_cols:
+        raise ValueError("welch_ttest needs at least one group column")
+    if arm_a == arm_b:
+        raise ValueError("arm_a and arm_b must differ")
+    types = dict(df.dtypes)
+    if arm_col not in types or value_col not in types:
+        raise ValueError(f"missing column: {arm_col!r} or {value_col!r}")
+    exact = types[value_col] in _INT_TYPES
+    sum_t = "bigint" if exact else "decimal(38,12)"
+    x = F.col(value_col) if exact else F.col(value_col).cast("double")
+    in_a = (F.col(arm_col) == F.lit(arm_a)) & x.isNotNull()
+    in_b = (F.col(arm_col) == F.lit(arm_b)) & x.isNotNull()
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.sum(F.when(in_a, x).cast(sum_t)).cast("double").alias("__sa__"),
+        F.sum(F.when(in_b, x).cast(sum_t)).cast("double").alias("__sb__"),
+        F.sum(F.when(in_a, x * x).cast(sum_t)).cast("double").alias("__saa__"),
+        F.sum(F.when(in_b, x * x).cast(sum_t)).cast("double").alias("__sbb__"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa, sb = F.col("__sa__"), F.col("__sb__")
+    saa, sbb = F.col("__saa__"), F.col("__sbb__")
+    # every sub-expression below is re-stated (not bound to a python var
+    # reused across columns) so the oracle can mirror the exact op order
+    va = (saa - sa * sa / na) / (na - F.lit(1.0))
+    vb = (sbb - sb * sb / nb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0.0)
+    t = F.when(ok, (sa / na - sb / nb) / F.sqrt(se2))
+    df_w = F.when(
+        ok,
+        (se2 * se2)
+        / (
+            (va / na) * (va / na) / (na - F.lit(1.0))
+            + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") >= 1, sa / na).alias("mean_a"),
+        F.when(F.col("n_b") >= 1, sb / nb).alias("mean_b"),
+        t.alias("t_stat"),
+        df_w.alias("df_w"),
+    )

@@ -6777,6 +6777,72 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segmented
 
 
+@query(
+    "welch_ab_events",
+    """
+    WITH m AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647) % 2 AS arm,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             COUNT(CASE WHEN arm = 0 AND cents IS NOT NULL THEN 1 END) AS n_a,
+             COUNT(CASE WHEN arm = 1 AND cents IS NOT NULL THEN 1 END) AS n_b,
+             CAST(CAST(SUM(CASE WHEN arm = 0 THEN cents END) AS BIGINT)
+                  AS DOUBLE) AS sa,
+             CAST(CAST(SUM(CASE WHEN arm = 1 THEN cents END) AS BIGINT)
+                  AS DOUBLE) AS sb,
+             CAST(CAST(SUM(CASE WHEN arm = 0 THEN cents * cents END)
+                  AS BIGINT) AS DOUBLE) AS saa,
+             CAST(CAST(SUM(CASE WHEN arm = 1 THEN cents * cents END)
+                  AS BIGINT) AS DOUBLE) AS sbb
+      FROM m GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type, n_a, n_b, sa, sb,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             (saa - sa * sa / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+             (sbb - sb * sb / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+      FROM g
+    ),
+    s AS (SELECT *, va / nad + vb / nbd AS se2 FROM v)
+    SELECT event_type, n_a, n_b,
+           CASE WHEN n_a >= 1 THEN sa / nad END AS mean_a,
+           CASE WHEN n_b >= 1 THEN sb / nbd END AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+                THEN (sa / nad - sb / nbd) / sqrt(se2) END AS t_stat,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+                THEN (se2 * se2)
+                     / ((va / nad) * (va / nad) / (nad - 1.0)
+                        + (vb / nbd) * (vb / nbd) / (nbd - 1.0)) END AS df_w
+    FROM s
+    """,
+)
+def welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch two-sample A/B test — arms assigned by the
+    portable user-id hash parity (``base_hash_31 % 2``, the
+    deterministic experiment-bucketing everyone actually ships), metric
+    rescaled to exact integer cents (``FLOOR(value*100)``), so the
+    n/Σx/Σx² sums are exact int64 and the t statistic and
+    Welch–Satterthwaite df hash-match cross-engine bit-for-bit (the
+    ``grouped_linreg`` integer-path contract). One partial-combined
+    aggregate; see ``stats.welch_ttest``."""
+    from pangool_spark.operators.dedup import base_hash_31
+    from pangool_spark.operators.stats import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (base_hash_31(F.col("user_id").cast("string")) % 2).alias("arm"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return welch_ttest(ev, ["event_type"], "arm", "cents", 0, 1)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
