@@ -245,3 +245,62 @@ def ewma(
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_obs"), fold.alias(out_col)
     )
+
+
+def gaps_islands(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    out_prefix: str = "island",
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE integer positions
+    per key (active-day streaks, unbroken sequence ranges, contiguous
+    id blocks). The classic row_number trick — for distinct positions
+    sorted per key, ``pos - row_number()`` is constant exactly within a
+    consecutive run — turned into three narrow hash shuffles:
+
+        distinct (key, pos)  →  per-key window row_number
+                             →  groupBy (key, pos - rn) min/max/count
+
+    No per-key collect and no global sort: every stage is keyed by the
+    group columns (plus the run id), so a key's data never needs to fit
+    anywhere but its own partition slice, and duplicate positions are
+    collapsed BEFORE the window (the window sees |distinct days|, not
+    |events|). Skew bound: one key's distinct positions in one task —
+    the same bound any per-key sessionization already accepts.
+
+    ``seq_col`` must be integer-typed (rescale dates to epoch days
+    first); rows with NULL key or position are dropped (no run
+    membership is defined for them).
+
+    Output: (*keys, <prefix>_start, <prefix>_end, <prefix>_len) with
+    start/end as BIGINT positions and len = end - start + 1 distinct
+    positions. Engine-portable end-to-end: integer arithmetic only.
+    """
+    if not keys:
+        raise ValueError("gaps_islands needs at least one key column")
+    types = dict(df.dtypes)
+    if types.get(seq_col) not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"seq_col {seq_col!r} must be integer-typed, got "
+            f"{types.get(seq_col)!r} — rescale dates to epoch days first"
+        )
+    kc = [F.col(k) for k in keys]
+    pos = F.col(seq_col).cast("bigint")
+    keep = pos.isNotNull()
+    for k in kc:
+        keep = keep & k.isNotNull()
+    d = df.filter(keep).select(*kc, pos.alias("__pos__")).distinct()
+    w = Window.partitionBy(*keys).orderBy("__pos__")
+    runs = d.withColumn(
+        "__grp__", F.col("__pos__") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(*keys, "__grp__")
+        .agg(
+            F.min("__pos__").alias(f"{out_prefix}_start"),
+            F.max("__pos__").alias(f"{out_prefix}_end"),
+            F.count(F.lit(1)).alias(f"{out_prefix}_len"),
+        )
+        .drop("__grp__")
+    )

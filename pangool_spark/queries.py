@@ -6843,6 +6843,52 @@ def welch_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(ev, ["event_type"], "arm", "cents", 0, 1)
 
 
+@query(
+    "active_streaks_events",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS BIGINT) AS streak_start,
+           CAST(MAX(day) AS BIGINT) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM r GROUP BY user_id, day - rn
+    """,
+)
+def active_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active-day streaks — gaps-and-islands over the event
+    calendar (maximal runs of consecutive active days, the retention
+    metric behind "7-day streak" badges). Dates are rescaled to epoch
+    days so the whole chain is integer arithmetic: distinct
+    (user, day) → per-key row_number → group on ``day − rn``; full
+    value oracle. Non-vacuous at both driver scales (streak lengths
+    1…30). See ``windows.gaps_islands``."""
+    from pangool_spark.operators.windows import gaps_islands
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    out = gaps_islands(ev, ["user_id"], "day", out_prefix="streak")
+    return out.select(
+        "user_id",
+        F.col("streak_start").cast("bigint"),
+        F.col("streak_end").cast("bigint"),
+        F.col("streak_len").cast("bigint"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
