@@ -344,3 +344,59 @@ def cascade_delete(
             )
         report = row if report is None else report.unionByName(row)
     return survivors, report
+
+
+def join_view_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    left_on,
+    right_on,
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view under INSERT-ONLY
+    deltas on both sides — the join analog of ``grouping.agg_state``:
+    instead of recomputing (L∪ΔL)⋈(R∪ΔR), emit only the NEW view rows
+
+        ΔV  =  ΔL⋈R  ∪  L⋈ΔR  ∪  ΔL⋈ΔR
+
+    which is exact (not approximate) for inserts: a joined pair is new
+    iff at least one of its two rows is new, and the three terms
+    partition those pairs by WHICH side is new — so the union needs no
+    dedup and multiset semantics are preserved. Updates/deletes go
+    through ``merge_upsert``/``cascade_delete`` first; feeding a delta
+    that overlaps its base double-counts (caller contract, as with
+    ``agg_state`` merges).
+
+    The 100 TB shape: every term is delta-sized on at least one side —
+    a daily Δ joining the big base relation broadcasts (or
+    runtime-filters, cf. ``joins.bloom_prune_join``) the delta, so the
+    maintenance cost is |Δ|·fan-out, never |base|⋈|base|. AQE picks
+    broadcast automatically for small deltas; the base relations are
+    scanned at most once each.
+
+    Schemas must line up pairwise (base/delta of a side identical).
+    Output: joined rows (all left columns then all right columns), the
+    same shape a full recompute of the view would produce.
+    """
+    lcols, rcols = _cols(left_on), _cols(right_on)
+    if len(lcols) != len(rcols):
+        raise ValueError("left_on and right_on must have the same length")
+    if base_left.columns != delta_left.columns:
+        raise ValueError("base_left and delta_left schemas differ")
+    if base_right.columns != delta_right.columns:
+        raise ValueError("base_right and delta_right schemas differ")
+    overlap = set(base_left.columns) & set(base_right.columns)
+    if overlap:
+        raise ValueError(f"join sides share column names: {sorted(overlap)}")
+
+    def term(lf: DataFrame, rf: DataFrame) -> DataFrame:
+        return lf.join(rf, _eq(lf, rf, lcols, rcols), "inner").select(
+            *[lf[c] for c in lf.columns], *[rf[c] for c in rf.columns]
+        )
+
+    return (
+        term(delta_left, base_right)
+        .unionByName(term(base_left, delta_right))
+        .unionByName(term(delta_left, delta_right))
+    )

@@ -6889,6 +6889,54 @@ def active_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_view_delta_orders",
+    """
+    WITH lb AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                WHERE o_orderkey % 3 <> 0),
+         ld AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                WHERE o_orderkey % 3 = 0),
+         rb AS (SELECT c_custkey, c_name FROM customer
+                WHERE c_custkey % 2 = 0),
+         rd AS (SELECT c_custkey, c_name FROM customer
+                WHERE c_custkey % 2 = 1),
+         new_v AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+           FROM (SELECT * FROM lb UNION ALL SELECT * FROM ld) o
+           JOIN (SELECT * FROM rb UNION ALL SELECT * FROM rd) c
+             ON o.o_custkey = c.c_custkey
+         ),
+         old_v AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+           FROM lb o JOIN rb c ON o.o_custkey = c.c_custkey
+         )
+    SELECT * FROM new_v EXCEPT SELECT * FROM old_v
+    """,
+)
+def join_view_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of the orders⋈customer join under
+    insert-only deltas on BOTH sides (orders split on orderkey%3,
+    customers on custkey%2): the engine computes only the three
+    delta-sized terms ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR, the oracle recomputes the
+    full view and EXCEPTs the old one — equality proves the delta
+    algebra exact (orderkey is unique, so set EXCEPT is multiset-safe).
+    See ``upsert.join_view_delta``."""
+    from pangool_spark.operators.upsert import join_view_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return join_view_delta(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        cust.filter(F.col("c_custkey") % 2 == 1),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
