@@ -132,3 +132,105 @@ def naive_bayes_classify(
         .join(best, id_col, "left")
         .select(id_col, F.col("category").alias("predicted"))
     )
+
+
+def item_cf(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    min_co: int = 2,
+    top_k: int = 10,
+    max_user_items: "int | None" = None,
+) -> DataFrame:
+    """Item-item collaborative filtering (the classic Amazon/Linden
+    neighborhood model, arXiv cs/0306092): cosine similarity between
+    item rating vectors over the user axis,
+
+        cos(i,j) = Σ_u r_ui·r_uj / (sqrt(Σ_u r_ui²) · sqrt(Σ_u r_uj²))
+
+    keeping the ``top_k`` most similar neighbors per item among pairs
+    co-rated by ≥ ``min_co`` users.
+
+    Shape: ratings collapse to one row per (user, item) (summed — the
+    merge also makes re-fed duplicate logs idempotent-by-sum), the pair
+    dot-products come from ONE self-equi-join on the user key (never an
+    item×item matrix), and the neighbor cut is a WindowGroupLimit
+    rank-1..k heap per item. The candidate count is Σ_u c_u², bounded
+    per user, not per catalog — ``max_user_items`` drops
+    power-users above the cap (the standard blowup guard; a 100k-item
+    bot account otherwise contributes 10¹⁰ pairs). NULL users, items,
+    or ratings are dropped.
+
+    Engine-portable with integer ratings: dots and norms are exact
+    int64 sums and the cosine is ``dot / (sqrt(n_i)·sqrt(n_j))`` — a
+    fixed IEEE chain, so results value-hash cross-engine (write the
+    same op order in oracles).
+
+    Output: (item, neighbor, co_users, cosine, rank), both directions
+    of every surviving pair, rank 1..k per item by (cosine DESC,
+    neighbor ASC).
+    """
+    if min_co < 1:
+        raise ValueError(f"min_co must be >= 1, got {min_co}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    r = (
+        interactions.filter(
+            F.col(user_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(rating_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+        .agg(F.sum(F.col(rating_col).cast("bigint")).alias("r"))
+    )
+    if max_user_items is not None:
+        w = Window.partitionBy("u")
+        r = r.withColumn("__ci__", F.count(F.lit(1)).over(w)).filter(
+            F.col("__ci__") <= max_user_items
+        ).drop("__ci__")
+    norms = r.groupBy("i").agg(F.sum(F.col("r") * F.col("r")).alias("n2"))
+    a = r.select(F.col("u"), F.col("i").alias("ia"), F.col("r").alias("ra"))
+    b = r.select(F.col("u"), F.col("i").alias("ib"), F.col("r").alias("rb"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.col("ra") * F.col("rb")).alias("dot"),
+            F.count(F.lit(1)).alias("co_users"),
+        )
+        .filter(F.col("co_users") >= min_co)
+    )
+    sym = pairs.select("ia", "ib", "dot", "co_users").unionByName(
+        pairs.select(
+            F.col("ib").alias("ia"),
+            F.col("ia").alias("ib"),
+            "dot",
+            "co_users",
+        )
+    )
+    na = norms.select(F.col("i").alias("ia"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("i").alias("ib"), F.col("n2").alias("nb2"))
+    scored = (
+        sym.join(na, "ia")
+        .join(nb, "ib")
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("neighbor"),
+            "co_users",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= top_k
+    )

@@ -6937,6 +6937,65 @@ def join_view_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "item_cf_parts",
+    """
+    WITH r AS (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(SUM(CAST(FLOOR(l.l_quantity) AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT i, CAST(SUM(r * r) AS BIGINT) AS n2 FROM r GROUP BY 1),
+    pairs AS (
+      SELECT a.i AS ia, b.i AS ib,
+             CAST(SUM(a.r * b.r) AS BIGINT) AS dot,
+             COUNT(*) AS co_users
+      FROM r a JOIN r b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT ia, ib, dot, co_users FROM pairs
+      UNION ALL
+      SELECT ib, ia, dot, co_users FROM pairs
+    ),
+    sc AS (
+      SELECT s.ia AS item, s.ib AS neighbor, s.co_users,
+             CAST(s.dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+      FROM sym s JOIN norms na ON na.i = s.ia JOIN norms nb ON nb.i = s.ib
+    )
+    SELECT item, neighbor, co_users, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, neighbor ASC) AS rank
+      FROM sc
+    ) WHERE rank <= 5
+    """,
+)
+def item_cf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the purchase matrix
+    (customer×part, quantity-weighted): top-5 cosine neighbors per part
+    among pairs co-bought by ≥2 customers. Exact int64 dots/norms +
+    the fixed sqrt-product chain make every cosine hash-match
+    cross-engine; the pair stream is one self-join on the customer key
+    (Σ_u c_u² candidates, never |parts|²). See ``ml.item_cf``."""
+    from pangool_spark.operators.ml import item_cf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    return item_cf(inter, "u", "i", "q", min_co=2, top_k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
