@@ -11,7 +11,7 @@ low and convergence is checked with a cheap count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -605,3 +605,66 @@ def bfs_distances(
         dist = dist.unionByName(new)
         frontier = new.select("v")
     return dist
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al., Phys. Rev. E 76, 2007), made deterministic: every vertex
+    starts labeled with its own id, and each round every vertex adopts
+    its neighbors' most frequent label, ties broken toward the SMALLEST
+    label — no randomized visit order, so reruns and engines agree
+    bit-for-bit. ``rounds`` is FIXED (the kcore/bfs/pagerank
+    value-oracle contract: the oracle unrolls the same rounds; a
+    synchronous LPA may two-cycle on bipartite structures, which a
+    fixed cut observes rather than hides).
+
+    Not ``connected_components``: min-label propagation floods a whole
+    component with one label; frequency voting SPLITS dense regions
+    from each other — the label that wins a vertex is the one backed by
+    the most neighbors, so bridges lose to cores.
+
+    Each round is one equi-join (labels onto the symmetrized adjacency,
+    shuffled by vertex) + one count aggregate + a rank-1
+    WindowGroupLimit — all keyed by vertex id; no per-round growth, no
+    driver collect. Self-loops are dropped; vertices keep round-r−1
+    labels only through their neighbors (every graph vertex has ≥1
+    neighbor by construction).
+
+    Output: (v, label) after ``rounds`` rounds; vertices sharing a
+    label are one community.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    w = Window.partitionBy("v").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"), "label")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    return labels
