@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
@@ -431,4 +431,81 @@ def welch_ttest(
         F.when(F.col("n_b") >= 1, sb / nb).alias("mean_b"),
         t.alias("t_stat"),
         df_w.alias("df_w"),
+    )
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores per key (Page 1954) — the
+    classic drift detector: the upper chart accumulates excess above
+    ``target + slack``, the lower chart deficit below ``target −
+    slack``, both clamped at 0, alarming when either exceeds
+    ``threshold``.
+
+    The recursion ``s_i = max(0, s_{i−1} + d_i)`` is NOT computed as a
+    per-key fold: by the Lindley/reflection identity it equals
+
+        s_i = prefix_i − min(0, min_{j≤i} prefix_j)
+
+    so the whole detector is two running-sum + running-min window
+    passes over ONE per-key sort — no per-key collect, no UDF, and the
+    running state never materializes (Spark's incremental window frame
+    keeps O(1) per row). Skew bound = one key's rows in one task, the
+    same contract every per-key window op here accepts.
+
+    All inputs must be INTEGERS (rescale the metric to cents/millis):
+    prefix sums are then exact int64, making scores and alarm flags
+    engine-exact — the fully value-oracle-able path. ``order_by`` must
+    be unique per key for a deterministic series order. NULL keys or
+    values are dropped.
+
+    Output: input keys + order_by columns + (value, cusum_hi,
+    cusum_lo, alarm) per observation, scores in metric units.
+    """
+    if not keys or not order_by:
+        raise ValueError("cusum needs key and order columns")
+    if slack < 0 or threshold <= 0:
+        raise ValueError("need slack >= 0 and threshold > 0")
+    types = dict(df.dtypes)
+    ints = {"tinyint", "smallint", "int", "bigint"}
+    if types.get(value_col) not in ints:
+        raise ValueError(
+            f"value_col {value_col!r} must be integer-typed, got "
+            f"{types.get(value_col)!r} — rescale to cents/millis first"
+        )
+    keep = F.col(value_col).isNotNull()
+    for k in keys:
+        keep = keep & F.col(k).isNotNull()
+    x = F.col(value_col).cast("bigint")
+    base = df.filter(keep).select(
+        *keys, *order_by,
+        x.alias("value"),
+        (x - F.lit(int(target) + int(slack))).alias("__dh__"),
+        (F.lit(int(target) - int(slack)) - x).alias("__dl__"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = base.select(
+        *keys, *order_by, "value",
+        F.sum("__dh__").over(w).alias("__ph__"),
+        F.sum("__dl__").over(w).alias("__pl__"),
+    )
+    s_hi = F.col("__ph__") - F.least(F.lit(0), F.min("__ph__").over(w))
+    s_lo = F.col("__pl__") - F.least(F.lit(0), F.min("__pl__").over(w))
+    h = F.lit(int(threshold))
+    return pre.select(
+        *keys, *order_by, "value",
+        s_hi.alias("cusum_hi"),
+        s_lo.alias("cusum_lo"),
+        ((s_hi > h) | (s_lo > h)).alias("alarm"),
     )
