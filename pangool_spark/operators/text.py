@@ -933,3 +933,77 @@ def bpe_merges(
         "w", "n", F.replace(F.col("s"), F.lit(d), F.lit("")).alias("segmented")
     )
     return merges, segmented
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "Sequence[tuple[str, str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a TRAINED BPE merge list (``bpe_merges``'s output, or any
+    tokenizer's merge table) to encode a corpus — the other half of the
+    tokenizer lifecycle: merges are applied in RANK ORDER, each one a
+    greedy left-to-right substitution over the delimiter-wrapped symbol
+    string (the exact ``bpe_merges`` substitution contract, including
+    same-symbol runs), which is precisely how BPE encoding is defined
+    (Sennrich et al. ACL'16 §3).
+
+    The 100 TB shape: the corpus collapses to DISTINCT words first, the
+    merge chain runs once per vocabulary entry (|vocab| ≪ corpus — the
+    chain is K map-side literal replaces, no shuffle), and documents
+    re-assemble by joining words back on the token key and sorting by
+    word position — so doubling the corpus does not double the encode
+    work, only the final join. The merge list itself ships as plan
+    literals: zero broadcast state.
+
+    Output: (id_col, n_tokens, encoded) — token count after merges and
+    the space-joined token string; documents whose normalized text has
+    no tokens are absent (nothing to encode).
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    d = _BPE_D
+    for pair in merges:
+        left, right = pair
+        if not left or not right or " " in left + right or d in left + right:
+            raise ValueError(f"bad merge pair: {pair!r}")
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(normalized_tokens(text_col)).alias("pos", "w"),
+    )
+    vocab = words.select("w").distinct()
+    if vocab.filter(F.col("w").contains(d)).limit(1).count():
+        raise ValueError(
+            "corpus contains the \\x01 BPE delimiter — strip control "
+            "characters upstream"
+        )
+    s = F.rtrim(F.regexp_replace(F.col("w"), "(.)", f"{d}$1{d} "))
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{d}{left}{d} {d}{right}{d}"),
+            F.lit(f"{d}{left}{right}{d}"),
+        )
+    seg = F.replace(s, F.lit(d), F.lit(""))
+    enc = vocab.select(
+        "w",
+        seg.alias("__seg__"),
+        F.size(F.split(seg, " ")).alias("__nt__"),
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__nt__").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "__seg__"))
+                    ),
+                    lambda x: x["__seg__"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+    )

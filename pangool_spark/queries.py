@@ -7103,6 +7103,66 @@ def cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"), ("e", "r"),
+]
+
+
+def _bpe_encode_chain_sql() -> str:
+    """The bpe_encode merge chain as nested DuckDB replace() calls —
+    identical rank order and delimiter-wrapped literals as the Spark
+    side."""
+    expr = (
+        "rtrim(regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1) || ' ', "
+        "'g'))"
+    )
+    for left, right in _BPE_ENCODE_MERGES:
+        pat = (
+            f"chr(1) || '{left}' || chr(1) || ' ' || "
+            f"chr(1) || '{right}' || chr(1)"
+        )
+        rep = f"chr(1) || '{left}{right}' || chr(1)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"replace({expr}, chr(1), '')"
+
+
+@query(
+    "bpe_encode_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(norm, ' '),
+                                x -> x <> '')) AS w,
+             generate_subscripts(list_filter(string_split(norm, ' '),
+                                             x -> x <> ''), 1) AS pos
+      FROM d
+    ),
+    v AS (SELECT DISTINCT w FROM t),
+    e AS (SELECT w, {_bpe_encode_chain_sql()} AS seg FROM v)
+    SELECT t.doc_id,
+           CAST(SUM(len(string_split(e.seg, ' '))) AS BIGINT) AS n_tokens,
+           string_agg(e.seg, ' ' ORDER BY t.pos) AS encoded
+    FROM t JOIN e USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING of the documents corpus with a fixed 6-merge
+    vocabulary (th/the/an/and/in/er) — the apply half of the tokenizer
+    lifecycle: merges applied in rank order via the delimiter-wrapped
+    greedy substitution, vocabulary encoded once (distinct words), docs
+    reassembled by position. Full value oracle: DuckDB replays the
+    identical replace chain and per-doc token counts + encoded strings
+    hash-match. See ``text.bpe_encode``."""
+    from pangool_spark.operators.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _BPE_ENCODE_MERGES)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -87,3 +87,63 @@ def test_delimiter_in_corpus_raises(spark):
     df = spark.createDataFrame([("bad\x01word",)], "text string")
     with pytest.raises(ValueError, match="delimiter"):
         bpe_merges(df, n_merges=1)
+
+
+def py_encode(word, merges):
+    """Reference encoder: apply merges in rank order, each a greedy
+    left-to-right pass over the token list."""
+    t = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(t):
+            if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(t[i])
+                i += 1
+        t = out
+    return t
+
+
+def test_encode_matches_reference(spark):
+    from pangool_spark.operators.text import bpe_encode
+
+    rng = random.Random(13)
+    merges = [("a", "a"), ("b", "a"), ("aa", "b"), ("c", "aab")]
+    texts = []
+    for _ in range(40):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(1, 6))
+        ]
+        texts.append(" ".join(words))
+    texts += ["aaaa aaab caab", "  ", "b"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["encoded"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in rows:
+        words = [w for w in t.lower().split() if w]
+        if not words:
+            assert i not in got  # nothing to encode
+            continue
+        toks = [tok for w in words for tok in py_encode(w, merges)]
+        assert got[i] == (len(toks), " ".join(toks)), (i, t)
+
+
+def test_encode_guards(spark):
+    from pangool_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bpe_encode(df, [])
+    with pytest.raises(ValueError, match="bad merge pair"):
+        bpe_encode(df, [("a", "")])
+    with pytest.raises(ValueError, match="bad merge pair"):
+        bpe_encode(df, [("a b", "c")])
+    bad = spark.createDataFrame([(1, "a\x01b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_encode(bad, [("a", "b")])
