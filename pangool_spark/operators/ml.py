@@ -234,3 +234,163 @@ def item_cf(
     return scored.withColumn("rank", F.row_number().over(wk)).filter(
         F.col("rank") <= top_k
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (fixed-iteration Lloyd's) — deterministic by construction
+
+
+def _quantized(
+    df: DataFrame, id_col: str, vec_col: str, scale: int, dim: int
+) -> DataFrame:
+    """(id, q array<long>) — embedding elements FLOOR(x·scale) as exact
+    int64 coordinates. float→double cast, one exact-rounded multiply and
+    a floor are bit-identical in every engine, so the quantized grid is
+    the cross-engine contract everything downstream rides on. Rows with
+    a NULL vector or the wrong dimensionality are dropped (documented:
+    they have no position in the space)."""
+    v = F.col(vec_col)
+    return df.filter(v.isNotNull() & (F.size(v) == dim)).select(
+        F.col(id_col),
+        F.transform(
+            v, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+        ).alias("__q__"),
+    )
+
+
+def _dist2(qcol, centroid: "list[float]", dim: int):
+    """Squared euclidean distance as a FIXED left-associated chain of 2·dim
+    exact-rounded double ops — the expression order is the oracle contract
+    (same association in SQL ⇒ bit-identical doubles)."""
+    total = None
+    for d in range(dim):
+        diff = F.get(qcol, d).cast("double") - F.lit(centroid[d])
+        term = diff * diff
+        total = term if total is None else total + term
+    return total
+
+
+def _assign_expr(qcol, centroids: "list[list[float]]", dim: int):
+    """(cluster, dist2) columns: argmin over k fixed-order distance chains;
+    ties go to the LOWEST cluster index (array_position returns the first
+    match — the oracle's ORDER BY dist2, j)."""
+    darr = F.array(*[_dist2(qcol, c, dim) for c in centroids])
+    best = F.array_min(darr)
+    cluster = (F.array_position(darr, best) - 1).cast("int")
+    return cluster, best
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared euclidean over
+    the quantized grid) — the map-side, ZERO-shuffle half of k-means that
+    at 100 TB runs over the full corpus while the fit ran on a sample.
+    Centroids are plan literals. Output: (id_col, cluster int, dist2)."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    dim = len(centroids[0])
+    q = _quantized(df, id_col, vec_col, scale, dim)
+    cluster, dist2 = _assign_expr(F.col("__q__"), centroids, dim)
+    return q.select(
+        F.col(id_col), cluster.alias("cluster"), dist2.alias("dist2")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    dim: int | None = None,
+) -> "tuple[DataFrame, list[list[float]]]":
+    """Fixed-iteration Lloyd's k-means with a FULL value oracle — the
+    canonical iterative-MapReduce workload (the reference iterates by
+    resubmitting jobs, ``EX/gameoflife`` pattern) as R rounds of one
+    map-side assignment + one partial-combined aggregate.
+
+    Deterministic by construction, unlike MLlib's seeded k-means|| (see
+    ``similarity.kmeans_centroids``), so an unrolled-CTE oracle can
+    replay every round:
+
+    - coordinates are exact int64 on the FLOOR(x·scale) grid;
+    - init = the k vectors with the smallest (portable md5 hash, id) —
+      a content rule, not a partitioning accident;
+    - distances are fixed-association double chains (bit-identical
+      cross-engine); argmin ties break to the lowest cluster index;
+    - centroid update is exact integer sums ÷ count, ONE exact-rounded
+      double divide per dimension (the driver folds k·dim ints — the
+      bounded-collect contract, k rows per round); per-dim |sum| is
+      guarded < 2^53 so the int→double conversion is exact, raising
+      with the rescale instruction otherwise;
+    - an empty cluster keeps its previous centroid.
+
+    The 100 TB shape: each round is one scan + one partial-combined
+    aggregate of k·(dim+1) longs — no per-row state, no driver data
+    paths beyond k centroid rows. Fit on a ``hash_sample`` and sweep the
+    corpus once with ``kmeans_assign`` (zero shuffles) when the corpus
+    is the bottleneck. Returns ``(assignments, centroids)``: the final
+    (id, cluster, dist2) under the post-round centroids, and the
+    centroid list.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    from pangool_spark.operators.dedup import base_hash_31
+
+    if dim is None:
+        row = df.filter(F.col(vec_col).isNotNull()).select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = row["d"]
+    q = _quantized(df, id_col, vec_col, scale, dim)
+    seeds = (
+        q.select(
+            "__q__", base_hash_31(F.col(id_col).cast("string")).alias("__h__"),
+            F.col(id_col),
+        )
+        .orderBy("__h__", id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds the {len(seeds)} usable rows")
+    centroids = [[float(x) for x in r["__q__"]] for r in seeds]
+    for _ in range(iterations):
+        cluster, _d = _assign_expr(F.col("__q__"), centroids, dim)
+        sums = (
+            q.select(cluster.alias("__c__"), "__q__")
+            .groupBy("__c__")
+            .agg(
+                F.count(F.lit(1)).alias("__n__"),
+                *[
+                    F.sum(F.get("__q__", d)).alias(f"__s{d}__")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        nxt = list(centroids)
+        for r in sums:
+            s = [r[f"__s{d}__"] for d in range(dim)]
+            if any(abs(x) >= 1 << 53 for x in s):
+                raise ValueError(
+                    "per-dimension coordinate sum exceeds 2^53 — the exact "
+                    "int64→double conversion contract breaks; lower `scale` "
+                    "or fit on a sample"
+                )
+            n = r["__n__"]
+            nxt[r["__c__"]] = [float(x) / float(n) for x in s]
+        centroids = nxt
+    cluster, dist2 = _assign_expr(F.col("__q__"), centroids, dim)
+    out = q.select(F.col(id_col), cluster.alias("cluster"), dist2.alias("dist2"))
+    return out, centroids

@@ -7163,6 +7163,81 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, _BPE_ENCODE_MERGES)
 
 
+def _kmeans_oracle_sql(k: int, iterations: int, scale: int, dim: int) -> str:
+    """Unrolled-CTE replay of ``ml.kmeans_lloyd`` — every Lloyd round as
+    an assignment + sums + centroid-update CTE triple, computing the
+    exact int64 grid, portable-hash init order, fixed-association double
+    distances and the sums÷count centroid divide that the operator runs."""
+    h = (
+        "('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,8))::BIGINT "
+        "& 2147483647"
+    )
+    dist = " + ".join(
+        f"(CAST(q[{d+1}] AS DOUBLE) - c[{d+1}]) * "
+        f"(CAST(q[{d+1}] AS DOUBLE) - c[{d+1}])"
+        for d in range(dim)
+    )
+    sums = ", ".join(f"SUM(q[{d+1}]) AS s{d}" for d in range(dim))
+    upd = ", ".join(f"CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)" for d in range(dim))
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(scale)}) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY __h__, vec_id) - 1 AS INT) AS j, c
+      FROM (SELECT vec_id, {h} AS __h__,
+                   list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+            FROM q ORDER BY __h__, vec_id LIMIT {k})
+    )"""
+    ]
+    for r in range(1, iterations + 2):
+        parts.append(
+            f""",
+    a{r} AS (
+      SELECT vec_id, q, j, dist2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, j) AS rn
+      FROM (SELECT vec_id, q, j, {dist} AS dist2 FROM q, c{r-1})
+    )"""
+        )
+        if r <= iterations:
+            parts.append(
+                f""",
+    s{r} AS (SELECT j, COUNT(*) AS n, {sums} FROM a{r} WHERE rn = 1 GROUP BY j),
+    c{r} AS (
+      SELECT p.j, CASE WHEN s.j IS NULL THEN p.c ELSE [{upd}] END AS c
+      FROM c{r-1} p LEFT JOIN s{r} s ON p.j = s.j
+    )"""
+            )
+    parts.append(
+        f"""
+    SELECT vec_id, CAST(j AS INT) AS cluster, dist2
+    FROM a{iterations + 1} WHERE rn = 1
+    """
+    )
+    return "".join(parts)
+
+
+@query("kmeans_embeddings", _kmeans_oracle_sql(k=4, iterations=2, scale=1_000_000, dim=64))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embeddings corpus (k=4,
+    2 rounds, full 64 dims) with a FULL value oracle — an ITERATIVE
+    clustering algorithm whose every round (portable-hash init, exact
+    int64-grid distances, argmin tie-break, integer-sum centroid
+    updates) is replayed as unrolled DuckDB CTEs and whose per-vector
+    (cluster, dist2) doubles hash-match to the last bit. See
+    ``ml.kmeans_lloyd``."""
+    from pangool_spark.operators.ml import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, _cents = kmeans_lloyd(emb, k=4, iterations=2)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
