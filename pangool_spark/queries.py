@@ -7163,6 +7163,63 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, _BPE_ENCODE_MERGES)
 
 
+@query(
+    "link_prediction_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS apex, b AS n FROM pairs
+      UNION ALL
+      SELECT b AS apex, a AS n FROM pairs
+    ),
+    deg AS (SELECT apex AS v, count(*) AS d FROM adj GROUP BY 1),
+    wedge AS (
+      SELECT x.n AS u, y.n AS v, count(*) AS common
+      FROM adj x JOIN adj y ON x.apex = y.apex AND x.n < y.n
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT w.u, w.v, w.common FROM wedge w
+      WHERE w.common >= 3
+        AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = w.u AND p.b = w.v)
+    )
+    SELECT c.u, c.v, CAST(c.common AS BIGINT) AS common_neighbors,
+           CAST(du.d AS BIGINT) AS deg_u, CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(c.common AS DOUBLE) / CAST(du.d + dv.d - c.common AS DOUBLE)
+             AS jaccard
+    FROM cand c JOIN deg du ON du.v = c.u JOIN deg dv ON dv.v = c.v
+    ORDER BY jaccard DESC, c.u, c.v LIMIT 100
+    """,
+)
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links on the co-purchase graph (parts sharing
+    an order): non-adjacent part pairs ranked by neighborhood Jaccard,
+    with exact common-neighbor and degree counts — the recommendation
+    primitive. Full value oracle: integer counts plus one exact-rounded
+    divide per pair; deterministic (jaccard DESC, u, v) top-k. See
+    ``graph.link_prediction``."""
+    from pangool_spark.operators.graph import link_prediction
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return (
+        link_prediction(edges, min_common=3)
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(100)
+    )
+
+
 def _kmeans_oracle_sql(k: int, iterations: int, scale: int, dim: int) -> str:
     """Unrolled-CTE replay of ``ml.kmeans_lloyd`` — every Lloyd round as
     an assignment + sums + centroid-update CTE triple, computing the
