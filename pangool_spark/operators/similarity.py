@@ -738,3 +738,62 @@ def quantized_knn(
         codes, bounds, id_col=id_col, bits=bits, out_col=vec_col
     )
     return knn_bruteforce(recon, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    c: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR'09) of N
+    per-query rankings — the standard hybrid-retrieval combiner (BM25 ×
+    embedding ANN) in every modern RAG / training-data retrieval stack:
+    score(q, d) = Σ_rankers 1/(c + rank_r(q, d)), items missing from a
+    ranker simply contribute nothing.
+
+    Deterministic and fully value-oracle-able: ranks are integers, each
+    contribution is ONE exact-rounded double divide, and the per-item
+    sum folds the SORTED contribution list (the bm25 pattern) so any
+    partitioning produces bit-identical scores; final ranking breaks
+    ties on item id. The plan: one union of the (already tiny, top-k ×
+    queries) ranking relations, one partial-combined aggregate, one
+    per-query WindowGroupLimit — nothing here scales with the corpus,
+    only with Σ|rankings|.
+
+    Output: (query_col, item_col, n_rankers, rrf_score, rank).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if c <= 0:
+        raise ValueError(f"c must be > 0, got {c}")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(item_col),
+            (
+                F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+            ).alias("__contrib__"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_col, item_col).agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        F.aggregate(
+            F.sort_array(F.collect_list("__contrib__")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col).asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out

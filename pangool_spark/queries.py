@@ -7295,6 +7295,108 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "hybrid_search_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM (SELECT doc_id, {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> '')) AS t(tok)
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    sc AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+    q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             ln(1.0::DOUBLE + (sc.n - d.df_t + 0.5::DOUBLE)
+                              / (d.df_t + 0.5::DOUBLE))
+             * (tf.tf * 2.2::DOUBLE)
+             / (tf.tf + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / sc.avgdl)) AS c
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN sc
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id AS item_id, rank FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rank
+        FROM (
+          SELECT query_id, doc_id,
+                 round(list_reduce(list(c ORDER BY c), (a, b) -> a + b), 9)
+                   AS score
+          FROM contrib GROUP BY 1, 2
+        )
+      ) WHERE rank <= 10
+    ),
+    knn AS (
+      SELECT query_id, neighbor_id AS item_id, rank FROM (
+        SELECT q.vec_id AS query_id, cp.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 cp.embedding::DOUBLE[]) DESC,
+                          cp.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings cp ON q.vec_id <> cp.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rank <= 10
+    ),
+    contribs AS (
+      SELECT query_id, item_id,
+             1.0::DOUBLE / (60.0::DOUBLE + CAST(rank AS DOUBLE)) AS fc
+      FROM (SELECT * FROM bm25 UNION ALL SELECT * FROM knn)
+    ),
+    fused AS (
+      SELECT query_id, item_id, CAST(count(*) AS BIGINT) AS n_rankers,
+             list_reduce(list(fc ORDER BY fc), (a, b) -> a + b) AS rrf_score
+      FROM contribs GROUP BY 1, 2
+    )
+    SELECT query_id, item_id, n_rankers, rrf_score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, item_id ASC)
+                  AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: three query documents (doc_id < 3) searched
+    BOTH lexically (BM25 top-10 over shared corpus statistics — the
+    query doc's own tokens are the query) and semantically (exact
+    cosine kNN top-10 over the aligned embeddings), fused with
+    Reciprocal Rank Fusion (c=60) — the standard two-tower RAG /
+    eval-retrieval stack end to end. BM25 keeps the self-match (rank 1,
+    its lexical anchor); kNN excludes self by id — the fused list
+    shows both behaviors. Fully value-oracled: integer ranks, one
+    exact divide per contribution, sorted-fold scores hash-matching to
+    the last bit. See ``similarity.rrf_fuse``."""
+    from pangool_spark.operators.similarity import knn_bruteforce, rrf_fuse
+    from pangool_spark.operators.text import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_txt = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    bm25 = bm25_search(docs, queries_txt, top_k=10).select(
+        "query_id", F.col("doc_id").alias("item_id"), "rank"
+    )
+    knn = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), "rank"
+    )
+    return rrf_fuse([bm25, knn], c=60, top_k=10)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
