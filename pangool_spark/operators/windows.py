@@ -304,3 +304,80 @@ def gaps_islands(
         )
         .drop("__grp__")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alpha: float,
+    beta: float,
+    out_prefix: str = "holt",
+) -> DataFrame:
+    """Per-key Holt linear (double) exponential smoothing — ``ewma``'s
+    trend-aware sibling, the standard short-horizon forecaster:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    seeded l_0 = x_0, b_0 = 0 (trend is learned through β, so
+    single-observation keys are well-defined). One partial-agg shuffle
+    collects (order, value) structs, ``array_sort`` fixes the total
+    order, and a JVM ``aggregate`` fold with a (level, trend) struct
+    accumulator runs the coupled recursion left-to-right — per-key
+    state is the collected list (the ``ewma``/funnel bounded-history
+    contract).
+
+    Outputs are ROUNDED to 9 decimals: measured (DuckDB 1.0.0), a
+    ``list_reduce`` lambda whose accumulator elements share a compound
+    subexpression (the recomputed l_t inside b_t) evaluates with fused
+    rounding — up to ~2e-13 absolute drift over 200 steps against the
+    engine's own scalar arithmetic — so raw doubles are not a
+    cross-engine contract here (the bm25 round-9 precedent; struct
+    accumulators are outright miscomputed and must not be used in
+    oracles at all). Complements are COMPUTED as 1−α / 1−β so both
+    engines perform the same IEEE subtraction.
+
+    Output: (keys..., n_obs, <prefix>_level, <prefix>_trend,
+    <prefix>_forecast) with forecast = level + trend (h=1), rounded
+    after the unrounded add.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    ca, cb = 1.0 - alpha, 1.0 - beta
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_by], F.col(value_col).alias("__v__")
+            )
+        )
+    )
+    vals = F.transform(arr, lambda s: s["__v__"].cast("double"))
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    newl = lambda acc, x: F.lit(alpha) * x + F.lit(ca) * (acc["l"] + acc["b"])  # noqa: E731
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            newl(acc, x).alias("l"),
+            (
+                F.lit(beta) * (newl(acc, x) - acc["l"]) + F.lit(cb) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"), fold.alias("__st__")
+    )
+    st = F.col("__st__")
+    return g.select(
+        *keys,
+        "n_obs",
+        F.round(st["l"], 9).alias(f"{out_prefix}_level"),
+        F.round(st["b"], 9).alias(f"{out_prefix}_trend"),
+        F.round(st["l"] + st["b"], 9).alias(f"{out_prefix}_forecast"),
+    )
