@@ -762,3 +762,107 @@ def audio_dominant_freq(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_rms_silence(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_ms: int = 25,
+    silence_threshold: float = 1.0,
+    strict: bool = False,
+) -> DataFrame:
+    """REAL loudness + silence gating of PCM WAV payloads — the
+    voice-activity/dead-air filter an audio ingest pipeline runs before
+    anything expensive: stdlib ``wave`` decode → overall RMS level →
+    per-frame RMS over fixed ``frame_ms`` windows → the fraction of
+    frames quieter than ``silence_threshold`` (strict <). Multi-channel
+    audio averages to mono first (the ``audio_dominant_freq`` contract);
+    the trailing partial frame is ignored (documented: only complete
+    windows are gated). 8-bit PCM is unsigned per the RIFF spec
+    (midpoint 128).
+
+    Determinism note: sample values decode to exact small integers, so
+    sums of squares stay exact int64-in-float64 and the single
+    mean-divide + IEEE sqrt are exact-rounded — which is what lets the
+    catalog query value-oracle this DSP path with closed-form
+    square-wave fixtures.
+
+    Output: (id, sample_rate, n_samples, rms, n_frames, n_silent,
+    silence_fraction). Corrupt payloads yield null features
+    (``strict=True`` re-raises). Arrow-batched ``mapInPandas``; bytes
+    never leave the executor.
+    """
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("n_silent", T.LongType(), True),
+            T.StructField("silence_fraction", T.DoubleType(), True),
+        ]
+    )
+    _widths = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        nch, width, rate = (
+                            w.getnchannels(), w.getsampwidth(), w.getframerate()
+                        )
+                        n = w.getnframes()
+                        samples = np.frombuffer(
+                            w.readframes(n), dtype=_widths[width]
+                        )
+                    x = samples.astype(np.float64)
+                    if width == 1:
+                        x -= 128.0
+                    if nch > 1:
+                        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+                    if len(x) == 0:
+                        rows.append((mid, rate, 0, None, 0, 0, None))
+                        continue
+                    sq = x * x
+                    rms = float(np.sqrt(np.sum(sq) / len(x)))
+                    flen = (rate * frame_ms) // 1000
+                    if flen < 1:
+                        raise ValueError(
+                            f"frame_ms={frame_ms} is shorter than one "
+                            f"sample at {rate} Hz"
+                        )
+                    nf = len(x) // flen
+                    if nf == 0:
+                        rows.append((mid, rate, len(x), rms, 0, 0, None))
+                        continue
+                    frames = sq[: nf * flen].reshape(nf, flen)
+                    frms = np.sqrt(frames.sum(axis=1) / flen)
+                    nsil = int(np.count_nonzero(frms < silence_threshold))
+                    rows.append(
+                        (
+                            mid, rate, len(x), rms, nf, nsil,
+                            float(nsil) / float(nf),
+                        )
+                    )
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "rms",
+                    "n_frames", "n_silent", "silence_fraction",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

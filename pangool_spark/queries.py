@@ -7438,6 +7438,63 @@ def holt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "audio_silence_docs",
+    """
+    SELECT doc_id AS media_id, 8000 AS sample_rate,
+           CAST(800 AS BIGINT) AS n_samples,
+           sqrt(CAST(1000 * (1 + doc_id % 5) AS DOUBLE)
+                * CAST(1000 * (1 + doc_id % 5) AS DOUBLE) / 2.0::DOUBLE)
+             AS rms,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_silent,
+           0.5::DOUBLE AS silence_fraction
+    FROM documents
+    """,
+)
+def audio_silence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL loudness gating end-to-end: per document an 800-sample 8 kHz
+    mono WAV whose first half is digital silence and whose second half
+    is a ±A square wave (A = 1000·(1 + d mod 5), A² even) —
+    ``audio_rms_silence`` must report rms = √(A²/2) EXACTLY (integer
+    sums of squares, one exact divide, IEEE sqrt), 4 25 ms frames of
+    which exactly the 2 leading ones are silent, silence_fraction 0.5.
+    The whole decode → frame → gate path is value-oracled closed-form,
+    the ``audio_dominant_hz`` regime."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from pangool_spark.operators.multimodal import audio_rms_silence
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                a = 1000 * (1 + int(mid) % 5)
+                pcm = np.zeros(800, dtype="<i2")
+                half = np.full(400, a, dtype="<i2")
+                half[1::2] = -a
+                pcm[400:] = half
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id LONG, payload BINARY")
+    return audio_rms_silence(media, frame_ms=25, silence_threshold=1.0)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
