@@ -1007,3 +1007,42 @@ def bpe_encode(
             ).alias("encoded"),
         )
     )
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: "Sequence[tuple[str, str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The last third of the tokenizer lifecycle (train ``bpe_merges`` →
+    encode ``bpe_encode`` → NUMBER): map every encoded token to a dense
+    integer id under the canonical frequency-ranked vocabulary order
+    (corpus count DESC, token ASC — the order real tokenizers assign ids
+    in, so frequent tokens get small ids), emitting the id sequences a
+    training pipeline actually ships.
+
+    The vocabulary id assignment uses ``stable_row_ids`` (sample-sort
+    ranking) — never a global ``row_number`` window, which would
+    serialize the vocabulary through one task; everything else is one
+    token explode, one count aggregate and one join back on the token.
+
+    Output: (id_col, pos, token, token_id) — one row per token position,
+    ``pos`` 0-based within the document's encoded sequence, ids dense
+    1..|vocab|. Documents with no tokens are absent (the ``bpe_encode``
+    contract).
+    """
+    from pangool_spark.operators.partitioning import stable_row_ids
+
+    enc = bpe_encode(df, merges, id_col, text_col)
+    toks = enc.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col("encoded"), " ")).alias("pos", "token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
+    ids = stable_row_ids(
+        vocab.withColumn("__negn__", -F.col("__n__")),
+        ["__negn__", "token"],
+        id_col="token_id",
+    ).select("token", "token_id")
+    return toks.join(ids, "token").select(id_col, "pos", "token", "token_id")

@@ -7495,6 +7495,58 @@ def audio_silence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_rms_silence(media, frame_ms=25, silence_threshold=1.0)
 
 
+@query(
+    "bpe_token_ids_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(norm, ' '),
+                                x -> x <> '')) AS w,
+             generate_subscripts(list_filter(string_split(norm, ' '),
+                                             x -> x <> ''), 1) AS wpos
+      FROM d
+    ),
+    v AS (SELECT DISTINCT w FROM t),
+    e AS (SELECT w, {_bpe_encode_chain_sql()} AS seg FROM v),
+    docs_enc AS (
+      SELECT t.doc_id, string_agg(e.seg, ' ' ORDER BY t.wpos) AS encoded
+      FROM t JOIN e USING (w) GROUP BY t.doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(string_split(encoded, ' '), 1) - 1
+                  AS INT) AS pos,
+             unnest(string_split(encoded, ' ')) AS token
+      FROM docs_enc
+    ),
+    vocab AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+    ids AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS token_id
+      FROM vocab
+    )
+    SELECT toks.doc_id, toks.pos, toks.token, ids.token_id
+    FROM toks JOIN ids USING (token)
+    """,
+)
+def bpe_token_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID sequences for the documents corpus under the fixed
+    6-merge BPE vocabulary — the numbered output a training pipeline
+    ships: ids dense 1..|vocab| in frequency-ranked order (count DESC,
+    token ASC), assigned with sample-sort ``stable_row_ids`` while the
+    ORACLE deliberately runs the single-partition row_number window
+    (the ``stable_ids_orders`` regime). Every (doc, pos, token, id) row
+    hash-matches. See ``text.bpe_token_ids``."""
+    from pangool_spark.operators.text import bpe_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_ids(docs, _BPE_ENCODE_MERGES)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

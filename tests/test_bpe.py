@@ -147,3 +147,37 @@ def test_encode_guards(spark):
     bad = spark.createDataFrame([(1, "a\x01b")], "doc_id int, text string")
     with pytest.raises(ValueError, match="delimiter"):
         bpe_encode(bad, [("a", "b")])
+
+
+def test_token_ids_frequency_ranked_and_dense(spark):
+    from pangool_spark.operators.text import bpe_token_ids
+
+    texts = ["aa ab aa", "ab aa zz", "aa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [("a", "a")]
+    rows = bpe_token_ids(df, merges).collect()
+    # reference: encode each word, count tokens, rank (count desc, token)
+    from collections import Counter
+
+    def enc_word(w):
+        return ["aa" if t == "aa" else t for t in py_encode(w, merges)]
+
+    seqs = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split():
+            toks += py_encode(w, merges)
+        seqs[i] = toks
+    counts = Counter(tok for toks in seqs.values() for tok in toks)
+    ranked = sorted(counts, key=lambda t: (-counts[t], t))
+    want_id = {t: i + 1 for i, t in enumerate(ranked)}
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["pos"]] = (r["token"], r["token_id"])
+    for i, toks in seqs.items():
+        assert [got[i][p][0] for p in range(len(toks))] == toks
+        assert [got[i][p][1] for p in range(len(toks))] == [want_id[t] for t in toks]
+    ids = {r["token_id"] for r in rows}
+    assert ids == set(range(1, len(ranked) + 1))  # dense 1..|vocab|
