@@ -194,6 +194,24 @@ EXTENDED = [
     "ann_recall_embeddings",
     # BPE tokenizer training (3 unrolled merge rounds, full value oracle)
     "bpe_merges_docs",
+    # wave-7/8 additions: streaming/window/graph/ml/retrieval extensions
+    "welch_ab_events",
+    "active_streaks_events",
+    "join_view_delta_orders",
+    "item_cf_parts",
+    "lpa_communities_parts",
+    "cusum_events",
+    "bpe_encode_docs",
+    "bpe_token_ids_docs",
+    "kmeans_embeddings",
+    # link_prediction_parts is NOT benched at sf0.1 (53s): exact
+    # common-neighbor counting on the dense co-purchase graph is the
+    # inherent Theta(sum C(deg,2)) wedge stream (~8e7 rows) — the
+    # documented production path is max_apex_degree (measured 10x
+    # numbers in SCALE.md); correctness stays gated at both driver SFs.
+    "hybrid_search_docs",
+    "holt_events",
+    "audio_silence_docs",
 ]
 
 RUNS_PER_QUERY = 3

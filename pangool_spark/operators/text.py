@@ -1032,17 +1032,71 @@ def bpe_token_ids(
     1..|vocab|. Documents with no tokens are absent (the ``bpe_encode``
     contract).
     """
+    from pyspark.sql import Window
+
     from pangool_spark.operators.partitioning import stable_row_ids
 
-    enc = bpe_encode(df, merges, id_col, text_col)
-    toks = enc.select(
+    # Same merge-chain-over-distinct-words plumbing as bpe_encode, but the
+    # token stream is built DIRECTLY from per-word segmentations — never
+    # reassembled into per-document strings and re-split (measured at the
+    # 10× probe: the collect_list reassembly + resplit cost 164 s for 16M
+    # tokens; this path cuts it ~20×). Global token position = the
+    # running sum of preceding words' token counts (one per-doc window
+    # over WORDS, not tokens) + the within-word index.
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    d = _BPE_D
+    for pair in merges:
+        left, right = pair
+        if not left or not right or " " in left + right or d in left + right:
+            raise ValueError(f"bad merge pair: {pair!r}")
+    words = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col("encoded"), " ")).alias("pos", "token"),
+        F.posexplode(normalized_tokens(text_col)).alias("__wpos__", "w"),
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
+    wvocab = words.select("w").distinct()
+    if wvocab.filter(F.col("w").contains(d)).limit(1).count():
+        raise ValueError(
+            "corpus contains the \\x01 BPE delimiter — strip control "
+            "characters upstream"
+        )
+    s = F.rtrim(F.regexp_replace(F.col("w"), "(.)", f"{d}$1{d} "))
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{d}{left}{d} {d}{right}{d}"),
+            F.lit(f"{d}{left}{right}{d}"),
+        )
+    seg = F.replace(s, F.lit(d), F.lit(""))
+    enc = wvocab.select(
+        "w",
+        seg.alias("__seg__"),
+        F.size(F.split(seg, " ")).alias("__nt__"),
+    )
+    wt = words.join(enc, "w")
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__wpos__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = wt.withColumn(
+        "__base__", F.coalesce(F.sum("__nt__").over(win), F.lit(0))
+    )
+    toks = wt.select(
+        F.col(id_col),
+        F.col("__base__"),
+        F.posexplode(F.split(F.col("__seg__"), " ")).alias("__i__", "token"),
+    ).select(
+        F.col(id_col),
+        (F.col("__base__") + F.col("__i__")).cast("int").alias("pos"),
+        F.col("token"),
+    )
+    tvocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
     ids = stable_row_ids(
-        vocab.withColumn("__negn__", -F.col("__n__")),
+        tvocab.withColumn("__negn__", -F.col("__n__")),
         ["__negn__", "token"],
         id_col="token_id",
     ).select("token", "token_id")
-    return toks.join(ids, "token").select(id_col, "pos", "token", "token_id")
+    return toks.join(F.broadcast(ids), "token").select(
+        id_col, "pos", "token", "token_id"
+    )
