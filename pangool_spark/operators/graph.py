@@ -747,3 +747,78 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: "Sequence",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart from a bounded
+    SEED set — the recommendation walk ("parts customers like yours end
+    up at"): identical round structure to ``pagerank`` (one equi-join +
+    one decimal-summed partial aggregate per round, bit-identical under
+    any partitioning), but ALL teleport mass returns to the seeds —
+    rank_0 = 1/|S| on seeds, teleport = (1−d)/|S| on seeds and 0
+    elsewhere, so scores measure proximity to the seed set instead of
+    global centrality.
+
+    Seeds are plan literals (the bounded-query-set contract the kNN /
+    decontamination operators use); every seed must exist in the edge
+    list — a missing seed would silently leak walk mass, so it raises
+    instead. Dangling nodes keep the teleport-only simplification.
+    Output: (node, rank) — unreachable non-seeds legitimately hold 0.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    seed_list = sorted(set(seeds))
+    if not seed_list:
+        raise ValueError("seeds must be non-empty")
+    s = len(seed_list)
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__")).distinct()
+    nodes = (
+        e.select(F.col("__s__").alias("node"))
+        .unionByName(e.select(F.col("__d__").alias("node")))
+        .distinct()
+    )
+    n_found = nodes.filter(F.col("node").isin(seed_list)).count()
+    if n_found != s:
+        raise ValueError(
+            f"{s - n_found} seed(s) absent from the graph — teleport mass "
+            "would silently vanish; drop them explicitly"
+        )
+    outdeg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
+    links = e.join(outdeg, "__s__")
+    is_seed = F.col("node").isin(seed_list)
+    teleport = F.when(is_seed, F.lit((1.0 - damping) / s)).otherwise(F.lit(0.0))
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("rank"),
+    )
+    for i in range(iterations):
+        contrib = (
+            links.join(ranks, F.col("__s__") == F.col("node"))
+            .select(
+                F.col("__d__").alias("node"),
+                (F.col("rank") / F.col("__deg__"))
+                .cast("decimal(38,18)")
+                .alias("__c__"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c__").alias("__sum__"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                teleport
+                + F.lit(damping)
+                * F.coalesce(F.col("__sum__").cast("double"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -7547,6 +7547,64 @@ def bpe_token_ids_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_ids(docs, _BPE_ENCODE_MERGES)
 
 
+@query(
+    "ppr_supplier_part",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS d FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+    links AS (SELECT e.s, e.d, deg.deg FROM e JOIN deg ON e.s = deg.s),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node IN (1, 2, 3)
+                  THEN 1.0::DOUBLE / 3.0::DOUBLE ELSE 0.0::DOUBLE END AS rank
+      FROM nodes
+    ),
+    c1 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r0 r ON l.s = r.node GROUP BY 1
+    ),
+    r1 AS (
+      SELECT n2.node,
+             (CASE WHEN n2.node IN (1, 2, 3)
+                   THEN ((1.0::DOUBLE - 0.85::DOUBLE) / 3.0::DOUBLE)
+                   ELSE 0.0::DOUBLE END)
+               + 0.85::DOUBLE * COALESCE(CAST(c1.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c1 ON n2.node = c1.node
+    ),
+    c2 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r1 r ON l.s = r.node GROUP BY 1
+    )
+    SELECT n2.node,
+           (CASE WHEN n2.node IN (1, 2, 3)
+                 THEN ((1.0::DOUBLE - 0.85::DOUBLE) / 3.0::DOUBLE)
+                 ELSE 0.0::DOUBLE END)
+             + 0.85::DOUBLE * COALESCE(CAST(c2.csum AS DOUBLE), 0.0) AS rank
+    FROM nodes n2 LEFT JOIN c2 ON n2.node = c2.node
+    """,
+)
+def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from suppliers {1,2,3} over the bipartite
+    supplier→part graph — the random-walk-with-restart recommendation
+    score, two unrolled rounds replayed in DuckDB with the same
+    decimal-summed contributions and seed-only teleport as the global
+    ``pagerank_supplier_part`` oracle; rank doubles hash-match
+    bit-for-bit. See ``graph.personalized_pagerank``."""
+    from pangool_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+    )
+    return personalized_pagerank(edges, [1, 2, 3], iterations=2)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
