@@ -496,3 +496,36 @@ def negative_sample(
         .filter(F.col("neg_rank") <= n_neg)
         .select(user_col, item_col, "neg_rank")
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    embargo: str = "0 days",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap — the
+    time-series counterpart of ``hash_split``: rows strictly before
+    ``train_end`` are 'train', rows inside [train_end, train_end +
+    embargo) are 'embargo' (kept and labeled, NEVER silently dropped —
+    the caller decides), the rest are 'test'. The embargo purges
+    look-ahead leakage through windowed/lagged features whose horizon
+    spans the boundary (the purged-split regime of financial ML;
+    López de Prado 2018, ch. 7).
+
+    Pure row-local labeling: zero shuffles, survives any partitioning,
+    pushes down to the scan. ``train_end`` is an ISO timestamp string,
+    ``embargo`` an INTERVAL literal ('3 days', '12 hours'). Rows with
+    NULL timestamps label NULL (no temporal position).
+    """
+    ts = F.col(ts_col)
+    end = F.lit(train_end).cast("timestamp")
+    cutoff = end + F.expr(f"INTERVAL {embargo}")
+    return df.withColumn(
+        out_col,
+        F.when(ts.isNull(), F.lit(None).cast("string"))
+        .when(ts < end, F.lit("train"))
+        .when(ts < cutoff, F.lit("embargo"))
+        .otherwise(F.lit("test")),
+    )

@@ -509,3 +509,83 @@ def cusum(
         s_lo.alias("cusum_lo"),
         ((s_hi > h) | (s_lo > h)).alias("alarm"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    prior_weight: float = 20.0,
+    loo: bool = False,
+    out_col: str = "te",
+) -> DataFrame:
+    """Smoothed TARGET ENCODING of a categorical column (Micci-Barreca
+    SIGKDD Expl. 2001) — the tabular-ML feature that replaces a category
+    with the shrunk mean of the target:
+
+        enc(c) = (S_c + w·μ) / (n_c + w)
+
+    with S_c/n_c the category's target sum/count, μ the global mean and
+    ``w`` the prior weight (rare categories shrink toward μ, huge ones
+    barely move). ``loo=True`` returns PER-ROW leave-one-out encodings
+    (S_c − y_i + w·μ) / (n_c − 1 + w) — the standard anti-leakage form
+    for encoding the training split itself.
+
+    Determinism contract (the ``grouped_linreg`` lesson): ``target_col``
+    must be INTEGER-typed (rescale money to cents upstream) so S_c and
+    the global sums stay exact int64; μ and every encoding are then a
+    fixed chain of exact-rounded double ops — bit-identical in any
+    engine and under any partitioning. NULL targets are excluded from
+    sums and counts; NULL categories form their own group (they are a
+    real category in production data).
+
+    Shape: one partial-combined aggregate over categories + a one-row
+    global aggregate broadcast into the projection; ``loo`` adds one
+    broadcast-friendly join back to the rows. Output: per-category
+    (cat_col, n, sum, te) — or the input rows + ``out_col`` when
+    ``loo=True``.
+    """
+    if prior_weight < 0:
+        raise ValueError(f"prior_weight must be >= 0, got {prior_weight}")
+    t = F.col(target_col)
+    dt = dict(df.dtypes).get(target_col)
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"target_col must be integer-typed for exact sums, got {dt!r} "
+            "— rescale upstream (e.g. money to cents)"
+        )
+    rows = df.filter(t.isNotNull())
+    per_cat = rows.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(target_col).alias("sum")
+    )
+    glob = rows.agg(
+        (
+            F.sum(target_col).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__mu__")
+    )
+    w = F.lit(float(prior_weight))
+    if not loo:
+        return per_cat.crossJoin(F.broadcast(glob)).select(
+            cat_col,
+            "n",
+            "sum",
+            (
+                (F.col("sum").cast("double") + w * F.col("__mu__"))
+                / (F.col("n").cast("double") + w)
+            ).alias(out_col),
+        )
+    # null-safe equi-join: NULL categories are a real group and a plain
+    # equi-join would silently drop them from the encoding
+    pc = per_cat.withColumnRenamed(cat_col, "__cat__")
+    joined = rows.join(
+        pc, F.col(cat_col).eqNullSafe(F.col("__cat__")), "left"
+    )
+    return joined.crossJoin(F.broadcast(glob)).select(
+        *[F.col(c) for c in df.columns],
+        (
+            (
+                (F.col("sum") - t).cast("double") + w * F.col("__mu__")
+            )
+            / ((F.col("n") - F.lit(1)).cast("double") + w)
+        ).alias(out_col),
+    )

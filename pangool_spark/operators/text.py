@@ -1100,3 +1100,48 @@ def bpe_token_ids(
     return toks.join(F.broadcast(ids), "token").select(
         id_col, "pos", "token", "token_id"
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    signed: bool = True,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. ICML'09): fixed-``dim``
+    sparse count features with NO vocabulary state — index =
+    portable_hash(token) mod dim, sign = the next hash bit, value =
+    signed token count per (doc, index). The featurizer that never
+    needs a fit pass, a broadcast vocab, or a schema migration when new
+    tokens appear — which is why it is the default at 100 TB.
+
+    Portable by construction (``base_hash_31`` — md5-replicable in any
+    engine), so the whole featurization value-oracles. One map-side
+    token explode + one partial-combined aggregate; zero-row features
+    (signed counts cancelling to 0) are kept — dropping them would make
+    the feature's presence data-dependent.
+
+    Output: (id_col, idx int, value bigint), sparse — absent (doc, idx)
+    pairs are implicit zeros.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    from pangool_spark.operators.dedup import base_hash_31
+
+    toks = df.select(
+        F.col(id_col), F.explode(normalized_tokens(text_col)).alias("tok")
+    )
+    h = base_hash_31(F.col("tok"))
+    idx = (h % dim).cast("int")
+    if signed:
+        val = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+    else:
+        val = F.lit(1)
+    return (
+        toks.select(F.col(id_col), idx.alias("idx"), val.alias("__v__"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("__v__").alias("value"))
+    )

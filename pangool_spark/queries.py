@@ -7605,6 +7605,135 @@ def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(edges, [1, 2, 3], iterations=2)
 
 
+@query(
+    "temporal_split_events",
+    """
+    SELECT event_id,
+           CASE WHEN ts IS NULL THEN NULL
+                WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-20 00:00:00' + INTERVAL 3 DAY
+                  THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events
+    """,
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split of the event stream with a
+    3-day embargo after the train boundary (the purged-split regime —
+    lagged features whose horizon spans the boundary cannot leak).
+    Zero shuffles, pure row-local labeling; embargo rows are labeled,
+    never dropped. See ``sampling.temporal_split``."""
+    from pangool_spark.operators.sampling import temporal_split
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal_split(
+        ev, "ts", "2024-01-20 00:00:00", embargo="3 days"
+    ).select("event_id", "split")
+
+
+@query(
+    "hashed_features_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> ''))
+             AS t(tok)
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok),1,8))::BIGINT & 2147483647 AS hv
+      FROM toks
+    )
+    SELECT doc_id, CAST(hv % 512 AS INT) AS idx,
+           CAST(SUM(CASE WHEN (hv // 512) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS value
+    FROM h GROUP BY 1, 2
+    """,
+)
+def hashed_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick over the documents corpus: 512-dim signed
+    sparse count features with NO vocabulary state — the featurizer
+    that needs no fit pass and survives unseen tokens, portable-hashed
+    so the entire featurization (index, sign, signed counts, kept
+    zero-cancellations) hash-matches the SQL replica. See
+    ``text.hashed_features``."""
+    from pangool_spark.operators.text import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, dim=512)
+
+
+@query(
+    "target_encode_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS cat,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    g AS (
+      SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu FROM r
+    ),
+    pc AS (SELECT cat, COUNT(*) AS n, SUM(y) AS s FROM r GROUP BY 1)
+    SELECT cat AS o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS sum,
+           (CAST(s AS DOUBLE) + 20.0::DOUBLE * g.mu)
+             / (CAST(n AS DOUBLE) + 20.0::DOUBLE) AS te
+    FROM pc, g
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of order priority against the order
+    value in exact integer cents (Micci-Barreca shrinkage, w=20):
+    category sums stay exact int64 so μ and every encoding are a fixed
+    chain of exact-rounded double ops — te doubles hash-match
+    bit-for-bit. See ``stats.target_encode``."""
+    from pangool_spark.operators.stats import target_encode
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return target_encode(orders, "o_orderpriority", "cents", prior_weight=20.0)
+
+
+@query(
+    "target_encode_loo_orders",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    g AS (
+      SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu FROM r
+    ),
+    pc AS (SELECT cat, COUNT(*) AS n, SUM(y) AS s FROM r GROUP BY 1)
+    SELECT r.o_orderkey,
+           (CAST(pc.s - r.y AS DOUBLE) + 20.0::DOUBLE * g.mu)
+             / (CAST(pc.n - 1 AS DOUBLE) + 20.0::DOUBLE) AS te
+    FROM r JOIN pc ON r.cat IS NOT DISTINCT FROM pc.cat, g
+    """,
+)
+def target_encode_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ROW leave-one-out target encoding of order priority — the
+    anti-leakage form for encoding the training split itself: each
+    row's own target is excluded from its category's mean before
+    shrinkage. Every per-row te double hash-matches. See
+    ``stats.target_encode(loo=True)``."""
+    from pangool_spark.operators.stats import target_encode
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return target_encode(
+        orders, "o_orderpriority", "cents", prior_weight=20.0, loo=True
+    ).select("o_orderkey", "te")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
