@@ -212,6 +212,11 @@ EXTENDED = [
     "hybrid_search_docs",
     "holt_events",
     "audio_silence_docs",
+    "ppr_supplier_part",
+    "temporal_split_events",
+    "hashed_features_docs",
+    "target_encode_orders",
+    "target_encode_loo_orders",
 ]
 
 RUNS_PER_QUERY = 3
