@@ -1443,3 +1443,57 @@ def duplicate_spans(
     if min_len is not None:
         out = out.filter(F.col("span_len") >= min_len)
     return out
+
+
+def novelty_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    n: int = 13,
+    broadcast_reference: bool = True,
+) -> DataFrame:
+    """GRADED contamination: per document, how much of it is new —
+    novelty = 1 − |shingles ∩ reference| / |shingles| over distinct word
+    ``n``-grams. The continuous cousin of ``decontaminate``'s hard drop:
+    curation pipelines threshold or WEIGHT by novelty (dedup-aware
+    sampling, freshness scoring of a re-crawl against the previous
+    snapshot) instead of deciding at ingest.
+
+    Same scale shape as ``contamination_overlap``: the reference
+    collapses to a distinct 8-byte xxhash64 shingle set (broadcast by
+    default; ``broadcast_reference=False`` for a shuffle join when the
+    reference is itself a corpus), the membership probe is a map-side
+    LEFT join on the corpus shingle stream, and ONE partial-combined
+    aggregate produces both counts. Novelty is a single exact-rounded
+    divide + subtract. Documents whose normalized text yields no
+    shingles are absent (nothing to score).
+
+    Output: (id, n_shingles, n_seen, novelty).
+    """
+    ref_sh = shingles(
+        reference, id_col=reference.columns[0],
+        text_col=ref_text_col or text_col, n=n, hashed=True,
+    ).select("shingle").distinct().withColumn("__hit__", F.lit(1))
+    if broadcast_reference:
+        ref_sh = F.broadcast(ref_sh)
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, n=n, hashed=True)
+    return (
+        doc_sh.join(ref_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit__").alias("n_seen"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_seen",
+            (
+                F.lit(1.0)
+                - F.col("n_seen").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -270,14 +270,22 @@ def _dist2(qcol, centroid: "list[float]", dim: int):
     return total
 
 
-def _assign_expr(qcol, centroids: "list[list[float]]", dim: int):
-    """(cluster, dist2) columns: argmin over k fixed-order distance chains;
+def _with_assignment(df: DataFrame, centroids: "list[list[float]]", dim: int) -> DataFrame:
+    """df + (cluster, dist2): argmin over k fixed-order distance chains;
     ties go to the LOWEST cluster index (array_position returns the first
-    match — the oracle's ORDER BY dist2, j)."""
-    darr = F.array(*[_dist2(qcol, c, dim) for c in centroids])
-    best = F.array_min(darr)
-    cluster = (F.array_position(darr, best) - 1).cast("int")
-    return cluster, best
+    match — the oracle's ORDER BY dist2, j). The k·dim-term distance
+    array is materialized in ONE projection and the argmin reads the
+    column — writing array_min/array_position over the raw expression
+    would re-expand all k·dim terms per use and the codegen compile of
+    the duplicated tree dominated the sf0.1 wall time (measured)."""
+    out = df.withColumn(
+        "__darr__", F.array(*[_dist2(F.col("__q__"), c, dim) for c in centroids])
+    )
+    best = F.array_min(F.col("__darr__"))
+    cluster = (F.array_position(F.col("__darr__"), best) - 1).cast("int")
+    return out.withColumn("__dist2__", best).withColumn(
+        "__cluster__", cluster
+    ).drop("__darr__")
 
 
 def kmeans_assign(
@@ -295,9 +303,11 @@ def kmeans_assign(
         raise ValueError("centroids must be non-empty")
     dim = len(centroids[0])
     q = _quantized(df, id_col, vec_col, scale, dim)
-    cluster, dist2 = _assign_expr(F.col("__q__"), centroids, dim)
-    return q.select(
-        F.col(id_col), cluster.alias("cluster"), dist2.alias("dist2")
+    a = _with_assignment(q, centroids, dim)
+    return a.select(
+        F.col(id_col),
+        F.col("__cluster__").alias("cluster"),
+        F.col("__dist2__").alias("dist2"),
     )
 
 
@@ -366,9 +376,9 @@ def kmeans_lloyd(
         raise ValueError(f"k={k} exceeds the {len(seeds)} usable rows")
     centroids = [[float(x) for x in r["__q__"]] for r in seeds]
     for _ in range(iterations):
-        cluster, _d = _assign_expr(F.col("__q__"), centroids, dim)
         sums = (
-            q.select(cluster.alias("__c__"), "__q__")
+            _with_assignment(q, centroids, dim)
+            .select(F.col("__cluster__").alias("__c__"), "__q__")
             .groupBy("__c__")
             .agg(
                 F.count(F.lit(1)).alias("__n__"),
@@ -391,6 +401,9 @@ def kmeans_lloyd(
             n = r["__n__"]
             nxt[r["__c__"]] = [float(x) / float(n) for x in s]
         centroids = nxt
-    cluster, dist2 = _assign_expr(F.col("__q__"), centroids, dim)
-    out = q.select(F.col(id_col), cluster.alias("cluster"), dist2.alias("dist2"))
+    out = _with_assignment(q, centroids, dim).select(
+        F.col(id_col),
+        F.col("__cluster__").alias("cluster"),
+        F.col("__dist2__").alias("dist2"),
+    )
     return out, centroids

@@ -7734,6 +7734,39 @@ def target_encode_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "te")
 
 
+@query(
+    "novelty_docs",
+    f"""
+    WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE},
+    ref AS (SELECT DISTINCT shingle FROM grams_all WHERE doc_id % 7 = 0),
+    d AS (
+      SELECT g.doc_id, CASE WHEN r.shingle IS NOT NULL THEN 1 END AS hit
+      FROM grams_all g LEFT JOIN ref r USING (shingle)
+      WHERE g.doc_id % 7 <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(hit) AS BIGINT) AS n_seen,
+           1.0::DOUBLE - CAST(COUNT(hit) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM d GROUP BY 1
+    """,
+)
+def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination scoring: every 7th document plays the
+    already-seen reference snapshot, the rest score novelty = the
+    fraction of their distinct 3-grams the reference has never seen —
+    the continuous form of decontamination that curation pipelines
+    weight by instead of hard-dropping. Counts are exact; novelty is
+    one exact divide + subtract, hash-matching bit-for-bit. See
+    ``dedup.novelty_score``."""
+    from pangool_spark.operators.dedup import novelty_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    reference = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    return novelty_score(corpus, reference, n=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

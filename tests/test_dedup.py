@@ -538,3 +538,35 @@ def test_minhash_lsh_against_equals_self_join_cross_pairs(spark):
     short_sigs = minhash_signatures(corpus, num_hashes=32)
     with pytest.raises(Exception, match="num_hashes"):
         minhash_lsh_against(batch, short_sigs, num_hashes=64).count()
+
+
+def test_novelty_score_reference_parity(spark):
+    from pangool_spark.operators.dedup import novelty_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),       # grams: "a b c", "b c d"
+            (2, "a b c x y"),     # one seen ("a b c"), two new
+            (3, "p q r s"),       # all new
+            (4, "  "),            # no shingles -> absent
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "z a b c d z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_seen"], r["novelty"])
+        for r in novelty_score(docs, ref, n=3).collect()
+    }
+    assert got[1] == (2, 2, 0.0)                      # fully seen
+    assert got[3] == (2, 0, 1.0)                      # fully novel
+    n, s, nov = got[2]
+    assert (n, s) == (3, 1) and nov == 1.0 - 1.0 / 3.0
+    assert 4 not in got
+    # shuffle-join fallback path identical
+    got2 = {
+        r["doc_id"]: (r["n_shingles"], r["n_seen"], r["novelty"])
+        for r in novelty_score(docs, ref, n=3, broadcast_reference=False).collect()
+    }
+    assert got2 == got
