@@ -1145,3 +1145,52 @@ def hashed_features(
         .groupBy(id_col, "idx")
         .agg(F.sum("__v__").alias("value"))
     )
+
+
+def bigram_lm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """WORD-bigram language-model training — the KenLM-style counting
+    job every corpus pipeline runs (the model ``lm_perplexity`` style
+    scorers consume, but at the word level and with the model itself as
+    the output): bigram counts, prefix (first-word) continuation
+    totals, and the conditional MLE P(w₂|w₁) = n/n_prefix.
+
+    Bigrams come from an adjacent-slice ``zip_with`` over each doc's
+    normalized token array (linear per doc, never a positional
+    self-join), then ONE partial-combined aggregate per relation —
+    model size is |bigram vocab|, vanishing next to the corpus.
+    ``min_count`` prunes rare bigrams at the reduce side (counts stay
+    exact; prefix totals are computed BEFORE pruning, so probabilities
+    keep summing to ≤1 per prefix). The probability is a single
+    exact-rounded divide of exact int64 counts — fully value-oracled.
+
+    Output: (w1, w2, n, n_prefix, prob).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = normalized_tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    prefix = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n_prefix"))
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .join(prefix, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n_prefix",
+            (F.col("n").cast("double") / F.col("n_prefix").cast("double")).alias(
+                "prob"
+            ),
+        )
+    )

@@ -7767,6 +7767,40 @@ def novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_score(corpus, reference, n=3)
 
 
+@query(
+    "bigram_lm_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM d, LATERAL unnest(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    counts AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    prefix AS (SELECT w1, COUNT(*) AS n_prefix FROM bg GROUP BY 1)
+    SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+           CAST(p.n_prefix AS BIGINT) AS n_prefix,
+           CAST(c.n AS DOUBLE) / CAST(p.n_prefix AS DOUBLE) AS prob
+    FROM counts c JOIN prefix p USING (w1)
+    WHERE c.n >= 3
+    """,
+)
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram LM training over the documents corpus (min_count=3):
+    exact bigram/prefix counts and the conditional MLE probability as
+    one exact divide — the KenLM-style counting job with the model
+    relation as output, hash-matching bit-for-bit. Prefix totals are
+    computed before pruning so per-prefix probabilities stay ≤ 1. See
+    ``text.bigram_lm``."""
+    from pangool_spark.operators.text import bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm(docs, min_count=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

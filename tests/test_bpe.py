@@ -181,3 +181,43 @@ def test_token_ids_frequency_ranked_and_dense(spark):
         assert [got[i][p][1] for p in range(len(toks))] == [want_id[t] for t in toks]
     ids = {r["token_id"] for r in rows}
     assert ids == set(range(1, len(ranked) + 1))  # dense 1..|vocab|
+
+
+def test_bigram_lm_reference_parity(spark):
+    from collections import Counter
+
+    from pangool_spark.operators.text import bigram_lm
+
+    texts = ["a b a b c", "b c b", "a", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["n_prefix"], r["prob"])
+        for r in bigram_lm(df).collect()
+    }
+    bigrams = Counter()
+    prefix = Counter()
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+            prefix[a] += 1
+    want = {
+        (a, b): (n, prefix[a], float(n) / float(prefix[a]))
+        for (a, b), n in bigrams.items()
+    }
+    assert got == want
+    # per-prefix probabilities sum to 1 without pruning
+    sums = {}
+    for (a, _b), (_n, _np, p) in got.items():
+        sums[a] = sums.get(a, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+    # pruning keeps prefix totals (probs stay <= 1, not renormalized)
+    pruned = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_lm(df, min_count=2).collect()
+    }
+    assert set(pruned) == {k for k, n in bigrams.items() if n >= 2}
+    for k, r in pruned.items():
+        assert r["n_prefix"] == prefix[k[0]]
