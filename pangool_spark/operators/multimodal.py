@@ -866,3 +866,85 @@ def audio_rms_silence(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    width_col: str = "width",
+    height_col: str = "height",
+    hash_size: int = 8,
+    decoder: str = "auto",
+) -> DataFrame:
+    """Perceptual DIFFERENCE HASH (dHash) of image payloads — the
+    image-dedup primitive: nearest-neighbor resample to
+    (hash_size+1) × hash_size grayscale, emit one bit per adjacent
+    horizontal pair (left > right), pack row-major MSB-first to a hex
+    string. Near-identical images (recompression, minor crops/noise)
+    collide or differ in a few bits; exact grouping on the hash is the
+    map-side image-dedup pass, hamming banding the near-dup one.
+
+    Same decoder seam as ``resize_images`` ('raw' = real in-container
+    L8 bytes + dimensions, 'pil' = compressed codecs when importable,
+    'fake' = deterministic stub). The whole kernel is integer-exact
+    (NN sampling + comparisons), so raw-path hashes are value-oracle-able
+    with closed-form sampled positions. Output: (id, dhash hex string of
+    2·hash_size² bits / 4 chars). Corrupt/undersized payloads yield NULL.
+    """
+    if hash_size < 1:
+        raise ValueError(f"hash_size must be >= 1, got {hash_size}")
+    if decoder == "auto":
+        decoder = "pil" if image_codec_available() else "raw"
+    if decoder == "pil" and not image_codec_available():
+        raise NotImplementedError(
+            "PIL is not available; use decoder='raw' or 'fake'"
+        )
+    if decoder not in ("raw", "pil", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("dhash", T.StringType(), True),
+        ]
+    )
+    cols = [id_col, payload_col] + (
+        [width_col, height_col] if decoder == "raw" else []
+    )
+    hs = hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    payload = row[payload_col]
+                    if decoder == "pil":
+                        import io
+
+                        from PIL import Image
+
+                        with Image.open(io.BytesIO(payload)) as im:
+                            img = np.asarray(im.convert("L"), dtype=np.uint8)
+                    elif decoder == "raw":
+                        w, h = int(row[width_col]), int(row[height_col])
+                        if w < 1 or h < 1 or len(payload) < w * h:
+                            raise ValueError("undersized payload")
+                        img = np.frombuffer(payload, dtype=np.uint8)[
+                            : w * h
+                        ].reshape(h, w)
+                    else:
+                        img = _fake_decode_image(payload).astype(np.uint8)
+                    sh, sw = img.shape
+                    ys = (np.arange(hs) * sh) // hs
+                    xs = (np.arange(hs + 1) * sw) // (hs + 1)
+                    small = img[np.ix_(ys, xs)].astype(np.int16)
+                    bits = (small[:, :-1] > small[:, 1:]).flatten()
+                    rows.append(
+                        (row[id_col], bytes(np.packbits(bits)).hex())
+                    )
+                except Exception:
+                    rows.append((row[id_col], None))
+            yield pd.DataFrame(rows, columns=[id_col, "dhash"])
+
+    return df.select(*cols).mapInPandas(run, schema=out_schema)

@@ -7801,6 +7801,59 @@ def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm(docs, min_count=3)
 
 
+def _dhash_oracle_sql() -> str:
+    """Closed-form dHash over the 16×16 ASCII-byte fixture: the exact
+    nearest-neighbor sample positions (ys = y·16//8, xs = x·16//9) and
+    the row-major MSB-first bit packing replicated as generated SQL."""
+    ys = [(y * 16) // 8 for y in range(8)]
+    xs = [(x * 16) // 9 for x in range(9)]
+    byte_exprs = []
+    for r in range(8):
+        base = ys[r] * 16
+        terms = []
+        for i in range(8):
+            p1, p2 = base + xs[i] + 1, base + xs[i + 1] + 1
+            terms.append(
+                f"CASE WHEN ascii(substr(text, {p1}, 1)) > "
+                f"ascii(substr(text, {p2}, 1)) THEN {1 << (7 - i)} "
+                f"ELSE 0 END"
+            )
+        byte_exprs.append(
+            "lpad(to_hex(" + " + ".join(terms) + "), 2, '0')"
+        )
+    hex_expr = "lower(concat(" + ", ".join(byte_exprs) + "))"
+    return f"""
+    SELECT doc_id AS media_id, {hex_expr} AS dhash
+    FROM documents
+    WHERE length(text) >= 256
+      AND NOT regexp_matches(substr(text, 1, 256), '[^\\x00-\\x7F]')
+    """
+
+
+@query("image_dhash_docs", _dhash_oracle_sql())
+def image_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual image hashing end-to-end: each document's first
+    256 ASCII bytes play a 16×16 raw grayscale image; ``image_dhash``
+    NN-samples it to 9×8 and packs the 64 left>right difference bits
+    into the dedup hash. The oracle recomputes the exact sampled
+    positions and bit packing closed-form (the resize_images_raw
+    regime), so the whole decode → resample → hash path value-oracles.
+    See ``multimodal.image_dhash``."""
+    from pangool_spark.operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 256)
+        & ~F.substring("text", 1, 256).rlike("[^\\x00-\\x7F]")
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.substring("text", 1, 256), "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    return image_dhash(media, decoder="raw")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -240,3 +240,48 @@ def test_resize_images_decoder_seams(spark):
             resize_images(df, (4, 4), decoder="pil").collect()
     with _pytest.raises(ValueError):
         resize_images(df, (0, 4), decoder="raw")
+
+
+def test_image_dhash_reference_and_invariance(spark):
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import image_dhash
+
+    rng = np.random.default_rng(7)
+    w, h = 20, 12
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    rows = [
+        (1, img.tobytes(), w, h),
+        (2, img.tobytes(), w, h),            # identical image -> same hash
+        (3, (255 - img).tobytes(), w, h),     # inverted -> different hash
+        (4, b"short", w, h),                  # undersized -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, width int, height int"
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df, decoder="raw").collect()}
+    # python reference
+    hs = 8
+    ys = (np.arange(hs) * h) // hs
+    xs = (np.arange(hs + 1) * w) // (hs + 1)
+    small = img[np.ix_(ys, xs)].astype(np.int16)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    want = bytes(np.packbits(bits)).hex()
+    assert got[1] == want and got[2] == want
+    assert got[3] != got[1]
+    assert got[4] is None
+    assert len(got[1]) == 16  # 64 bits -> 16 hex chars
+
+
+def test_image_dhash_flat_image_all_zero_bits(spark):
+    import numpy as np
+
+    from pangool_spark.operators.multimodal import image_dhash
+
+    img = np.full((8, 9), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, img.tobytes(), 9, 8)],
+        "media_id long, payload binary, width int, height int",
+    )
+    got = image_dhash(df, decoder="raw").collect()[0]["dhash"]
+    assert got == "00" * 8
