@@ -7854,6 +7854,66 @@ def image_dhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(media, decoder="raw")
 
 
+@query(
+    "er_clusters_parts",
+    """
+    WITH edges AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ),
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+    ),
+    verts AS (SELECT DISTINCT u AS x FROM sym),
+    reach AS (
+      WITH RECURSIVE r(x, m) AS (
+        SELECT x, x FROM verts
+        UNION
+        SELECT e.v, r.m FROM sym e JOIN r ON e.u = r.x
+      ) SELECT x, MIN(m) AS component FROM r GROUP BY x
+    ),
+    assign AS (
+      SELECT p.p_partkey,
+             COALESCE(reach.component, p.p_partkey) AS cluster
+      FROM part p LEFT JOIN reach ON reach.x = p.p_partkey
+    ),
+    sizes AS (SELECT cluster, COUNT(*) AS n_members FROM assign GROUP BY 1)
+    SELECT a.p_partkey, a.cluster, CAST(s.n_members AS BIGINT) AS n_members
+    FROM assign a JOIN sizes s USING (cluster)
+    """,
+)
+def er_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end to end: near-identical part names
+    (Levenshtein ≤ 1 via the lossless symmetric-deletion blocking —
+    never the cross join the oracle deliberately runs) become the match
+    graph, connected components make matches TRANSITIVE (a~b, b~c ⇒ one
+    entity), every part gets its canonical cluster id (min member) and
+    the cluster size — singletons keep themselves. The composed
+    blocking → match → cluster pipeline every master-data/dedup system
+    ships, value-oracled end to end (oracle = naive cross join +
+    recursive-CTE transitive closure). See ``fuzzy.edit_distance_pairs``
+    + ``graph.connected_components``."""
+    from pangool_spark.operators.fuzzy import edit_distance_pairs
+    from pangool_spark.operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = edit_distance_pairs(part, "p_partkey", "p_name", max_d=1).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    assign = part.select("p_partkey").join(
+        cc, F.col("p_partkey") == F.col("vertex"), "left"
+    ).select(
+        "p_partkey",
+        F.coalesce(F.col("component"), F.col("p_partkey")).alias("cluster"),
+    )
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return assign.join(sizes, "cluster").select(
+        "p_partkey", "cluster", "n_members"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
