@@ -217,6 +217,12 @@ EXTENDED = [
     "hashed_features_docs",
     "target_encode_orders",
     "target_encode_loo_orders",
+    "novelty_docs",
+    "bigram_lm_docs",
+    "image_dhash_docs",
+    # er_clusters_parts is NOT benched at sf0.1: the levenshtein blocking
+    # pass dominates it exactly like the excluded fuzzy_pairs_parts
+    # (measured 53.8s at 10x, linear); correctness gated at both driver SFs.
 ]
 
 RUNS_PER_QUERY = 3
