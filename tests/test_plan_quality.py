@@ -327,3 +327,33 @@ def test_curation_pipeline_executed_shuffle_budget(spark, sf):
     shuffles = len(re.findall(r"ShuffleQueryStage", plan))
     assert shuffles <= 63, f"executed shuffle stages grew to {shuffles}"
     clear_shingle_cache(spark)
+
+
+def test_temporal_split_has_no_exchange(spark, sf):
+    from pangool_spark.operators.sampling import temporal_split
+
+    ev = load_table(spark, sf, "events")
+    q = temporal_split(ev, "ts", "2024-01-20 00:00:00", "3 days").select(
+        "event_id", "split"
+    )
+    assert "Exchange" not in _plan(q)
+
+
+def test_kmeans_assign_is_map_side(spark, sf):
+    from pangool_spark.operators.ml import kmeans_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    q = kmeans_assign(emb, [[0.0] * 64, [1000.0] * 64])
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "PushedFilters: [IsNotNull(embedding)]" in plan
+
+
+def test_hashed_features_single_partial_agg_shuffle(spark, sf):
+    from pangool_spark.operators.text import hashed_features
+
+    docs = load_table(spark, sf, "documents")
+    plan = _plan(hashed_features(docs, dim=128))
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial aggregation combines map-side before the shuffle
+    assert plan.index("HashAggregate") < plan.index("Exchange")
