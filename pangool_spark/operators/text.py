@@ -1194,60 +1194,3 @@ def bigram_lm(
             ),
         )
     )
-
-
-def chunk_documents(
-    df: DataFrame,
-    chunk_tokens: int = 128,
-    overlap: int = 32,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Split documents into OVERLAPPING token windows — the RAG/indexing
-    chunker every retrieval corpus build runs: window k starts at
-    k·(chunk_tokens − overlap); the last window is the first one whose
-    end reaches the document, so every token lands in ≥ 1 chunk, the
-    tail chunk may run short, and single-window docs emit exactly one
-    chunk. Pure integer math + one map-side ``sequence`` explode over
-    the normalized token array — zero shuffles, no per-doc state, and
-    entirely SQL-replicable (a full value oracle for the chunk
-    boundaries AND the reassembled chunk text). Documents with no
-    tokens are absent.
-
-    Output: (id_col, chunk_id int 0-based, n_tokens, chunk_text).
-    """
-    if chunk_tokens < 1:
-        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError(
-            f"overlap must be in [0, chunk_tokens), got {overlap}"
-        )
-    stride = chunk_tokens - overlap
-    toks = normalized_tokens(text_col)
-    base = df.select(F.col(id_col), toks.alias("__t__")).filter(
-        F.size("__t__") > 0
-    )
-    n = F.size("__t__")
-    # number of extra windows after the first: ceil((n - chunk)/stride),
-    # as EXACT integer math ((x - x%s)/s — the quotient is a multiple of
-    # s, so the double divide is exact at any magnitude; a plain double
-    # division could mis-floor near-integer quotients, and the SQL
-    # oracle's `//` would then disagree)
-    x = n - F.lit(chunk_tokens) + F.lit(stride - 1)
-    k = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
-        (x - x % stride) / F.lit(stride)
-    ).cast("int")
-    chunks = base.select(
-        F.col(id_col),
-        F.col("__t__"),
-        F.explode(F.sequence(F.lit(0), k)).alias("chunk_id"),
-    )
-    piece = F.slice(
-        F.col("__t__"), F.col("chunk_id") * stride + 1, chunk_tokens
-    )
-    return chunks.select(
-        F.col(id_col),
-        F.col("chunk_id"),
-        F.size(piece).alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
-    )

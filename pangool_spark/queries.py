@@ -7914,45 +7914,6 @@ def er_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "chunk_docs",
-    f"""
-    WITH d AS (
-      SELECT doc_id,
-             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
-      FROM documents
-    ),
-    base AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) > 0),
-    ks AS (
-      SELECT doc_id, t,
-             CASE WHEN n <= 64 THEN 0
-                  ELSE (n - 64 + 15) // 16 END AS k
-      FROM base
-    ),
-    c AS (
-      SELECT doc_id, t, CAST(u.i AS INT) AS chunk_id
-      FROM ks, LATERAL unnest(range(0, k + 1)) AS u(i)
-    )
-    SELECT doc_id, chunk_id,
-           len(t[chunk_id * 16 + 1 : chunk_id * 16 + 64]) AS n_tokens,
-           array_to_string(t[chunk_id * 16 + 1 : chunk_id * 16 + 64], ' ')
-             AS chunk_text
-    FROM c
-    """,
-)
-def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG chunking of the documents corpus: 64-token windows with
-    48-token overlap (stride 16); every token lands in ≥1 chunk, tail
-    chunks run short, chunk text reassembled in order. Integer-exact
-    boundaries + one map-side explode; the oracle replays both the
-    window math and the reassembled text with DuckDB list slicing. See
-    ``text.chunk_documents``."""
-    from pangool_spark.operators.text import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, chunk_tokens=64, overlap=48)
-
-
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

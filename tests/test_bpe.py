@@ -221,55 +221,3 @@ def test_bigram_lm_reference_parity(spark):
     assert set(pruned) == {k for k, n in bigrams.items() if n >= 2}
     for k, r in pruned.items():
         assert r["n_prefix"] == prefix[k[0]]
-
-
-def test_chunk_documents_reference_parity(spark):
-    import pytest
-
-    from pangool_spark.operators.text import chunk_documents
-
-    def py_chunks(toks, size, overlap):
-        stride = size - overlap
-        if not toks:
-            return []
-        n = len(toks)
-        k = 0 if n <= size else -(-(n - size) // stride)
-        return [
-            (c, toks[c * stride : c * stride + size]) for c in range(k + 1)
-        ]
-
-    texts = {
-        1: " ".join(f"w{i}" for i in range(10)),   # multi-chunk
-        2: "a b c",                                 # single short chunk
-        3: " ".join(f"x{i}" for i in range(4)),    # exactly size
-        4: " ".join(f"y{i}" for i in range(5)),    # size+1 -> 2 chunks
-        5: "",                                      # absent
-    }
-    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
-    got = {}
-    for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect():
-        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
-            r["n_tokens"], r["chunk_text"]
-        )
-    for d, t in texts.items():
-        want = py_chunks(t.split(), 4, 2)
-        if not want:
-            assert d not in got
-            continue
-        assert set(got[d]) == set(range(len(want)))
-        for c, toks in want:
-            assert got[d][c] == (len(toks), " ".join(toks))
-    # every token covered: union of chunks == original
-    for d, t in texts.items():
-        if d not in got:
-            continue
-        toks = t.split()
-        covered = set()
-        for c, (_n, txt) in got[d].items():
-            start = c * 2
-            covered.update(range(start, start + len(txt.split())))
-        assert covered == set(range(len(toks)))
-    with pytest.raises(ValueError, match="overlap"):
-        chunk_documents(df, chunk_tokens=4, overlap=4)
-    with pytest.raises(ValueError, match="chunk_tokens"):
-        chunk_documents(df, chunk_tokens=0)
