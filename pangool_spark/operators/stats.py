@@ -589,3 +589,73 @@ def target_encode(
             / ((F.col("n") - F.lit(1)).cast("double") + w)
         ).alias(out_col),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate with right-censoring — the
+    retention/churn curve: at each event time t with d_t observed events
+    among n_t at-risk subjects, S(t) = Π_{u ≤ t} (1 − d_u/n_u); censored
+    subjects (``event_col`` = 0) leave the risk set without an event.
+
+    Contract: ``duration_col`` must be integer-typed (bucket continuous
+    durations upstream — days, not timestamps) and the number of
+    DISTINCT durations bounded (calendar-bounded by construction): the
+    curve relation is tiny, so the cumulative machinery runs windows
+    over per-duration counts, never over subjects. Subjects aggregate
+    in ONE partial-combined pass; n_risk is total − exclusive running
+    count; survival is the time-ordered product of exact
+    (1 − d/n) factors folded left-to-right — a scalar double fold, so
+    the whole curve is bit-identical cross-engine (the ewma contract;
+    no exp(Σln) shortcut, which would drag libm in).
+
+    NULL durations/events are dropped. Output: one row per duration
+    with ≥1 observed event — (t, n_risk, n_events, survival).
+    """
+    dt = dict(df.dtypes).get(duration_col)
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"duration_col must be integer-typed, got {dt!r} — bucket "
+            "continuous durations upstream"
+        )
+    rows = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    per_t = rows.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("__c__"),
+        F.sum(
+            F.when(F.col(event_col).cast("int") != 0, 1).otherwise(0)
+        ).alias("n_events"),
+    )
+    total = per_t.agg(F.sum("__c__").alias("__total__"))
+    w_before = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    curve = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("__total__")
+            - F.coalesce(F.sum("__c__").over(w_before), F.lit(0)),
+        )
+        .withColumn(
+            "__f__",
+            F.lit(1.0)
+            - F.col("n_events").cast("double") / F.col("n_risk").cast("double"),
+        )
+    )
+    w_upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = curve.withColumn(
+        "survival",
+        F.aggregate(
+            F.collect_list("__f__").over(w_upto),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "survival"
+    )

@@ -7914,6 +7914,63 @@ def er_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kaplan_meier_events",
+    """
+    WITH ul AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS t,
+             CASE WHEN CAST(max(ts) AS DATE) < DATE '2024-01-28'
+                  THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY 1
+    ),
+    per_t AS (SELECT t, COUNT(*) AS c, SUM(ev) AS n_events FROM ul GROUP BY 1),
+    tot AS (SELECT SUM(c) AS total FROM per_t),
+    risk AS (
+      SELECT t, n_events,
+             tot.total - COALESCE(SUM(c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+      FROM per_t, tot
+    ),
+    curve AS (
+      SELECT t, n_events, n_risk,
+             list(1.0::DOUBLE - CAST(n_events AS DOUBLE)
+                  / CAST(n_risk AS DOUBLE)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fs
+      FROM risk
+    )
+    SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           list_reduce(fs, (a, b) -> a * b) AS survival
+    FROM curve WHERE n_events > 0
+    """,
+)
+def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve over user lifetimes (days between
+    first and last event), right-censored at users still active on
+    2024-01-28 — the churn/survival analysis classic: exact integer
+    at-risk and event counts, survival as the time-ordered product of
+    exact (1 − d/n) factors folded as a scalar double — the whole curve
+    hash-matches bit-for-bit (no exp(Σln)). See ``stats.kaplan_meier``."""
+    from pangool_spark.operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    ul = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("t"),
+        F.when(
+            F.max("ts").cast("date") < F.lit("2024-01-28").cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return kaplan_meier(ul, "t", "ev")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

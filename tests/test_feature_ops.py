@@ -116,3 +116,49 @@ def test_target_encode_type_guard(spark):
         target_encode(df, "cat", "y")
     with pytest.raises(ValueError, match="prior_weight"):
         target_encode(make_orders(spark), "cat", "y", prior_weight=-1)
+
+
+def test_kaplan_meier_reference_parity(spark):
+    from pangool_spark.operators.stats import kaplan_meier
+
+    # (duration, event): classic textbook-style small cohort
+    rows = [
+        (1, 1), (1, 1), (2, 0), (3, 1), (3, 0), (5, 1), (5, 1), (7, 0),
+        (None, 1), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "t int, ev int")
+    got = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in kaplan_meier(df, "t", "ev").collect()
+    }
+
+    def py_km(rows):
+        rows = [(t, e) for t, e in rows if t is not None and e is not None]
+        times = sorted({t for t, _e in rows})
+        total = len(rows)
+        s, out, removed = 1.0, {}, 0
+        for t in times:
+            n_risk = total - removed
+            d = sum(1 for tt, e in rows if tt == t and e)
+            c = sum(1 for tt, _e in rows if tt == t)
+            s = s * (1.0 - float(d) / float(n_risk))
+            if d > 0:
+                out[t] = (n_risk, d, s)
+            removed += c
+        return out
+
+    assert got == py_km(rows)
+    # survival is monotone nonincreasing and in (0, 1]
+    surv = [got[t][2] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= x <= 1.0 for x in surv)
+
+
+def test_kaplan_meier_type_guard(spark):
+    import pytest
+
+    from pangool_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame([(1.5, 1)], "t double, ev int")
+    with pytest.raises(ValueError, match="integer-typed"):
+        kaplan_meier(df, "t", "ev")
