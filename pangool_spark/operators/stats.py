@@ -659,3 +659,89 @@ def kaplan_meier(
     return curve.filter(F.col("n_events") > 0).select(
         "t", "n_risk", "n_events", "survival"
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC
+    A/B test beside ``welch_ab_test``: U_A counts how often an A value
+    beats a B value (ties count half), with the normal-approximation z
+    under the tie-corrected variance. Robust to the heavy-tailed metric
+    distributions where Welch's t is the wrong tool.
+
+    No global ranking pass: U is pure rank ALGEBRA over per-(group,
+    value) counts — 2·U_A = Σ_v cA(v)·(2·cumB(<v) + cB(v)), an exact
+    int64 — so the only window runs over the per-group DISTINCT-value
+    relation (``value_col`` must be integer-typed; bucket continuous
+    metrics upstream, which also gives ties real meaning). μ, the
+    tie-corrected σ and z are a fixed chain of exact-rounded double ops
+    over exact integers — bit-identical cross-engine (keep Σ(t³−t)
+    < 2^53 — bucket coarser otherwise). Arms must be 0/1 in
+    ``arm_col``; NULL arms/values are dropped; groups with an empty arm
+    or zero variance emit NULL z.
+
+    Output: (*group_cols, n_a, n_b, u_a, u_b, z).
+    """
+    if not group_cols:
+        raise ValueError("mann_whitney_u needs at least one group column")
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got "
+            f"{types.get(value_col)!r} — bucket continuous metrics upstream"
+        )
+    rows = df.filter(
+        F.col(arm_col).isin(0, 1) & F.col(value_col).isNotNull()
+    )
+    per_v = rows.groupBy(*group_cols, F.col(value_col).alias("__v__")).agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("__ca__"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("__cb__"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_v = per_v.withColumn(
+        "__cumb__", F.coalesce(F.sum("__cb__").over(w), F.lit(0))
+    )
+    t = F.col("__ca__") + F.col("__cb__")
+    agg = per_v.groupBy(*group_cols).agg(
+        F.sum("__ca__").alias("n_a"),
+        F.sum("__cb__").alias("n_b"),
+        F.sum(
+            F.col("__ca__") * (F.lit(2) * F.col("__cumb__") + F.col("__cb__"))
+        ).alias("__u2__"),
+        F.sum(t * t * t - t).alias("__ties__"),
+    )
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    n = F.col("n_a") + F.col("n_b")
+    nd = n.cast("double")
+    u_a = F.col("__u2__").cast("double") / F.lit(2.0)
+    mu = nad * nbd / F.lit(2.0)
+    var = (
+        nad
+        * nbd
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("__ties__").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0.0),
+        (u_a - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (nad * nbd - u_a).alias("u_b"),
+        z.alias("z"),
+    )

@@ -7917,13 +7917,22 @@ def er_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "kaplan_meier_events",
     """
-    WITH ul AS (
-      SELECT user_id,
-             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
-               AS t,
-             CASE WHEN CAST(max(ts) AS DATE) < DATE '2024-01-28'
-                  THEN 1 ELSE 0 END AS ev
-      FROM events GROUP BY 1
+    WITH w AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-05'
+    ),
+    f AS (SELECT user_id, min(d) AS first FROM w GROUP BY 1),
+    p AS (
+      SELECT user_id, min(d) AS firstp FROM w
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ul AS (
+      SELECT f.user_id,
+             CASE WHEN p.user_id IS NOT NULL
+                  THEN date_diff('day', f.first, p.firstp)
+                  ELSE date_diff('day', f.first, DATE '2024-01-04') END AS t,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN p USING (user_id)
     ),
     per_t AS (SELECT t, COUNT(*) AS c, SUM(ev) AS n_events FROM ul GROUP BY 1),
     tot AS (SELECT SUM(c) AS total FROM per_t),
@@ -7949,26 +7958,115 @@ def er_clusters_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kaplan_meier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan–Meier retention curve over user lifetimes (days between
-    first and last event), right-censored at users still active on
-    2024-01-28 — the churn/survival analysis classic: exact integer
-    at-risk and event counts, survival as the time-ordered product of
-    exact (1 − d/n) factors folded as a scalar double — the whole curve
-    hash-matches bit-for-bit (no exp(Σln)). See ``stats.kaplan_meier``."""
+    """Kaplan-Meier TIME-TO-CONVERSION curve: days from a user's first
+    event to their first purchase inside a truncated observation window
+    (events before 2024-01-05), users not yet converted by the window
+    end RIGHT-CENSORED at 2024-01-04 — real censoring at both driver
+    scales (2 of 15 and 18 of 150 users censored; the first cut keyed
+    on lifetime churn was VACUOUS, 0 rows, the r07 data_quality
+    lesson). Exact integer at-risk/event counts; survival is the
+    time-ordered scalar-double product fold — the whole curve
+    hash-matches bit-for-bit. See ``stats.kaplan_meier``."""
     from pangool_spark.operators.stats import kaplan_meier
 
-    ev = load_table(spark, sf_dir, "events")
-    ul = ev.groupBy("user_id").agg(
-        F.datediff(
-            F.max("ts").cast("date"), F.min("ts").cast("date")
-        ).alias("t"),
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("date") < F.lit("2024-01-05").cast("date")
+    )
+    f = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("firstp"))
+    )
+    ul = f.join(p, "user_id", "left").select(
         F.when(
-            F.max("ts").cast("date") < F.lit("2024-01-28").cast("date"), 1
+            F.col("firstp").isNotNull(),
+            F.datediff(F.col("firstp"), F.col("first")),
         )
-        .otherwise(0)
-        .alias("ev"),
+        .otherwise(
+            F.datediff(F.lit("2024-01-04").cast("date"), F.col("first"))
+        )
+        .alias("t"),
+        F.when(F.col("firstp").isNotNull(), 1).otherwise(0).alias("ev"),
     )
     return kaplan_meier(ul, "t", "ev")
+
+
+@query(
+    "mannwhitney_ab_events",
+    """
+    WITH m AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647) % 2 AS arm,
+             CAST(FLOOR(value) AS BIGINT) AS bucket
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, bucket,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+      FROM m GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, ca, cb,
+             COALESCE(SUM(cb) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cumb
+      FROM per_v
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * (2 * cumb + cb)) AS BIGINT) AS u2,
+             CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                  AS BIGINT) AS ties
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(u2 AS DOUBLE) / 2.0::DOUBLE AS u_a,
+           CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             - CAST(u2 AS DOUBLE) / 2.0::DOUBLE AS u_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+                     CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0::DOUBLE
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0::DOUBLE)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0::DOUBLE)))
+                     > 0.0
+                THEN (CAST(u2 AS DOUBLE) / 2.0::DOUBLE
+                      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / 2.0::DOUBLE)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                            / 12.0::DOUBLE
+                            * ((CAST(n_a + n_b AS DOUBLE) + 1.0::DOUBLE)
+                               - CAST(ties AS DOUBLE)
+                                 / (CAST(n_a + n_b AS DOUBLE)
+                                    * (CAST(n_a + n_b AS DOUBLE)
+                                       - 1.0::DOUBLE))))
+           END AS z
+    FROM agg
+    """,
+)
+def mannwhitney_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B per event type: users split into two arms by
+    the portable hash (the ``welch_ab_events`` assignment), event values
+    bucketed to integers (real ties), Mann–Whitney U computed as exact
+    rank algebra over per-value counts — U doubles and the
+    tie-corrected z hash-match bit-for-bit. See
+    ``stats.mann_whitney_u``."""
+    from pangool_spark.operators.dedup import base_hash_31
+    from pangool_spark.operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    m = ev.select(
+        "event_type",
+        (base_hash_31(F.col("user_id").cast("string")) % 2).alias("arm"),
+        F.floor(F.col("value")).cast("bigint").alias("bucket"),
+    )
+    return mann_whitney_u(m, ["event_type"], "arm", "bucket")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

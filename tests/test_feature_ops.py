@@ -162,3 +162,67 @@ def test_kaplan_meier_type_guard(spark):
     df = spark.createDataFrame([(1.5, 1)], "t double, ev int")
     with pytest.raises(ValueError, match="integer-typed"):
         kaplan_meier(df, "t", "ev")
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark):
+    import random
+
+    from pangool_spark.operators.stats import mann_whitney_u
+
+    rng = random.Random(41)
+    rows = []
+    for g in ("x", "y"):
+        for _ in range(120):
+            rows.append((g, rng.randint(0, 1), rng.randint(0, 9)))
+    rows += [("x", None, 3), ("x", 0, None), ("x", 2, 5)]  # dropped
+    df = spark.createDataFrame(rows, "g string, arm int, v int")
+    got = {
+        r["g"]: (r["n_a"], r["n_b"], r["u_a"], r["u_b"], r["z"])
+        for r in mann_whitney_u(df, ["g"], "arm", "v").collect()
+    }
+
+    import math
+
+    def ref(vals_a, vals_b):
+        na, nb = len(vals_a), len(vals_b)
+        u2 = 0  # 2*U_A
+        for a in vals_a:
+            for b in vals_b:
+                if a > b:
+                    u2 += 2
+                elif a == b:
+                    u2 += 1
+        from collections import Counter
+
+        ties = sum(
+            t**3 - t for t in Counter(vals_a + vals_b).values()
+        )
+        n = na + nb
+        ua = u2 / 2.0
+        mu = float(na) * float(nb) / 2.0
+        var = float(na) * float(nb) / 12.0 * (
+            (float(n) + 1.0) - float(ties) / (float(n) * (float(n) - 1.0))
+        )
+        z = (ua - mu) / math.sqrt(var) if var > 0 else None
+        return na, nb, ua, float(na) * float(nb) - ua, z
+
+    for g in ("x", "y"):
+        va = [v for gg, a, v in rows if gg == g and a == 0 and v is not None]
+        vb = [v for gg, a, v in rows if gg == g and a == 1 and v is not None]
+        assert got[g] == ref(va, vb)
+
+
+def test_mann_whitney_guards_and_degenerate(spark):
+    import pytest
+
+    from pangool_spark.operators.stats import mann_whitney_u
+
+    dbl = spark.createDataFrame([("g", 0, 1.5)], "g string, arm int, v double")
+    with pytest.raises(ValueError, match="integer-typed"):
+        mann_whitney_u(dbl, ["g"], "arm", "v")
+    # all values identical -> zero variance -> NULL z, exact U = n_a*n_b/2
+    same = spark.createDataFrame(
+        [("g", i % 2, 7) for i in range(10)], "g string, arm int, v int"
+    )
+    r = mann_whitney_u(same, ["g"], "arm", "v").collect()[0]
+    assert r["z"] is None and r["u_a"] == r["u_b"] == 12.5
