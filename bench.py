@@ -221,6 +221,7 @@ EXTENDED = [
     "bigram_lm_docs",
     "image_dhash_docs",
     "kaplan_meier_events",
+    "mannwhitney_ab_events",
     # er_clusters_parts is NOT benched at sf0.1: the levenshtein blocking
     # pass dominates it exactly like the excluded fuzzy_pairs_parts
     # (measured 53.8s at 10x, linear); correctness gated at both driver SFs.
