@@ -745,3 +745,62 @@ def mann_whitney_u(
         (nad * nbd - u_a).alias("u_b"),
         z.alias("z"),
     )
+
+
+def backtest_seasonal_naive(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_days: int = 7,
+) -> DataFrame:
+    """BACKTEST of the seasonal-naive forecaster (ŷ_t = y_{t−season}) —
+    the baseline every forecasting pipeline must beat, and the
+    evaluation harness that says so: per key, daily totals are compared
+    against their value ``season_days`` earlier, scoring MAE and bias
+    (mean signed error) over every day where both sides exist.
+
+    Exactness contract: ``value_col`` must be integer-typed (cents, not
+    dollars — the ``grouped_linreg`` rule); daily totals and error sums
+    are then exact int64 and MAE/bias are single exact-rounded divides,
+    bit-identical cross-engine. One partial-combined daily aggregate,
+    one self-equi-join on (key, day − season) — co-partitioned, no
+    window, no per-key state. NULL timestamps/values are dropped.
+
+    Output: (*group_cols, n_days, mae, bias) — keys with no comparable
+    day pairs are absent.
+    """
+    if season_days < 1:
+        raise ValueError(f"season_days must be >= 1, got {season_days}")
+    if not group_cols:
+        raise ValueError("backtest_seasonal_naive needs a group column")
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got {types.get(value_col)!r} "
+            "— rescale upstream (e.g. money to cents)"
+        )
+    rows = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    daily = rows.groupBy(
+        *group_cols, F.col(ts_col).cast("date").alias("__d__")
+    ).agg(F.sum(value_col).alias("__v__"))
+    base = daily.select(
+        *group_cols,
+        F.date_add(F.col("__d__"), season_days).alias("__d__"),
+        F.col("__v__").alias("__pred__"),
+    )
+    joined = daily.join(base, [*group_cols, "__d__"])
+    err = F.col("__v__") - F.col("__pred__")
+    agg = joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(err)).alias("__sae__"),
+        F.sum(err).alias("__se__"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_days",
+        (F.col("__sae__").cast("double") / F.col("n_days").cast("double")).alias("mae"),
+        (F.col("__se__").cast("double") / F.col("n_days").cast("double")).alias("bias"),
+    )

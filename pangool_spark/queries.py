@@ -8069,6 +8069,46 @@ def mannwhitney_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(m, ["event_type"], "arm", "bucket")
 
 
+@query(
+    "backtest_forecast_events",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.v - b.v AS err
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d = b.d + INTERVAL 7 DAY
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(CAST(SUM(ABS(err)) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mae,
+           CAST(CAST(SUM(err) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bias
+    FROM joined GROUP BY 1
+    """,
+)
+def backtest_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: daily revenue
+    cents forecast by last week's same-weekday value, scored with MAE
+    and signed bias over exact integer errors — the baseline-harness
+    every forecasting pipeline must beat, hash-matching bit-for-bit.
+    See ``stats.backtest_seasonal_naive``."""
+    from pangool_spark.operators.stats import backtest_seasonal_naive
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return backtest_seasonal_naive(
+        ev, ["event_type"], "ts", "cents", season_days=7
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

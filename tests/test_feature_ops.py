@@ -226,3 +226,36 @@ def test_mann_whitney_guards_and_degenerate(spark):
     )
     r = mann_whitney_u(same, ["g"], "arm", "v").collect()[0]
     assert r["z"] is None and r["u_a"] == r["u_b"] == 12.5
+
+
+def test_backtest_seasonal_naive_reference(spark):
+    import pytest
+
+    from pangool_spark.operators.stats import backtest_seasonal_naive
+
+    # key "a": days 1..10 with values 10*d; season 3 -> err = 30 each
+    rows = [("a", f"2024-01-{d:02d} 12:00:00", 10 * d) for d in range(1, 11)]
+    # key "b": only two days, 3 apart, two events on day 4 (sum = 9)
+    rows += [
+        ("b", "2024-01-01 00:00:00", 5),
+        ("b", "2024-01-04 06:00:00", 4),
+        ("b", "2024-01-04 18:00:00", 5),
+    ]
+    # key "c": no comparable pair -> absent; NULLs dropped
+    rows += [("c", "2024-01-01 00:00:00", 1), ("c", None, 7), ("c", "2024-01-02 00:00:00", None)]
+    df = spark.createDataFrame(rows, "k string, ts string, v long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["k"]: (r["n_days"], r["mae"], r["bias"])
+        for r in backtest_seasonal_naive(df, ["k"], "ts", "v", season_days=3).collect()
+    }
+    assert got["a"] == (7, 30.0, 30.0)
+    assert got["b"] == (1, 4.0, 4.0)  # 9 - 5
+    assert "c" not in got
+    with pytest.raises(ValueError, match="integer-typed"):
+        backtest_seasonal_naive(
+            df.withColumn("v", F.col("v").cast("double")), ["k"], "ts", "v"
+        )
+    with pytest.raises(ValueError, match="season_days"):
+        backtest_seasonal_naive(df, ["k"], "ts", "v", season_days=0)
