@@ -223,6 +223,7 @@ EXTENDED = [
     "kaplan_meier_events",
     "mannwhitney_ab_events",
     "backtest_forecast_events",
+    "vocab_coverage_docs",
     # er_clusters_parts is NOT benched at sf0.1: the levenshtein blocking
     # pass dominates it exactly like the excluded fuzzy_pairs_parts
     # (measured 53.8s at 10x, linear); correctness gated at both driver SFs.

@@ -1194,3 +1194,62 @@ def bigram_lm(
             ),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: "Sequence[int]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary COVERAGE curve — the choose-the-vocab-size analysis
+    behind every tokenizer design: for each candidate size K, the
+    fraction of all corpus token OCCURRENCES covered by the K most
+    frequent token types (the complement is the OOV rate a K-entry
+    vocabulary would pay). Token types rank by (count DESC, token ASC)
+    via sample-sort ``stable_row_ids`` — never a global window — and
+    each K is one conditional sum over the VOCAB-sized relation, so the
+    whole curve costs one corpus aggregate + one vocab pass regardless
+    of how many K values are probed.
+
+    Exact integer counts; coverage is a single exact-rounded divide.
+    Output: one row per K — (k, covered, total, coverage), K values
+    exceeding the vocabulary cover everything.
+    """
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    if any(k < 1 for k in ks):
+        raise ValueError(f"all ks must be >= 1, got {sorted(ks)}")
+    from pangool_spark.operators.partitioning import stable_row_ids
+
+    toks = df.select(F.explode(normalized_tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
+    ranked = stable_row_ids(
+        vocab.withColumn("__negn__", -F.col("__n__")),
+        ["__negn__", "token"],
+        id_col="__rank__",
+    )
+    agg = ranked.agg(
+        F.sum("__n__").alias("total"),
+        *[
+            F.sum(F.when(F.col("__rank__") <= k, F.col("__n__")).otherwise(0))
+            .alias(f"__c{i}__")
+            for i, k in enumerate(sorted(set(ks)))
+        ],
+    )
+    rows = []
+    for i, k in enumerate(sorted(set(ks))):
+        rows.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"__c{i}__").alias("covered"),
+                F.col("total").alias("total"),
+                (
+                    F.col(f"__c{i}__").cast("double")
+                    / F.col("total").cast("double")
+                ).alias("coverage"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.k", "r.covered", "r.total", "r.coverage"
+    )

@@ -8109,6 +8109,44 @@ def backtest_forecast_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_coverage_docs",
+    f"""
+    WITH toks AS (
+      SELECT t.tok AS token
+      FROM (SELECT {_NORM_SQL} AS ntext FROM documents),
+           unnest(list_filter(string_split(ntext, ' '), x -> x <> ''))
+             AS t(tok)
+    ),
+    vocab AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+      FROM vocab
+    ),
+    tot AS (SELECT SUM(n) AS total FROM ranked)
+    SELECT k, CAST(covered AS BIGINT) AS covered,
+           CAST(tot.total AS BIGINT) AS total,
+           CAST(covered AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+    FROM (
+      SELECT u.k, SUM(CASE WHEN r <= u.k THEN n ELSE 0 END) AS covered
+      FROM ranked, unnest([64, 256, 1024]) AS u(k)
+      GROUP BY 1
+    ), tot
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve over the documents corpus at candidate
+    sizes 64 / 256 / 1024 — the OOV-rate-vs-vocab-size analysis behind
+    tokenizer design: exact occurrence counts under the frequency-
+    ranked order (sample-sort ids in Spark, the window anti-pattern in
+    the oracle), coverage as one exact divide. See
+    ``text.vocab_coverage``."""
+    from pangool_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, [64, 256, 1024])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

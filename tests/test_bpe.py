@@ -221,3 +221,30 @@ def test_bigram_lm_reference_parity(spark):
     assert set(pruned) == {k for k, n in bigrams.items() if n >= 2}
     for k, r in pruned.items():
         assert r["n_prefix"] == prefix[k[0]]
+
+
+def test_vocab_coverage_reference(spark):
+    import pytest
+    from collections import Counter
+
+    from pangool_spark.operators.text import vocab_coverage
+
+    texts = ["a a a b b c", "a b d", "e"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["k"]: (r["covered"], r["total"], r["coverage"])
+        for r in vocab_coverage(df, [1, 2, 3, 100]).collect()
+    }
+    counts = Counter(t for txt in texts for t in txt.split())
+    ranked = sorted(counts, key=lambda t: (-counts[t], t))
+    total = sum(counts.values())
+    for k in (1, 2, 3, 100):
+        cov = sum(counts[t] for t in ranked[:k])
+        assert got[k] == (cov, total, float(cov) / float(total))
+    assert got[100][2] == 1.0
+    with pytest.raises(ValueError, match="ks"):
+        vocab_coverage(df, [])
+    with pytest.raises(ValueError, match=">= 1"):
+        vocab_coverage(df, [0])
