@@ -583,13 +583,22 @@ def ivf_assign(
     probe only their nearest cells — turns full scans into cell scans.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best = None
+    # argmax via array_max over (score, -cell) structs — LINEAR plan size
+    # in k. The previous nested when-chain referenced the running best
+    # TWICE per level, doubling the expression tree per centroid:
+    # invisible at the k=4 fixtures, a measured driver-heap OOM at the
+    # k=64 production sizing the 100× probe exercised. Ties keep the
+    # LOWEST cell index (the -cell field), exactly the old chain's
+    # strictly-greater-replaces semantics, so every oracle is unchanged.
+    cands = []
     for ci, cvec in enumerate(centroids):
         p = F.array(*[F.lit(float(x)) for x in cvec])
         score = _dot(v, p) / F.greatest(_norm(v) * _norm(p), F.lit(1e-12))
-        cand = F.struct(score.alias("score"), F.lit(ci).alias("cell"))
-        best = cand if best is None else F.when(cand["score"] > best["score"], cand).otherwise(best)
-    return df.withColumn(out_col, best["cell"])
+        cands.append(
+            F.struct(score.alias("score"), F.lit(-ci).alias("negcell"))
+        )
+    best = F.array_max(F.array(*cands))
+    return df.withColumn(out_col, (-best["negcell"]).cast("int"))
 
 
 def kmeans_centroids(
