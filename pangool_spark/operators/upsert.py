@@ -400,3 +400,47 @@ def join_view_delta(
         .unionByName(term(base_left, delta_right))
         .unionByName(term(delta_left, delta_right))
     )
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_col: str,
+    fields: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """SURVIVORSHIP merge — the golden-record step after entity
+    resolution (``er_clusters``): within each cluster, every field is
+    taken INDEPENDENTLY from the highest-priority row where that field
+    is non-null, so the merged record can be better than any single
+    member (name from the freshest crawl, phone from the verified one).
+    Priority = the ``order_by`` tuple, LARGER wins (orient columns
+    upstream: negate for ascending, use -age for recency); it must be a
+    total order with non-null values for a deterministic winner — the
+    field value itself is the final tie-break.
+
+    One partial-combined aggregate: each field is a guarded struct-max
+    ``max(when(field not null, struct(order…, field)))`` — per-field
+    winners without per-field joins, windows, or a second pass; NULL
+    fields simply never compete. Output: one row per cluster —
+    (cluster_col, n_members, *fields); clusters where every member has
+    NULL for a field emit NULL there.
+    """
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    if not order_by:
+        raise ValueError("order_by must be non-empty (survivorship needs "
+                         "a priority order)")
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for f in fields:
+        st = F.struct(
+            *[F.col(c) for c in order_by], F.col(f).alias("__val__")
+        )
+        aggs.append(
+            F.max(F.when(F.col(f).isNotNull(), st)).alias(f"__w_{f}__")
+        )
+    g = df.groupBy(cluster_col).agg(*aggs)
+    return g.select(
+        cluster_col,
+        "n_members",
+        *[F.col(f"__w_{f}__")["__val__"].alias(f) for f in fields],
+    )

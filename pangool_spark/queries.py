@@ -8147,6 +8147,79 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, [64, 256, 1024])
 
 
+@query(
+    "golden_record_customers",
+    """
+    WITH crawls AS (
+      SELECT c_custkey, 1 AS ver, c_name,
+             c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2 AS ver,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_name || '-v2' END AS c_name,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) + 100 END
+               AS bal_cents
+      FROM customer
+    ),
+    w AS (
+      SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_members,
+             max(CASE WHEN c_name IS NOT NULL
+                      THEN ROW(ver, c_name) END) AS wn,
+             max(CASE WHEN c_mktsegment IS NOT NULL
+                      THEN ROW(ver, c_mktsegment) END) AS ws,
+             max(CASE WHEN bal_cents IS NOT NULL
+                      THEN ROW(ver, bal_cents) END) AS wb
+      FROM crawls GROUP BY 1
+    )
+    SELECT c_custkey, n_members,
+           wn[2] AS c_name, ws[2] AS c_mktsegment, wb[2] AS bal_cents
+    FROM w
+    """,
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over a simulated re-crawl: two versions of
+    every customer (the newer one deterministically nulling some fields
+    and updating others) fuse into one golden record — each FIELD taken
+    independently from the highest-version row where it is non-null, so
+    the merged record mixes versions per field. Fully value-oracled
+    (guarded struct-max replicated as ROW max in SQL). See
+    ``upsert.golden_record``."""
+    from pangool_spark.operators.upsert import golden_record
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    v1 = cust.select("c_custkey", F.lit(1).alias("ver"), "c_name",
+                     "c_mktsegment", "bal_cents")
+    k = F.col("c_custkey")
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("ver"),
+        F.when(k % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.col("c_name"), F.lit("-v2"))
+        ).alias("c_name"),
+        F.when(k % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("c_mktsegment"),
+        F.when(k % 7 == 0, F.lit(None).cast("bigint")).otherwise(
+            F.col("bal_cents") + 100
+        ).alias("bal_cents"),
+    )
+    crawls = v1.unionByName(v2)
+    return golden_record(
+        crawls, "c_custkey",
+        ["c_name", "c_mktsegment", "bal_cents"], ["ver"],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

@@ -81,3 +81,36 @@ def test_keep_latest_and_scd2_match_python(spark, rows):
         for r in scd2_history(df, ["k"], "ts").collect()
     }
     assert hist == expected
+
+
+def test_golden_record_field_level_survivorship(spark):
+    import pytest
+
+    from pangool_spark.operators.upsert import golden_record
+
+    rows = [
+        # cluster 1: name only in v1, seg only in v2, bal in both
+        (1, 1, "alice", None, 100),
+        (1, 2, None, "AUTO", 200),
+        # cluster 2: every field NULL in the winner; falls back per field
+        (2, 1, "bob", "SEG", 50),
+        (2, 2, None, None, None),
+        # cluster 3: singleton
+        (3, 1, None, "X", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ver int, name string, seg string, bal long"
+    )
+    got = {
+        r["k"]: (r["n_members"], r["name"], r["seg"], r["bal"])
+        for r in golden_record(df, "k", ["name", "seg", "bal"], ["ver"]).collect()
+    }
+    assert got == {
+        1: (2, "alice", "AUTO", 200),  # mixed-version golden record
+        2: (2, "bob", "SEG", 50),      # v2 all-null -> v1 survives per field
+        3: (1, None, "X", None),
+    }
+    with pytest.raises(ValueError, match="fields"):
+        golden_record(df, "k", [], ["ver"])
+    with pytest.raises(ValueError, match="order_by"):
+        golden_record(df, "k", ["name"], [])
