@@ -519,9 +519,16 @@ def temporal_split(
     ``embargo`` an INTERVAL literal ('3 days', '12 hours'). Rows with
     NULL timestamps label NULL (no temporal position).
     """
+    import re
+
+    if not re.fullmatch(r"\d+\s+[A-Za-z]+", embargo.strip()):
+        raise ValueError(
+            f"embargo must look like '<n> <unit>' (e.g. '3 days'), got "
+            f"{embargo!r}"
+        )
     ts = F.col(ts_col)
     end = F.lit(train_end).cast("timestamp")
-    cutoff = end + F.expr(f"INTERVAL {embargo}")
+    cutoff = end + F.expr(f"INTERVAL {embargo.strip()}")
     return df.withColumn(
         out_col,
         F.when(ts.isNull(), F.lit(None).cast("string"))

@@ -1135,9 +1135,12 @@ def hashed_features(
     h = base_hash_31(F.col("tok"))
     idx = (h % dim).cast("int")
     if signed:
-        val = F.when((h / dim).cast("long") % 2 == 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        )
+        # exact integer division via the mod trick (the chunk_documents
+        # lesson): a double divide can mis-floor near-integer quotients
+        # for non-power-of-2 dims and silently disagree with the
+        # oracle's integer `//`
+        q = (h - h % dim) / dim
+        val = F.when(q.cast("long") % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
     else:
         val = F.lit(1)
     return (

@@ -541,6 +541,11 @@ def stream_upsert(
     if not order_by:
         raise ValueError("order_by must be non-empty (last-writer-wins "
                          "needs a version order)")
+    if keep_versions < 1:
+        raise ValueError(
+            f"keep_versions must be >= 1 (0 would prune the CURRENT "
+            f"snapshot), got {keep_versions}"
+        )
 
     def _apply(batch_df, batch_id):
         spark = batch_df.sparkSession

@@ -259,3 +259,42 @@ def test_backtest_seasonal_naive_reference(spark):
         )
     with pytest.raises(ValueError, match="season_days"):
         backtest_seasonal_naive(df, ["k"], "ts", "v", season_days=0)
+
+
+def test_hardening_guards(spark):
+    import pytest
+
+    from pangool_spark.operators.sampling import temporal_split
+    from pangool_spark.streaming.ops import stream_upsert
+
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    with pytest.raises(ValueError, match="embargo"):
+        temporal_split(df, "ts", "2024-01-20 00:00:00", "3 days; DROP TABLE x")
+    # spaces tolerated
+    out = temporal_split(df, "ts", "2024-01-20 00:00:00", "  3 days ")
+    assert out.collect()[0]["split"] == "train"
+    with pytest.raises(ValueError, match="keep_versions"):
+        stream_upsert(df, ["id"], ["ts"], "/tmp/x", keep_versions=0)
+
+
+def test_hashed_features_odd_dim_matches_integer_div(spark):
+    import hashlib
+
+    from pangool_spark.operators.text import hashed_features
+
+    # dim=7 (non-power-of-2): sign must follow exact integer division
+    texts = {1: "alpha beta gamma delta epsilon zeta eta theta"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["idx"]): r["value"]
+        for r in hashed_features(df, dim=7).collect()
+    }
+    want = {}
+    for tok in texts[1].lower().split():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+        sign = 1 if (h // 7) % 2 == 0 else -1
+        key = (1, h % 7)
+        want[key] = want.get(key, 0) + sign
+    assert got == want
