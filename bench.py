@@ -225,6 +225,7 @@ EXTENDED = [
     "backtest_forecast_events",
     "vocab_coverage_docs",
     "golden_record_customers",
+    "kmv_intersect_lineitem",
     # er_clusters_parts is NOT benched at sf0.1: the levenshtein blocking
     # pass dominates it exactly like the excluded fuzzy_pairs_parts
     # (measured 53.8s at 10x, linear); correctness gated at both driver SFs.

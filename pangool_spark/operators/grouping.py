@@ -196,3 +196,47 @@ def kmv_estimate(state: DataFrame, keys: Sequence[str], k: int = 64) -> DataFram
         F.round(F.lit(float(k - 1)) / hk).cast("bigint")
     )
     return state.select(*keys, est.alias("est_distinct"))
+
+
+def kmv_intersect(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Distinct-count of a SET INTERSECTION from two ``kmv_state``
+    sketches (Beyer et al. SIGMOD'07) — the cross-dataset overlap
+    question ("how many users/tokens do these corpora share?") answered
+    from ≤ k·8 bytes per side, never by joining the raw data: the union
+    sketch L = k smallest of K_A ∪ K_B is a uniform sample of A ∪ B, so
+    est(A∩B) = (|L ∩ K_A ∩ K_B| / |L|) · est(A ∪ B).
+
+    When the merged hash set holds fewer than k values BOTH sets are
+    fully enumerated and the answer is exact (the ``kmv_estimate``
+    exact-regime contract). Everything is JVM array expressions over
+    the joined states — one equi-join on the group keys, no raw-data
+    pass — and the md5-derived hashes make even the approximate path
+    fully value-oracle-able. Groups present in only one input are
+    absent (no sketch, no overlap question). Output: (*keys, n_union,
+    n_common, est_intersection).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ks = list(keys)
+    ja = a.select(*ks, F.col("kmv").alias("__ka__"))
+    jb = b.select(*ks, F.col("kmv").alias("__kb__"))
+    j = ja.join(jb, ks)
+    union = F.array_sort(F.array_union("__ka__", "__kb__"))
+    inter = F.array_intersect("__ka__", "__kb__")
+    nu = F.size(union)
+    ell = F.slice(union, 1, k)
+    common_in_l = F.size(F.array_intersect(ell, inter))
+    hk = F.element_at(ell, k).cast("double") / F.lit(2147483647.0)
+    est_union = F.lit(float(k - 1)) / hk
+    rho = common_in_l.cast("double") / F.lit(float(k))
+    est = F.when(nu < k, F.size(inter).cast("bigint")).otherwise(
+        F.round(rho * est_union).cast("bigint")
+    )
+    return j.select(
+        *ks,
+        nu.alias("n_union"),
+        common_in_l.alias("n_common"),
+        est.alias("est_intersection"),
+    )

@@ -8220,6 +8220,76 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kmv_intersect_lineitem",
+    """
+    WITH ha AS (
+      SELECT DISTINCT l_returnflag AS g,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    hb AS (
+      SELECT DISTINCT l_returnflag AS g,
+             ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647 AS h
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    ),
+    ka AS (
+      SELECT g, list(h ORDER BY h) AS ka FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+        FROM ha
+      ) WHERE r <= 64 GROUP BY g
+    ),
+    kb AS (
+      SELECT g, list(h ORDER BY h) AS kb FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+        FROM hb
+      ) WHERE r <= 64 GROUP BY g
+    ),
+    j AS (
+      SELECT g, ka, kb,
+             list_sort(list_distinct(ka || kb)) AS u,
+             list_filter(ka, x -> list_contains(kb, x)) AS inter
+      FROM ka JOIN kb USING (g)
+    ),
+    sc AS (
+      SELECT g, len(u) AS nu, u[1:64] AS ell, inter FROM j
+    )
+    SELECT g AS l_returnflag, CAST(nu AS INT) AS n_union,
+           CAST(len(list_filter(ell, x -> list_contains(inter, x))) AS INT)
+             AS n_common,
+           CASE WHEN nu < 64 THEN CAST(len(inter) AS BIGINT)
+                ELSE CAST(round(
+                  (CAST(len(list_filter(ell, x -> list_contains(inter, x)))
+                        AS DOUBLE) / 64.0::DOUBLE)
+                  * (63.0::DOUBLE
+                     / (CAST(ell[64] AS DOUBLE) / 2147483647.0::DOUBLE))
+                ) AS BIGINT) END AS est_intersection
+    FROM sc
+    """,
+)
+def kmv_intersect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset overlap from SKETCHES: even- and odd-order halves
+    of lineitem each keep a 64-value KMV sketch of their distinct part
+    sets per return flag; the intersection estimate (Beyer et al.
+    SIGMOD'07) comes from ≤ 512 bytes per side — never a raw join —
+    and the md5-portable hashes make even the approximate path a FULL
+    value oracle. See ``grouping.kmv_intersect``."""
+    from pangool_spark.operators.grouping import kmv_intersect, kmv_state
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = kmv_state(
+        li.filter(F.col("l_orderkey") % 2 == 0), ["l_returnflag"],
+        "l_partkey", k=64,
+    )
+    b = kmv_state(
+        li.filter(F.col("l_orderkey") % 2 == 1), ["l_returnflag"],
+        "l_partkey", k=64,
+    )
+    return kmv_intersect(a, b, ["l_returnflag"], k=64)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)

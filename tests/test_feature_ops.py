@@ -298,3 +298,36 @@ def test_hashed_features_odd_dim_matches_integer_div(spark):
         key = (1, h % 7)
         want[key] = want.get(key, 0) + sign
     assert got == want
+
+
+def test_kmv_intersect_exact_regime_and_accuracy(spark):
+    import pytest
+
+    from pangool_spark.operators.grouping import kmv_intersect, kmv_state
+
+    # exact regime: tiny sets, union < k -> exact intersection count
+    a_rows = [("g", v) for v in range(10)]
+    b_rows = [("g", v) for v in range(5, 15)]  # overlap = 5..9
+    a = kmv_state(
+        spark.createDataFrame(a_rows, "g string, v long"), ["g"], "v", k=64
+    )
+    b = kmv_state(
+        spark.createDataFrame(b_rows, "g string, v long"), ["g"], "v", k=64
+    )
+    r = kmv_intersect(a, b, ["g"], k=64).collect()[0]
+    assert r["est_intersection"] == 5 and r["n_common"] == 5
+
+    # estimate regime: 3000 vs 3000 with 1000 shared distinct values
+    a_rows = [("g", v) for v in range(3000)]
+    b_rows = [("g", v) for v in range(2000, 5000)]
+    a = kmv_state(
+        spark.createDataFrame(a_rows, "g string, v long"), ["g"], "v", k=64
+    )
+    b = kmv_state(
+        spark.createDataFrame(b_rows, "g string, v long"), ["g"], "v", k=64
+    )
+    r = kmv_intersect(a, b, ["g"], k=64).collect()[0]
+    true = 1000.0
+    assert true * 0.3 <= r["est_intersection"] <= true * 3.0  # k=64 accuracy
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_intersect(a, b, ["g"], k=1)
