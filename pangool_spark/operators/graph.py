@@ -410,6 +410,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """k-core peeling, ``max_iter`` FIXED rounds: repeatedly drop
     vertices whose degree in the surviving subgraph is < ``k`` (and the
@@ -419,9 +420,10 @@ def kcore(
     when the peel hasn't converged (a converged core is a fixpoint —
     extra rounds are no-ops; the operator reports convergence via the
     monotone edge count). Each round is one degree aggregate + two
-    semi-joins — the plan depth grows linearly with ``max_iter``, which
-    stays small by design (real cores stabilize in a handful of peels;
-    at 100 TB checkpoint every ~10 rounds if you raise it).
+    semi-joins; like ``pagerank``, the loop truncates lineage itself
+    (``localCheckpoint`` every ``checkpoint_every`` rounds) so the plan
+    stays per-round-bounded instead of compounding — raising
+    ``max_iter`` never recompiles an ever-deeper DAG.
 
     Self-loops and duplicate/reverse edges are cleaned first (the
     ``triangle_count`` contract). Output: the surviving canonical
@@ -437,7 +439,7 @@ def kcore(
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("v"))
             .unionByName(cur.select(F.col("b").alias("v")))
@@ -448,6 +450,8 @@ def kcore(
         cur = cur.join(
             keep.select(F.col("v").alias("a")), "a", "left_semi"
         ).join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+            cur = cur.localCheckpoint(eager=True)
     return cur.select("a", "b")
 
 
@@ -522,6 +526,7 @@ def ktruss(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """k-truss peeling, ``max_iter`` FIXED rounds: repeatedly drop edges
     in fewer than k−2 triangles of the surviving subgraph — the
@@ -531,7 +536,10 @@ def ktruss(
     pagerank: the oracle unrolls exactly ``max_iter`` support+filter
     rounds, so mid-peel and fixpoint states are both pinned. Each round
     costs one triangle enumeration (the Θ(E^1.5) wedge bill — why
-    ``max_iter`` stays small; converged trusses are fixpoints).
+    ``max_iter`` stays small; converged trusses are fixpoints), and the
+    loop truncates lineage itself (``localCheckpoint`` every
+    ``checkpoint_every`` rounds, the ``pagerank`` discipline) so the
+    per-round plan never compounds.
 
     Output: the surviving canonical (a < b) undirected edges.
     """
@@ -540,12 +548,14 @@ def ktruss(
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         cur = (
             edge_support(cur, "src", "dst")
             .filter(F.col("support") >= k - 2)
             .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_iter:
+            cur = cur.localCheckpoint(eager=True)
     return cur.select(F.col("src").alias("a"), F.col("dst").alias("b"))
 
 

@@ -175,6 +175,13 @@ def item_cf(
         raise ValueError(f"min_co must be >= 1, got {min_co}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    types = dict(interactions.dtypes)
+    if types.get(rating_col) not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"rating_col {rating_col!r} must be integer-typed for exact "
+            f"sums, got {types.get(rating_col)!r} — rescale upstream "
+            "(e.g. half-star ratings to integer half-star units)"
+        )
     r = (
         interactions.filter(
             F.col(user_col).isNotNull()

@@ -935,6 +935,146 @@ def bpe_merges(
     return merges, segmented
 
 
+def bpe_merges_local(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32000,
+    max_vocab: int = 5_000_000,
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Production BPE trainer: the SAME algorithm, tie-break, and greedy
+    substitution contract as ``bpe_merges`` (parity-pinned on shared
+    prefixes), but scale-shaped for real merge counts. ``bpe_merges``
+    runs one distributed aggregate + a driver argmax PER MERGE — correct
+    and fully value-oracled at small ``n_merges``, but 32,000 merges
+    would be 32,000 sequential Spark jobs (hours of pure scheduling
+    overhead at any data size). Every real tokenizer trainer instead
+    exploits that after the one distributed (word, count) collapse the
+    VOCABULARY is small (≪ corpus — millions of rows, not billions), so:
+
+    1. ONE distributed pass collapses the corpus to distinct
+       (word, count) — the only stage that touches the data, linear in
+       corpus size, and the only stage that grows at 100 TB.
+    2. The vocabulary collects to the driver under a guarded size
+       contract (``max_vocab`` rows; raises naming the distributed
+       fallback — the ``contamination_filter`` ``max_bench_shingles``
+       pattern).
+    3. All ``n_merges`` rounds run in-memory with INCREMENTAL pair
+       counts and a lazy max-heap: each merge touches only the words
+       containing the merged pair (indexed), never rescans the
+       vocabulary — the Sennrich et al. ACL'16 reference shape.
+
+    Determinism: argmax by (count DESC, delimiter-wrapped pair string
+    ASC) — byte-order string comparison matches Spark's UTF8String
+    ordering for valid UTF-8, so local and distributed training pick
+    identical merges on every prefix (parity test).
+
+    Returns ``(merges, segmented)`` exactly like ``bpe_merges``; the
+    segmented relation is rebuilt as a DataFrame (vocab-sized, under the
+    same guard).
+    """
+    import heapq
+    from collections import Counter
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    d = _BPE_D
+    words_df = (
+        df.select(F.explode(normalized_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_vocab = words_df.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary has {n_vocab} distinct words > max_vocab="
+            f"{max_vocab}; raise the cap (driver memory permitting) or "
+            "use the distributed trainer bpe_merges (one Spark job per "
+            "merge — correct at any vocabulary size)"
+        )
+    rows = words_df.collect()
+    spark = df.sparkSession
+
+    freqs: "list[int]" = []
+    segs: "list[list[str]]" = []
+    for r in rows:
+        if d in r["w"]:
+            raise ValueError(
+                "corpus contains the \\x01 BPE delimiter — strip control "
+                "characters upstream"
+            )
+        freqs.append(int(r["n"]))
+        segs.append(list(r["w"]))
+
+    def _wrapped(p: "tuple[str, str]") -> str:
+        return f"{d}{p[0]}{d} {d}{p[1]}{d}"
+
+    pair_counts: "Counter[tuple[str, str]]" = Counter()
+    pair_words: "dict[tuple[str, str], set[int]]" = {}
+    for wi, t in enumerate(segs):
+        n = freqs[wi]
+        for p in zip(t, t[1:]):
+            pair_counts[p] += n
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, _wrapped(p), p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: "list[tuple[str, str, int]]" = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            negc, _, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:  # else stale: discard
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (l, r), c = best
+        merges.append((l, r, c))
+        merged = l + r
+        # touch ONLY the words indexed under this pair (the set may hold
+        # stale ids whose pair already vanished — their diff is zero)
+        for wi in pair_words.pop((l, r), ()):
+            t = segs[wi]
+            n = freqs[wi]
+            out, i, changed = [], 0, False
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == l and t[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(t[i])
+                    i += 1
+            if not changed:
+                continue
+            diff: "Counter[tuple[str, str]]" = Counter()
+            for p in zip(t, t[1:]):
+                diff[p] -= n
+            for p in zip(out, out[1:]):
+                diff[p] += n
+            segs[wi] = out
+            for p, delta in diff.items():
+                if delta == 0:
+                    continue
+                new_c = pair_counts[p] + delta
+                if new_c <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = new_c
+                    heapq.heappush(heap, (-new_c, _wrapped(p), p))
+                if delta > 0:
+                    pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop((l, r), None)
+
+    segmented = spark.createDataFrame(
+        [(rows[wi]["w"], freqs[wi], " ".join(segs[wi]))
+         for wi in range(len(rows))],
+        "w STRING, n BIGINT, segmented STRING",
+    )
+    return merges, segmented
+
+
 def bpe_encode(
     df: DataFrame,
     merges: "Sequence[tuple[str, str]]",

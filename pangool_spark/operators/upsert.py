@@ -226,7 +226,15 @@ def point_in_time_join(
     out_cols = [
         F.when(ok, F.col(f"{prefix}{c}")).alias(f"{prefix}{c}") for c in attrs
     ]
-    return j.select(*probe.columns, *out_cols)
+    # The matched interval rides along (same expired-version guard), so
+    # callers can audit WHICH version supplied the features: valid_from is
+    # the as-of-matched start (the right side's probe_ts-aliased column is
+    # consumed by asof_join, so re-derive nothing — expose the guard pair).
+    validity_cols = [
+        F.when(ok, F.col(f"{prefix}{probe_ts}")).alias(f"{prefix}{valid_from}"),
+        F.when(ok, vto).alias(f"{prefix}{valid_to}"),
+    ]
+    return j.select(*probe.columns, *out_cols, *validity_cols)
 
 
 def _cols(spec) -> "list[str]":

@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence check via the Hadoop FileSystem API —
+    distinguishes "state genuinely absent" (first batch) from transient
+    read failures, which must propagate and fail the micro-batch."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_stream(
     spark: SparkSession,
     path: str,
@@ -356,10 +365,15 @@ def stream_cms(
         batch_sketch = count_min_sketch(
             batch_df, key_col, width, depth, hash_family
         )
-        try:
+        # Only treat a GENUINELY missing standing sketch as "first
+        # batch". A transient FS error or a partially-written state dir
+        # must re-raise (failing the micro-batch so Structured Streaming
+        # retries it), never silently reset the accumulated counts to
+        # this batch alone.
+        if _hadoop_path_exists(spark, state_dir):
             standing = spark.read.parquet(state_dir)
             merged = merge_sketches(standing, batch_sketch)
-        except Exception:  # first batch: no standing state yet
+        else:
             merged = batch_sketch
         # rewrite via a staging temp view: the grid is tiny, and collect/
         # recreate keeps the read+overwrite of the SAME path safe
@@ -436,9 +450,12 @@ def stream_ewma(
             df, [key_col], list(order_cols), value_col, alpha, out_col="ewma"
         )
 
+    # Key type follows the input (string user ids are as valid as bigints)
+    # — matching the batch twin ``windows.ewma``, which accepts any key
+    # type; hardcoding LongType here would fail non-bigint keys at runtime.
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.LongType(), False),
+            T.StructField(key_col, df.schema[key_col].dataType, False),
             T.StructField("n_obs", T.LongType(), False),
             T.StructField("ewma", T.DoubleType(), True),
         ]
@@ -557,16 +574,28 @@ def stream_upsert(
             batch = batch_df.withColumn("__deleted__", F.lit(False))
         latest = keep_latest(batch, list(keys), list(order_by))
         ptr = os.path.join(state_dir, "_LATEST")
+        vdir = f"v{batch_id}"
         if os.path.exists(ptr):
             with open(ptr) as f:
                 version = f.read().strip()
+            if version == vdir:
+                # Crash-recovery replay: a previous attempt of THIS batch
+                # already wrote v{batch_id} and flipped the pointer (the
+                # flip happens only after the write commits), then died
+                # before the streaming checkpoint recorded the batch. The
+                # standing snapshot already reflects this batch's changes
+                # (keep_latest replay over identical inputs is a no-op),
+                # and re-merging would read and overwrite the SAME
+                # directory — which Spark aborts. Skip: the state is
+                # final for this batch, only the checkpoint needs to
+                # advance.
+                return
             standing = spark.read.parquet(os.path.join(state_dir, version))
             merged = keep_latest(
                 standing.unionByName(latest), list(keys), list(order_by)
             )
         else:
             merged = latest
-        vdir = f"v{batch_id}"
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, vdir))
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
@@ -576,8 +605,15 @@ def stream_upsert(
             (d for d in os.listdir(state_dir) if d.startswith("v")),
             key=lambda d: int(d[1:]),
         )
+        # Never prune the version the pointer references: after a
+        # checkpoint reset, replayed batch ids restart at 0, so the
+        # CURRENT version can be numerically lower than stale dirs from
+        # the previous run — a numeric-order prune would delete the live
+        # snapshot out from under the pointer (measured: PATH_NOT_FOUND
+        # on the next batch's standing read).
         for old in versions[:-keep_versions]:
-            shutil.rmtree(os.path.join(state_dir, old), ignore_errors=True)
+            if old != vdir:
+                shutil.rmtree(os.path.join(state_dir, old), ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir:
