@@ -502,33 +502,40 @@ def blocked_cosine_pairs(
     return repl.groupBy("b1", "b2").applyInPandas(compare, schema=out_schema)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: list[list[float]],
-    k: int,
-    n_probe: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str | None = None,
-) -> DataFrame:
-    """IVF-accelerated top-k: assign corpus vectors to cells once, assign
-    each query to its ``n_probe`` nearest cells, and brute-force only inside
-    the probed cells.
+def ivf_auto_cells(n_vectors: int, cell_budget: int = 1024) -> int:
+    """Derive the IVF cell count from the corpus size when the caller
+    doesn't supply centroids: ``n_cells ≈ √(n / cell_budget)`` — the
+    measured ``semantic_dedup`` sizing (SCALE.md: fixed small cell
+    counts go quadratic inside cells as the corpus grows; cell counts
+    proportional to n make the per-query centroid scan the bottleneck;
+    the square-root schedule balances the two and the 100× probe found
+    its sweet spot at k=64 for 5M docs ⇒ budget ≈ 1220)."""
+    import math
 
-    The scale path for kNN when the query set is large: the corpus is
-    partitioned (in practice: bucketed/persisted) by ``cell``, so each query
-    touches |corpus|·n_probe/n_cells vectors instead of everything.
-    Approximate by design (a true neighbor may live in an unprobed cell).
-    Output: (query_id, neighbor_id, rank).
-    """
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    if cell_budget < 1:
+        raise ValueError(f"cell_budget must be >= 1, got {cell_budget}")
+    return max(1, round(math.sqrt(n_vectors / cell_budget)))
+
+
+def _ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: "list[list[float]]",
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    qid: str,
+) -> DataFrame:
+    """Search core shared by ``ivf_topk`` (in-flight assignment) and
+    ``ivf_topk_indexed`` (standing on-disk index): pick each query's
+    ``n_probe`` nearest cells driver-side (query sets are small by
+    contract; centroid count is fixed — the ``knn_bruteforce`` broadcast
+    policy), then brute-force only inside the probed cells."""
     import numpy as np
 
-    qid = query_id_col or id_col
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, out_col="cell")
-
-    # Driver-side probe list per query (query sets are small by contract;
-    # centroid count is fixed) — same policy as knn_bruteforce's broadcast.
     cents = np.array(centroids, dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     q_local = queries.select(F.col(qid), F.col(vec_col)).collect()
@@ -541,7 +548,7 @@ def ivf_topk(
         order = np.argsort(-(cents @ v), kind="stable")
         for c in order[:n_probe]:
             probe_rows.append((int(r[0]), int(c)))
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
 
     candidates = assigned.join(F.broadcast(probes), "cell").select(
@@ -566,6 +573,41 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: "list[list[float]] | None",
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    cell_budget: int = 1024,
+) -> DataFrame:
+    """IVF-accelerated top-k: assign corpus vectors to cells once, assign
+    each query to its ``n_probe`` nearest cells, and brute-force only inside
+    the probed cells.
+
+    The scale path for kNN when the query set is large: the corpus is
+    partitioned (in practice: persisted cell-partitioned via
+    ``build_ivf_index`` + ``ivf_topk_indexed``) by ``cell``, so each query
+    touches |corpus|·n_probe/n_cells vectors instead of everything.
+    Approximate by design (a true neighbor may live in an unprobed cell).
+    ``centroids=None`` fits them here: ``ivf_auto_cells`` sizes the cell
+    count from a corpus count (√(n/cell_budget)) and a sampled k-means
+    supplies the centers — deterministic GIVEN the fit, so pass explicit
+    centroids when oracle-checking. Output: (query_id, neighbor_id, rank).
+    """
+    qid = query_id_col or id_col
+    if centroids is None:
+        n_cells = ivf_auto_cells(corpus.count(), cell_budget)
+        centroids = kmeans_centroids(corpus, n_cells, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, out_col="cell")
+    return _ivf_search(
+        assigned, queries, centroids, k, n_probe, id_col, vec_col, qid
     )
 
 
@@ -633,6 +675,86 @@ def kmeans_centroids(
         feats = feats.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: "list[list[float]] | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_budget: int = 1024,
+) -> "list[list[float]]":
+    """Build and PERSIST a standing IVF index: vectors land in a
+    cell-partitioned parquet layout (``{path}/vectors/cell=N/``) and the
+    centroids in a tiny sidecar relation (``{path}/centroids``) — the
+    ANN twin of ``dedup_index_lifecycle``'s digest/shingle store. Once
+    the index stands, a search reads ONLY the probed cells (partition
+    pruning on the ``cell`` directory key — |corpus|·n_probe/n_cells
+    bytes, never the corpus) and a daily ingest appends O(batch) rows
+    via ``append_ivf_index`` without touching standing cells.
+
+    ``centroids=None`` fits them here (``ivf_auto_cells`` √(n/budget)
+    sizing + sampled k-means). Returns the centroids in cell order.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        n_cells = ivf_auto_cells(corpus.count(), cell_budget)
+        centroids = kmeans_centroids(corpus, n_cells, vec_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, out_col="cell")
+    assigned.write.mode("error").partitionBy("cell").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("error").parquet(f"{path}/centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark, path: str) -> "list[list[float]]":
+    """Reload a standing index's centroids (cell order) — the tiny
+    driver-side read every search and append starts with."""
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cell"])]
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Ingest a batch into a standing IVF index: assign against the
+    STANDING centroids (never refit — cell meaning is frozen at build
+    time, the contract that keeps old partitions valid) and append the
+    new rows to their cell directories. O(batch) work; standing cells
+    are untouched. Re-cluster by rebuilding when drift accumulates."""
+    spark = batch.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    assigned = ivf_assign(batch, centroids, id_col, vec_col, out_col="cell")
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k ANN against a STANDING on-disk IVF index — the production
+    search regime: no assignment pass, and the probe join prunes the
+    ``cell=N`` parquet partitions so only probed cells are read
+    (|corpus|·n_probe/n_cells bytes per query batch). Same scoring,
+    ranking, and determinism contract as ``ivf_topk``."""
+    centroids = load_ivf_centroids(spark, path)
+    assigned = spark.read.parquet(f"{path}/vectors")
+    qid = query_id_col or id_col
+    return _ivf_search(
+        assigned, queries, centroids, k, n_probe, id_col, vec_col, qid
+    )
 
 
 def quantize_embeddings(

@@ -2310,6 +2310,46 @@ def ivf_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, _IVF_CENTROIDS, k=5, n_probe=2)
 
 
+@query("ivf_index_lifecycle", _ivf_topk_oracle())
+def ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-ANN-index lifecycle, on disk, end to end (the
+    ``dedup_index_lifecycle`` pattern for similarity search):
+
+    1. BUILD a standing IVF index over the base corpus (vec_id < 350):
+       cell-partitioned parquet + a centroid sidecar;
+    2. APPEND the ingest batch (vec_id ≥ 350) — assigned against the
+       RELOADED standing centroids, O(batch) work, standing cells
+       untouched;
+    3. SEARCH the standing index (queries = vec_id < 10, k=5,
+       n_probe=2) — reads only probed ``cell=N`` partitions, no
+       assignment pass.
+
+    The search result equals ``ivf_topk`` over the full corpus with the
+    same centroids (build+append covers every vector, cell meaning
+    frozen at build time), so the whole lifecycle shares its full value
+    oracle. This is the 100 TB standing-index regime: per day the
+    engine reads O(batch + probed cells), never O(corpus)."""
+    import uuid
+
+    from pangool_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        f"/tmp/pangool_spark_index/{spark.sparkContext.applicationId}/"
+        f"{uuid.uuid4().hex}/ivf"
+    )
+    build_ivf_index(emb.filter(F.col("vec_id") < 350), base,
+                    centroids=_IVF_CENTROIDS)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 350), base)
+    return ivf_topk_indexed(
+        spark, base, emb.filter(F.col("vec_id") < 10), k=5, n_probe=2
+    )
+
+
 def _lsh_pairs_oracle(dim: int = 64, n_planes: int = 8, n_tables: int = 8) -> str:
     """The hyperplane family is deterministic (seeded), so the plane vectors
     are generated INTO the oracle as literals — the same trick as the IVF
@@ -6778,6 +6818,135 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_local_merges_docs",
+    f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, n,
+             rtrim(regexp_replace(w, '(.)',
+                                  chr(1) || '\\1' || chr(1) || ' ', 'g')) AS s
+      FROM words
+    )
+    {_bpe_round_sql(1, 0)}
+    {_bpe_round_sql(2, 1)}
+    {_bpe_round_sql(3, 2)}
+    SELECT w, n, replace(s, chr(1), '') AS segmented FROM s3
+    """,
+)
+def bpe_local_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION BPE trainer (``text.bpe_merges_local`` — one
+    distributed (word, count) collapse, then a guarded driver-local
+    incremental-pair-count merge loop) against the SAME unrolled-round
+    oracle as ``bpe_merges_docs``: local and distributed training are
+    merge-for-merge identical by contract, so one oracle pins both.
+    This is the path that makes 32k merges one Spark job instead of
+    32k sequential jobs (see the trainer docstring)."""
+    from pangool_spark.operators.text import bpe_merges_local
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, segmented = bpe_merges_local(docs, n_merges=3)
+    return segmented
+
+
+@query(
+    "tokenizer_release_docs",
+    f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+      GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, n,
+             rtrim(regexp_replace(w, '(.)',
+                                  chr(1) || '\\1' || chr(1) || ' ', 'g')) AS s
+      FROM words
+    )
+    {_bpe_round_sql(1, 0)}
+    {_bpe_round_sql(2, 1)}
+    {_bpe_round_sql(3, 2)}
+    , toks AS (
+      SELECT t.tok AS token, seg.n
+      FROM (SELECT w, n, replace(s, chr(1), '') AS seg FROM s3) seg,
+           unnest(string_split(seg.seg, ' ')) AS t(tok)
+    ),
+    vocab AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r
+      FROM vocab
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size FROM ranked)
+    SELECT CAST(c.k AS BIGINT) AS k, c.covered, tot.total,
+           CAST(c.covered AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage,
+           tot.vocab_size
+    FROM (
+      SELECT u.k,
+             CAST(SUM(CASE WHEN r <= u.k THEN n ELSE 0 END) AS BIGINT)
+               AS covered
+      FROM ranked, unnest([4, 16, 64]) AS u(k)
+      GROUP BY 1
+    ) c, tot
+    """,
+)
+def tokenizer_release_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END tokenizer release pipeline as ONE oracled entry:
+    TRAIN 3 BPE merges on the documents corpus → ENCODE the corpus with
+    the trained merges → assign frequency-ranked dense token ids →
+    report the coverage curve of the released vocabulary (k = 4/16/64)
+    plus its size. Composes ``bpe_merges`` → ``bpe_token_ids`` (which
+    encodes internally) → one conditional-sum aggregate; the oracle
+    replays training as unrolled CTEs and derives the token multiset
+    directly from the trained per-word segmentations (weighting by word
+    frequency — encoding a training-corpus word with its own trained
+    merges reproduces the training segmentation exactly), so the whole
+    lifecycle value-hashes end to end."""
+    from pangool_spark.operators.text import bpe_merges, bpe_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _seg = bpe_merges(docs, n_merges=3)
+    ids = bpe_token_ids(docs, [(l, r) for l, r, _c in merges])
+    ks = [4, 16, 64]
+    agg = ids.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.max("token_id").alias("vocab_size"),
+        *[
+            F.sum(F.when(F.col("token_id") <= k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__c{k}__")
+            for k in ks
+        ],
+    )
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("bigint").alias("k"),
+                    F.col(f"__c{k}__").alias("covered"),
+                )
+                for k in ks
+            ]
+        )
+    ).alias("e")
+    return agg.select("total", "vocab_size", curve).select(
+        F.col("e.k").alias("k"),
+        F.col("e.covered").alias("covered"),
+        F.col("total"),
+        (F.col("e.covered").cast("double") / F.col("total").cast("double"))
+        .alias("coverage"),
+        F.col("vocab_size"),
+    )
+
+
+@query(
     "welch_ab_events",
     """
     WITH m AS (
@@ -8331,15 +8500,101 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #                              third stage, value-oracled end-to-end)
 #   salted_agg_events        → direct-groupBy equivalence pinned by pytest;
 #                              §2.8 partitioning keeps bucketed_join_orders
+# ROUND-9 ROTATION (the r08 verdict's item 1, executed): 68 catalog
+# queries had never earned a hard driver row (the round-8 additions —
+# judge-recomputed list = catalog keys minus the union of
+# CORRECTNESS_r01–r08 keys). The 50-slot window this round takes the 47
+# RISKIEST of them — float/libm oracles first (holt/ewma/Kaplan–Meier/
+# Mann–Whitney/Welch/target-encode/backtest: the historical
+# cross-engine-drift class), then the k-means/ANN/quantization embedding
+# family, graph unrolls, set-similarity joins, the BPE lifecycle, ER/CDC,
+# KMV sketches, and the multimodal perceptual ops — plus the 3 queries
+# NEW this round (ivf_index_lifecycle, tokenizer_release_docs,
+# bpe_local_merges_docs). The 21 safest backlog queries (portable-hash
+# samplers, integer window aggregates, event-analytics reports — all
+# multiple-times green in local full-catalog sweeps and built from
+# already-driver-proven kernels) wait for the r10 window:
+#   funnel_report_events, activity_cohorts_events, histogram_events,
+#   category_drift_orders, event_transitions, hopping_window_events,
+#   equidepth_histogram_events, attribution_events, json_props_stats,
+#   observability_pipeline, session_paths_events, running_revenue_orders,
+#   weighted_sample_orders, pareto_class_customers, melt_order_stats,
+#   source_gate_docs, active_streaks_events, join_view_delta_orders,
+#   temporal_split_events, hashed_features_docs, negative_sample_orders.
+# R10 BUILDER: replace _WINDOW_FRONT with exactly that list (21 slots) —
+# the remaining window capacity can re-check any r09 red rows first.
+_WINDOW_FRONT = [
+    # float / libm / statistics oracles (highest cross-engine risk)
+    "holt_events",
+    "ewma_events",
+    "kaplan_meier_events",
+    "mannwhitney_ab_events",
+    "welch_ab_events",
+    "backtest_forecast_events",
+    "target_encode_orders",
+    "target_encode_loo_orders",
+    "cusum_events",
+    "zscore_outliers_events",
+    "robust_outliers_events",
+    "winsorize_events",
+    "trimmed_mean_events",
+    # embedding-space family (decimal-sum + fixed IEEE chains)
+    "kmeans_embeddings",
+    "quantization_error_embeddings",
+    "quantized_knn_embeddings",
+    "ann_recall_embeddings",
+    "hybrid_search_docs",
+    "item_cf_parts",
+    "bigram_lm_docs",
+    "basket_lift_parts",
+    "link_prediction_parts",
+    "novelty_docs",
+    # graph unrolled-round oracles
+    "kcore_parts",
+    "ktruss_parts",
+    "bfs_hops_parts",
+    "lpa_communities_parts",
+    "ppr_supplier_part",
+    # set-similarity / span / BPE lifecycle
+    "setsim_jaccard_docs",
+    "setsim_join_docs",
+    "containment_join_docs",
+    "duplicate_spans_docs",
+    "bpe_merges_docs",
+    "bpe_encode_docs",
+    "bpe_token_ids_docs",
+    "vocab_coverage_docs",
+    # entity resolution / CDC / snapshot
+    "er_clusters_parts",
+    "best_match_parts",
+    "golden_record_customers",
+    "cascade_delete_customers",
+    "pit_state_events",
+    # sketches / partitioning
+    "kmv_state_lineitem",
+    "kmv_intersect_lineitem",
+    "stable_ids_orders",
+    "skyline_parts",
+    # multimodal perceptual
+    "audio_silence_docs",
+    "image_dhash_docs",
+    # new this round
+    "ivf_index_lifecycle",
+    "tokenizer_release_docs",
+    "bpe_local_merges_docs",
+]
+
 _ROTATED_PAST_WINDOW = [
-    # R09 ROTATION PREP (for the next builder): the round-8 additions
-    # registered AFTER the 50-slot window — everything from
-    # cms_word_counts_docs through golden_record_customers (~60 queries,
-    # all green in this round's full sf0.001+sf0.01 sweeps and in the
-    # judge's check_oracles reruns) — have never earned a hard driver
-    # row. Rotate them through the window in cohorts of ~25 across
-    # r09/r10, moving only r08-green duplicated-coverage shapes to the
-    # back (same discipline as the r08 rotation below).
+    # --- rotated out in round 9 (new this round) ---
+    # triangle_count_approx_parts_fast: the deliberately non-DuckDB-
+    #   portable xxhash64 fast twin burned an r08 window slot surfacing
+    #   as `err: no_oracle` (the driver's rows-only record reads as an
+    #   error). Its oracled md5 twin triangle_count_approx_parts is
+    #   driver-green (r08); the xxhash64 kernel is pinned by pytest
+    #   signature parity and tracked in bench — same convention as
+    #   minhash_lsh_dedup_fast below. No-oracle twins stay OUT of the
+    #   window so every driver row is a value check.
+    "triangle_count_approx_parts_fast",
     #
     # ROUND-8 ROTATION (the r07 verdict's item 4, executed): the 13
     # round-7 late additions that never earned a driver row (all judge-
@@ -8566,7 +8821,16 @@ _ROTATED_PAST_WINDOW = [
 
 
 def _apply_driver_window_order() -> None:
+    """Registry order IS the driver window (first 50 entries get hard
+    correctness rows): pull ``_WINDOW_FRONT`` to the front in its listed
+    order, push ``_ROTATED_PAST_WINDOW`` to the back; everything else
+    keeps registration order in between."""
     for registry in (QUERIES, ORACLES):
+        front = {n: registry.pop(n) for n in _WINDOW_FRONT if n in registry}
+        middle = dict(registry)
+        registry.clear()
+        registry.update(front)
+        registry.update(middle)
         back = {n: registry.pop(n) for n in _ROTATED_PAST_WINDOW if n in registry}
         registry.update(back)
 
