@@ -229,6 +229,11 @@ EXTENDED = [
     # er_clusters_parts is NOT benched at sf0.1: the levenshtein blocking
     # pass dominates it exactly like the excluded fuzzy_pairs_parts
     # (measured 53.8s at 10x, linear); correctness gated at both driver SFs.
+    # round-9 additions: persisted-ANN-index lifecycle, end-to-end
+    # tokenizer release, production BPE trainer vs the distributed oracle
+    "ivf_index_lifecycle",
+    "tokenizer_release_docs",
+    "bpe_local_merges_docs",
 ]
 
 RUNS_PER_QUERY = 3
@@ -294,6 +299,27 @@ def main() -> None:
         spark, sf_dir, EXTENDED, runs=2, runs_achieved=runs_achieved
     )
     clear_shingle_cache(spark)
+
+    # Production tokenizer training at a REAL merge count (not the
+    # catalog's oracled 3-round form): one distributed (word, count)
+    # collapse + the guarded in-memory merge loop. Single run — the
+    # trainer is a one-shot job, and the point of the number is that
+    # 1000 merges cost seconds, not 1000 Spark jobs.
+    from pangool_spark.operators.text import bpe_merges_local
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    _m, seg = bpe_merges_local(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=1000
+    )
+    n_seg = seg.count()
+    extended["bpe_merges_local_1000"] = round(time.time() - t0, 3)
+    runs_achieved["bpe_merges_local_1000"] = 1
+    print(
+        f"# bpe_merges_local_1000: {len(_m)} merges / {n_seg} vocab rows "
+        f"in {extended['bpe_merges_local_1000']:.2f}s",
+        file=sys.stderr,
+    )
 
     payload = {
         "metric": "headline_queries_total_sec",

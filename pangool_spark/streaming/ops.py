@@ -621,3 +621,74 @@ def stream_upsert(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_point_in_time_join(
+    stream: DataFrame,
+    history: DataFrame,
+    keys: "Sequence[str]",
+    probe_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    attr_cols: "Sequence[str] | None" = None,
+    prefix: str = "pit_",
+    allow_exact: bool = True,
+) -> DataFrame:
+    """STREAM-STATIC point-in-time join — the online feature-lookup
+    shape: every arriving probe row attaches the STATIC SCD2 history
+    version whose ``[valid_from, valid_to)`` interval contains its
+    timestamp (the serving twin of ``operators.upsert
+    .point_in_time_join``; same leakage-free semantics, same prefixed
+    attr + validity output, NULL row when no interval contains the
+    probe ts).
+
+    Plan shape: the batch operator's one-exchange union-sort as-of
+    window cannot run on a stream (arbitrary window functions are not
+    streamable), but for a STATIC history the interval membership IS
+    directly joinable — a stream-static LEFT join on key equality +
+    the interval predicate, which Spark broadcasts when the history
+    fits. Each probe matches at most one version because a well-formed
+    SCD2 history has disjoint per-key intervals (``scd2_history``
+    guarantees this), so no post-join dedup is needed — the condition
+    the parity test pins against the batch operator on real
+    micro-batches.
+
+    On a batch DataFrame, falls back to ``point_in_time_join`` (same
+    output schema).
+    """
+    from pangool_spark.operators.upsert import point_in_time_join
+
+    ks = list(keys)
+    if not stream.isStreaming:
+        return point_in_time_join(
+            stream, history, ks, probe_ts, valid_from, valid_to,
+            attr_cols, prefix, allow_exact,
+        )
+    attrs = list(attr_cols) if attr_cols is not None else [
+        c for c in history.columns
+        if c not in (*ks, valid_from, valid_to, "is_current")
+    ]
+    if not attrs:
+        raise ValueError(
+            "stream_point_in_time_join: no attribute columns to attach"
+        )
+    h = history.select(
+        *[F.col(k).alias(f"__hk_{k}__") for k in ks],
+        F.col(valid_from).alias(f"{prefix}{valid_from}"),
+        F.col(valid_to).alias(f"{prefix}{valid_to}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in attrs],
+    )
+    ts = F.col(probe_ts)
+    vfrom = F.col(f"{prefix}{valid_from}")
+    vto = F.col(f"{prefix}{valid_to}")
+    cond = (ts >= vfrom) if allow_exact else (ts > vfrom)
+    cond = cond & (vto.isNull() | (ts < vto))
+    for k in ks:
+        cond = cond & (F.col(k) == F.col(f"__hk_{k}__"))
+    joined = stream.join(h, cond, "left")
+    return joined.select(
+        *stream.columns,
+        *[F.col(f"{prefix}{c}") for c in attrs],
+        vfrom,
+        vto,
+    )
