@@ -832,3 +832,132 @@ def personalized_pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Unnormalized HITS (Kleinberg JACM'99) hub/authority scores over a
+    directed graph, fixed iteration count.
+
+    Spark-first shape matches ``pagerank``: each half-round is ONE
+    equi-join + one partial-combined aggregate over the edge list.  The
+    normalization step of textbook HITS is deliberately dropped — with
+    integer initial scores the whole recursion stays in EXACT integer
+    arithmetic (auth := Σ hub over in-edges; hub := Σ auth over
+    out-edges), so the result is bit-identical under any partitioning
+    AND expressible as unrolled SQL for cross-engine verification.
+    Rankings are unaffected (per-round normalization is a positive
+    scalar).  Scores are decimal(38,0)-summed; magnitudes grow like
+    (d_max)^(2·iterations), so the overflow guard raises loudly before
+    any silent wrap — rescale or lower ``iterations`` if it fires.
+
+    Output: (node, hub, authority) for every vertex of the graph.
+    Dangling direction conventions: a node with no out-edges has hub 0
+    after round 1; no in-edges ⇒ authority 0.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__")).distinct()
+    nodes = (
+        e.select(F.col("__s__").alias("node"))
+        .unionByName(e.select(F.col("__d__").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1).cast("decimal(38,0)").alias("hub"))
+    auth = None
+    for i in range(iterations):
+        auth = (
+            e.join(hub, F.col("__s__") == F.col("node"))
+            .groupBy(F.col("__d__").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = nodes.join(auth, "node", "left").select(
+            "node",
+            F.coalesce("authority", F.lit(0).cast("decimal(38,0)")).alias(
+                "authority"
+            ),
+        )
+        hub = (
+            e.join(auth, F.col("__d__") == F.col("node"))
+            .groupBy(F.col("__s__").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        hub = nodes.join(hub, "node", "left").select(
+            "node",
+            F.coalesce("hub", F.lit(0).cast("decimal(38,0)")).alias("hub"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+    out = nodes.join(hub, "node", "left").join(auth, "node", "left").select(
+        "node",
+        F.col("hub").cast("bigint").alias("hub"),
+        F.col("authority").cast("bigint").alias("authority"),
+    )
+    return out
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity of an UNDIRECTED graph (Newman PRL'02): the
+    Pearson correlation of the (deg(u), deg(v)) pairs over edge
+    endpoints, both orientations.  Positive ⇒ hubs attach to hubs
+    (social nets); negative ⇒ hub-and-spoke (co-purchase, web).
+
+    One degree aggregate, two broadcast-sized joins back onto the edge
+    list, then the ``grouped_corr`` exact-integer Pearson contract:
+    every sum (Σx, Σy, Σxy, Σx², Σy², n) is an exact int64/decimal sum
+    of integer degrees, so r is a FIXED IEEE chain over exactly-agreed
+    integers — bit-portable across engines.  Output one row:
+    (n_edge_ends, r_num, r_den_x, r_den_y, assortativity).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        both.join(deg.select(F.col("a"), F.col("deg").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")), "b"
+        )
+        .select("dx", "dy")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    denx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    deny = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        num.alias("r_num"),
+        denx.alias("r_den_x"),
+        deny.alias("r_den_y"),
+        F.when(
+            (denx > 0.0) & (deny > 0.0), num / F.sqrt(denx * deny)
+        ).alias("assortativity"),
+    )

@@ -338,3 +338,58 @@ def group_quality_gate(
     if max_mean is not None:
         cond = cond & (mean <= F.lit(float(max_mean)))
     return df.join(g.filter(cond).select(*keys), keys, "left_semi")
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney IJUFKS'02; Machanavajjhala
+    ICDE'06) over a set of QUASI-IDENTIFIER columns — the governance
+    sibling of ``cascade_delete``: before a dataset ships, every
+    quasi-identifier combination must be shared by at least ``k`` rows,
+    or those rows are re-identifiable by linkage.
+
+    One partial-combined aggregate over the quasi columns (NULL is a
+    legitimate equivalence-class value — SQL GROUP BY semantics, which
+    is what a linkage attacker sees too).  With ``sensitive_col`` the
+    same pass counts DISTINCT sensitive values per class (l-diversity:
+    a k-anonymous class where everyone shares one diagnosis still leaks).
+
+    Output: one row per equivalence class —
+    (*quasi_cols, class_size, [l_distinct,] anonymous) — |classes|-sized,
+    never row-sized; join it back ``left_semi``/``left_anti`` to split
+    releasable rows from suppressed ones.
+    """
+    keys = list(quasi_cols)
+    if not keys:
+        raise ValueError("k_anonymity needs at least one quasi-identifier")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    aggs = [F.count(F.lit(1)).alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("l_distinct"))
+    g = df.groupBy(*keys).agg(*aggs)
+    return g.select(
+        *keys,
+        "class_size",
+        *(["l_distinct"] if sensitive_col is not None else []),
+        (F.col("class_size") >= F.lit(k)).alias("anonymous"),
+    )
+
+
+def suppress_small_classes(
+    df: DataFrame, quasi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """Row-level k-anonymity enforcement: keep only rows whose
+    quasi-identifier equivalence class has ≥ ``k`` members (suppression,
+    the conservative baseline ahead of generalization hierarchies).
+    The audit relation is |classes|-sized; AQE broadcasts the semi-join
+    side when small, and the row set never shuffles.
+    """
+    keys = list(quasi_cols)
+    audit = k_anonymity(df, keys, k=k)
+    ok = audit.filter(F.col("anonymous")).select(*keys)
+    return df.join(ok, keys, "left_semi")

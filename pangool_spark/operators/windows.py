@@ -381,3 +381,108 @@ def holt_linear(
         F.round(st["b"], 9).alias(f"{out_prefix}_trend"),
         F.round(st["l"] + st["b"], 9).alias(f"{out_prefix}_forecast"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    period: int,
+    phase_col: str | None = None,
+) -> DataFrame:
+    """Additive seasonal decomposition (classical moving-average form:
+    y = trend + seasonal + residual) per key over an ordered integer
+    series — the descriptive complement of ``backtest_seasonal_naive``
+    and ``holt_linear``.
+
+    Shape: one ROWS window of ±period//2 per key computes the centered
+    trend (only FULL windows emit — the standard edge convention), one
+    partial-combined aggregate per (key, phase) averages the detrended
+    values into the seasonal profile, and a broadcast-sized join
+    attaches it back.  ``phase_col`` supplies a calendar phase (e.g.
+    weekday); absent, phase is row index mod period.
+
+    Determinism contract (the exact-ratio discipline): ``value_col``
+    must be integer-typed; the trend numerator is an exact int window
+    sum; detrended values are kept as the exact integer
+    ``period·y − Σwindow`` so the seasonal mean is one division of two
+    exact integers; trend, seasonal, and residual are each a single
+    fixed IEEE chain over exactly-agreed integers — bit-portable.
+    Residual is DEFINED as ``(period·y − Σwindow)/period − seasonal``
+    (not ``y − trend − seasonal``); both engines must use this form.
+
+    ``period`` must be odd (centered window). ``order_col`` must be
+    unique per key.  Output: (*keys, order_col, value, trend, seasonal,
+    residual) — trend/residual NULL on the half-window edges.
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be an odd integer >= 3, got {period}")
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"seasonal_decompose needs an integer value column, got "
+            f"{value_col}: {vt} — rescale to cents"
+        )
+    keys = list(keys)
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-half, half)
+    )
+    wseq = Window.partitionBy(*keys).orderBy(order_col)
+    if phase_col is not None:
+        base = df.select(
+            *keys,
+            order_col,
+            F.col(value_col).cast("bigint").alias("value"),
+            F.col(phase_col).cast("bigint").alias("__phase__"),
+        )
+    else:
+        base = df.select(
+            *keys, order_col, F.col(value_col).cast("bigint").alias("value")
+        ).withColumn("__phase__", (F.row_number().over(wseq) - 1) % period)
+    t = base.select(
+        *keys,
+        order_col,
+        "value",
+        "__phase__",
+        F.when(
+            F.count(F.lit(1)).over(w) == period, F.sum("value").over(w)
+        ).alias("__tsum__"),
+    )
+    season = (
+        t.filter(F.col("__tsum__").isNotNull())
+        .groupBy(*keys, "__phase__")
+        .agg(
+            F.sum(F.lit(period) * F.col("value") - F.col("__tsum__")).alias(
+                "__snum__"
+            ),
+            F.count(F.lit(1)).alias("__sn__"),
+        )
+        .select(
+            *keys,
+            "__phase__",
+            (
+                F.col("__snum__").cast("double")
+                / (F.lit(period) * F.col("__sn__")).cast("double")
+            ).alias("seasonal"),
+        )
+    )
+    out = t.join(season, [*keys, "__phase__"], "left")
+    detr = (
+        F.lit(period) * F.col("value") - F.col("__tsum__")
+    ).cast("double") / F.lit(float(period))
+    return out.select(
+        *keys,
+        order_col,
+        "value",
+        (F.col("__tsum__").cast("double") / F.lit(float(period))).alias(
+            "trend"
+        ),
+        "seasonal",
+        F.when(
+            F.col("__tsum__").isNotNull(), detr - F.col("seasonal")
+        ).alias("residual"),
+    )

@@ -8459,6 +8459,295 @@ def kmv_intersect_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_intersect(a, b, ["l_returnflag"], k=64)
 
 
+@query(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+                                    ELSE 'ok' END) AS BIGINT) AS l_distinct,
+           COUNT(*) >= 10 AS anonymous
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit over the (nation, market segment)
+    quasi-identifier — the pre-release governance check that pairs with
+    ``cascade_delete_customers``: every equivalence class must hold ≥10
+    customers, and the sensitive debt flag must not be uniform inside a
+    class. One partial-combined aggregate; |classes|-sized output."""
+    from pangool_spark.operators.profile import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "balance_band",
+        F.when(F.col("c_acctbal") < 0, F.lit("debt")).otherwise(F.lit("ok")),
+    )
+    return k_anonymity(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=10,
+        sensitive_col="balance_band",
+    )
+
+
+@query(
+    "kanon_release_customers",
+    """
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+    FROM customer c
+    JOIN (SELECT c_nationkey, c_mktsegment FROM customer
+          GROUP BY 1, 2 HAVING COUNT(*) >= 10) g
+      ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+    """,
+)
+def kanon_release_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level k-anonymity enforcement: the releasable customer subset
+    after suppressing quasi-identifier classes smaller than k=10. The
+    audit relation is |classes|-sized and semi-joins back (AQE
+    broadcast) — customer rows never shuffle."""
+    from pangool_spark.operators.profile import suppress_small_classes
+
+    cust = load_table(spark, sf_dir, "customer")
+    return suppress_small_classes(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).select("c_custkey", "c_nationkey", "c_mktsegment")
+
+
+@query(
+    "rfm_customers",
+    """
+    WITH r AS (
+      SELECT o_custkey AS key,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r0,
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.5)  AS r1,
+        quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r2,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f0,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.5)  AS f1,
+        quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f2,
+        quantile_cont(CAST(monetary AS DOUBLE), 0.25) AS m0,
+        quantile_cont(CAST(monetary AS DOUBLE), 0.5)  AS m1,
+        quantile_cont(CAST(monetary AS DOUBLE), 0.75) AS m2
+      FROM r
+    ), s AS (
+      SELECT key, recency_days, frequency, monetary,
+        1 + (CASE WHEN CAST(recency_days AS DOUBLE) < r0 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(recency_days AS DOUBLE) < r1 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(recency_days AS DOUBLE) < r2 THEN 1 ELSE 0 END)
+          AS r_score,
+        1 + (CASE WHEN CAST(frequency AS DOUBLE) > f0 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(frequency AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(frequency AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+          AS f_score,
+        1 + (CASE WHEN CAST(monetary AS DOUBLE) > m0 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(monetary AS DOUBLE) > m1 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(monetary AS DOUBLE) > m2 THEN 1 ELSE 0 END)
+          AS m_score
+      FROM r CROSS JOIN t
+    )
+    SELECT key, recency_days, frequency, monetary, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM s
+    """,
+)
+def rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM lifecycle segmentation over orders: per customer, integer-day
+    recency against the corpus max date, order count, exact cent spend,
+    each scored 1-4 against exact population quartiles (strict
+    comparisons, recency reversed). Thresholds ride the
+    percentile == quantile_cont bit-parity; every column engine-exact.
+    See ``journeys.rfm_segmentation``."""
+    from pangool_spark.operators.journeys import rfm_segmentation
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return rfm_segmentation(orders, "o_custkey", "o_orderdate", "cents")
+
+
+@query(
+    "seasonal_decompose_events",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, day, value,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS ph,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN SUM(value) OVER w END AS tsum
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), se AS (
+      SELECT event_type, ph,
+             CAST(SUM(7 * value - tsum) AS BIGINT) AS snum,
+             CAST(COUNT(*) AS BIGINT) AS sn
+      FROM t WHERE tsum IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.day, t.value,
+           CAST(t.tsum AS DOUBLE) / 7.0 AS trend,
+           CAST(se.snum AS DOUBLE) / CAST(7 * se.sn AS DOUBLE) AS seasonal,
+           CASE WHEN t.tsum IS NOT NULL THEN
+             CAST(7 * t.value - t.tsum AS DOUBLE) / 7.0
+               - CAST(se.snum AS DOUBLE) / CAST(7 * se.sn AS DOUBLE)
+           END AS residual
+    FROM t LEFT JOIN se ON t.event_type = se.event_type AND t.ph = se.ph
+    """,
+)
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type daily
+    revenue series: centered 7-day moving trend (full windows only),
+    weekday seasonal profile from the exact-integer detrended values,
+    residual as the documented fixed IEEE chain. Weekday phase is pure
+    integer epoch-day arithmetic (engine-portable — no dayofweek
+    convention drift). See ``windows.seasonal_decompose``."""
+    from pangool_spark.operators.windows import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("value"))
+        .withColumn(
+            "ph",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7,
+        )
+    )
+    return seasonal_decompose(
+        series, ["event_type"], "day", "value", period=7, phase_col="ph"
+    )
+
+
+@query(
+    "hits_supplier_part",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS d FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    a1 AS (SELECT e.d AS node, CAST(COUNT(*) AS BIGINT) AS auth
+           FROM e GROUP BY 1),
+    av1 AS (SELECT n.node, COALESCE(a1.auth, 0) AS auth
+            FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
+    h1 AS (SELECT e.s AS node, CAST(SUM(av1.auth) AS BIGINT) AS hub
+           FROM e JOIN av1 ON e.d = av1.node GROUP BY 1),
+    hv1 AS (SELECT n.node, COALESCE(h1.hub, 0) AS hub
+            FROM nodes n LEFT JOIN h1 ON n.node = h1.node),
+    a2 AS (SELECT e.d AS node, CAST(SUM(hv1.hub) AS BIGINT) AS auth
+           FROM e JOIN hv1 ON e.s = hv1.node GROUP BY 1),
+    av2 AS (SELECT n.node, COALESCE(a2.auth, 0) AS auth
+            FROM nodes n LEFT JOIN a2 ON n.node = a2.node),
+    h2 AS (SELECT e.s AS node, CAST(SUM(av2.auth) AS BIGINT) AS hub
+           FROM e JOIN av2 ON e.d = av2.node GROUP BY 1),
+    hv2 AS (SELECT n.node, COALESCE(h2.hub, 0) AS hub
+            FROM nodes n LEFT JOIN h2 ON n.node = h2.node)
+    SELECT n.node, CAST(hv2.hub AS BIGINT) AS hub,
+           CAST(av2.auth AS BIGINT) AS authority
+    FROM nodes n
+    JOIN hv2 ON n.node = hv2.node
+    JOIN av2 ON n.node = av2.node
+    """,
+)
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized HITS hubs/authorities over the bipartite
+    supplier→part graph, 2 fixed rounds — suppliers are hubs (they point
+    at many well-sourced parts), parts are authorities. Dropping the
+    norm step keeps the whole recursion in EXACT integer arithmetic
+    (hub_0 = 1; auth = Σ hub in; hub = Σ auth out), so an iterative
+    eigenvector-style algorithm carries a FULL value oracle via two
+    unrolled rounds. See ``graph.hits``."""
+    from pangool_spark.operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10000000)).alias("dst"),
+    )
+    return hits(edges, iterations=2)
+
+
+@query(
+    "assortativity_parts",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    bo AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM bo GROUP BY 1),
+    p AS (
+      SELECT dx.deg AS dx, dy.deg AS dy
+      FROM bo JOIN deg dx ON bo.a = dx.a JOIN deg dy ON bo.b = dy.a
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy
+      FROM p
+    )
+    SELECT n AS n_edge_ends,
+           CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS r_num,
+           CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS r_den_x,
+           CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS r_den_y,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+           THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS assortativity
+    FROM s
+    """,
+)
+def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — is this network
+    hub-and-spoke (negative r) or hub-clustered (positive)? The
+    ``grouped_corr`` exact-integer Pearson contract over the
+    (deg(u), deg(v)) edge-endpoint pairs: every sum is an exact int64,
+    r is a fixed IEEE chain (sqrt is correctly rounded), so the whole
+    statistic hash-matches cross-engine. See
+    ``graph.degree_assortativity``."""
+    from pangool_spark.operators.graph import degree_assortativity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
