@@ -1497,3 +1497,91 @@ def novelty_score(
             ).alias("novelty"),
         )
     )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_dist: int = 6,
+    n_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs over a fixed-width perceptual hash (dHash /
+    SimHash-style) via BAND-BUCKET candidate generation + exact Hamming
+    verify — the image-dedup companion to ``lsh_band_pairs``.
+
+    Pigeonhole guarantee: a pair at Hamming distance ≤ ``max_dist`` differs
+    in at most ``max_dist`` of the ``n_bands`` equal-width bit bands, so
+    with ``n_bands >= max_dist + 1`` at least one band is IDENTICAL and the
+    band equi-join finds every qualifying pair (100% recall — LSH banding
+    for Hamming space is exact, unlike MinHash's probabilistic bands).
+    Candidates are Σ bucket² over band-value buckets, never n²; the verify
+    touches only candidate pairs with native bit ops (conv/xor/bit_count
+    on 16-bit chunks — no Python, no full-hash decode).
+
+    At 100 TB: hashes are ``bits``-bit strings (8 bytes at 64) — the join
+    shuffles (band_idx, band_val, id, 4×int) rows, never payloads; hot
+    bands (flat images → constant hash) are the skew risk, handled by AQE
+    skew-join like every other band join in this module.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ max_dist.
+    """
+    if bits % n_bands != 0 or (bits // n_bands) % 4 != 0:
+        raise ValueError(
+            f"bits ({bits}) must split into n_bands ({n_bands}) hex-aligned"
+            " bands (band width divisible by 4)"
+        )
+    if n_bands < max_dist + 1:
+        raise ValueError(
+            f"n_bands ({n_bands}) must be >= max_dist + 1 ({max_dist + 1}) "
+            "for the pigeonhole recall guarantee; raise n_bands or lower "
+            "max_dist"
+        )
+    band_hex = (bits // n_bands) // 4
+    n_chunks = bits // 16
+    h = F.lower(F.col(hash_col))
+
+    bands = df.select(
+        F.col(id_col).alias("__id__"),
+        h.alias("__h__"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(h, i * band_hex + 1, band_hex)
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("__band__", "__val__"),
+    )
+
+    def _chunk(side: str, i: int) -> Column:
+        return F.conv(
+            F.substring(F.col(side), i * 4 + 1, 4), 16, 10
+        ).cast("int")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__val__") == F.col("b.__val__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            F.col("a.__h__").alias("__ha__"),
+            F.col("b.__h__").alias("__hb__"),
+        )
+        .distinct()
+    )
+    dist = sum(
+        F.bit_count(_chunk("__ha__", i).bitwiseXOR(_chunk("__hb__", i)))
+        for i in range(n_chunks)
+    ).cast("int")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

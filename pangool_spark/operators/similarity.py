@@ -928,3 +928,90 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary and
+    carry the most gradient signal (in-batch random negatives are mostly
+    trivial at scale; every modern dual-encoder recipe mines hard ones).
+
+    Shape: same broadcast-query scan as ``knn_bruteforce`` — the (small)
+    query relation broadcasts WITH its labels, each corpus partition
+    scores its slab with one BLAS matmul, masks same-label columns, and
+    emits per-partition partial top-k so the shuffle carries O(parts·k)
+    rows per query, never the corpus. At 100 TB the corpus is scanned
+    once, embarrassingly parallel; for standing query sets the IVF path
+    (``ivf_topk``) with a label-filtered probe is the indexed regime.
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by cosine DESC,
+    neighbor id ASC tie-break; self-pairs excluded by id.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("vc"), F.col(label_col).alias("lb")
+    )
+    q_local = queries.select(F.col(id_col), F.col(vec_col), F.col(label_col)).collect()
+    if not q_local:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id LONG, neighbor_id LONG, rank INT"
+        )
+    q_ids = np.array([r[0] for r in q_local], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_local])
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    q_lbl = np.array([r[2] for r in q_local], dtype=np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_lbl))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def score_partition(batches):
+        ids, mat, lbl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_lbl = pdf["lb"].to_numpy(dtype=np.int64)
+            c_mat = np.stack(pdf["vc"].to_numpy()).astype(np.float64)
+            c_mat /= np.maximum(
+                np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12
+            )
+            scores = c_mat @ mat.T
+            # same-label columns can never be negatives: mask before top-k
+            scores[c_lbl[:, None] == lbl[None, :]] = -np.inf
+            kk = min(k, len(c_ids))
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j in range(len(ids)):
+                for i in top[:, j]:
+                    if np.isfinite(scores[i, j]) and c_ids[i] != ids[j]:
+                        rows["query_id"].append(ids[j])
+                        rows["neighbor_id"].append(c_ids[i])
+                        rows["cosine"].append(scores[i, j])
+            yield pd.DataFrame(rows)
+
+    partial = c.mapInPandas(score_partition, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

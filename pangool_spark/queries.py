@@ -8748,6 +8748,143 @@ def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_assortativity(edges)
 
 
+# round-9 batch 1: multimodal near-dup join + hard-negative mining
+
+_IMG_NOISE_POSITIONS = [p for p in range(1, 65) if (p - 1) % 11 == 0]
+
+
+def _image_neardup_oracle_sql(max_dist: int = 7) -> str:
+    """Closed-form oracle for the 8×8 dHash near-dup join: replicate the
+    exact NN sample positions and bit packing for BOTH the original image
+    (even media_id) and its 'recompression noise' twin (odd media_id,
+    pixel +3 at the fixed noise positions), then the same 8-band
+    candidate join + Hamming verify the operator runs."""
+    hs = 8
+    ys = [(y * 8) // hs for y in range(hs)]
+    xs = [(x * 8) // (hs + 1) for x in range(hs + 1)]
+    noise = set(_IMG_NOISE_POSITIONS)
+
+    def hash_sel(noisy: bool) -> str:
+        def px(p: int) -> str:
+            bump = 3 if (noisy and p in noise) else 0
+            return f"(ascii(substr(text, {p}, 1)) + {bump})"
+
+        byte_exprs = []
+        for r in range(hs):
+            base = ys[r] * 8
+            terms = [
+                f"CASE WHEN {px(base + xs[i] + 1)} > {px(base + xs[i + 1] + 1)}"
+                f" THEN {1 << (7 - i)} ELSE 0 END"
+                for i in range(hs)
+            ]
+            byte_exprs.append("(" + " + ".join(terms) + f") AS b{r}")
+        return ", ".join(byte_exprs)
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT media_id, {i} AS band, b{i} AS val FROM hashes"
+        for i in range(8)
+    )
+    dist_expr = " + ".join(
+        f"bit_count(xor(ha.b{i}, hb.b{i}))" for i in range(8)
+    )
+    return f"""
+    WITH eligible AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 64
+        AND NOT regexp_matches(substr(text, 1, 64), '[^\\x00-\\x7F]')
+    ),
+    ho AS (SELECT doc_id * 2 AS media_id, {hash_sel(False)} FROM eligible),
+    hn AS (SELECT doc_id * 2 + 1 AS media_id, {hash_sel(True)} FROM eligible),
+    hashes AS (SELECT * FROM ho UNION ALL SELECT * FROM hn),
+    bands AS ({bands_union}),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val
+                  AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, dist FROM (
+      SELECT c.id_a, c.id_b, CAST({dist_expr} AS INTEGER) AS dist
+      FROM cand c
+      JOIN hashes ha ON ha.media_id = c.id_a
+      JOIN hashes hb ON hb.media_id = c.id_b
+    ) WHERE dist <= {max_dist}
+    """
+
+
+@query("image_neardup_docs", _image_neardup_oracle_sql())
+def image_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup END TO END: every eligible document's
+    first 64 ASCII bytes play an 8×8 raw grayscale image (even media_id)
+    alongside a synthetic 'recompression noise' twin (odd media_id, +3 on
+    six fixed pixels — the minor-reencode perturbation dHash is built to
+    absorb); ``image_dhash`` packs the 64 difference bits, and
+    ``hamming_neardup_pairs`` recovers near-identical images through an
+    8-band LSH candidate join + exact bit_count verify (pigeonhole recall
+    guarantee at max_dist=7). The noisy twins surface at distance 0-4,
+    exact-dup doc families at 0 — a non-vacuous distance spectrum. See
+    ``dedup.hamming_neardup_pairs``, ``multimodal.image_dhash``."""
+    from pangool_spark.operators.dedup import hamming_neardup_pairs
+    from pangool_spark.operators.multimodal import image_dhash
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= 64)
+        & ~F.substring("text", 1, 64).rlike("[^\\x00-\\x7F]")
+    )
+    t = F.substring("text", 1, 64)
+    segs, prev = [], 1
+    for p in _IMG_NOISE_POSITIONS:
+        if p > prev:
+            segs.append(F.substring(t, prev, p - prev))
+        segs.append(F.char(F.ascii(F.substring(t, p, 1)) + F.lit(3)))
+        prev = p + 1
+    if prev <= 64:
+        segs.append(F.substring(t, prev, 64 - prev + 1))
+    noisy = F.concat(*segs)
+
+    orig = docs.select(
+        (F.col("doc_id") * 2).alias("media_id"),
+        F.encode(t, "ISO-8859-1").alias("payload"),
+    )
+    twin = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("media_id"),
+        F.encode(noisy, "ISO-8859-1").alias("payload"),
+    )
+    media = orig.unionByName(twin).select(
+        "media_id", "payload", F.lit(8).alias("width"), F.lit(8).alias("height")
+    )
+    hashes = image_dhash(media, decoder="raw")
+    return hamming_neardup_pairs(hashes, max_dist=7, n_bands=8, bits=64)
+
+
+@query(
+    "hard_negatives_embeddings",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id <> c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-5 most-similar
+    DIFFERENT-label neighbors per query vector (vec_id<10) — the
+    boundary-hugging negatives that carry gradient signal. Same
+    broadcast-query one-scan shape as ``knn_bruteforce`` with the label
+    mask applied inside the BLAS kernel before the per-partition top-k.
+    See ``similarity.hard_negatives``."""
+    from pangool_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
