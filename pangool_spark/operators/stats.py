@@ -804,3 +804,245 @@ def backtest_seasonal_naive(
         (F.col("__sae__").cast("double") / F.col("n_days").cast("double")).alias("mae"),
         (F.col("__se__").cast("double") / F.col("n_days").cast("double")).alias("bias"),
     )
+
+
+def grouped_acf(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-group sample autocorrelation function at lags 1..``max_lag`` —
+    the time-series diagnostic behind seasonality detection and ARIMA
+    order picking:
+
+        acf(k) = Σ_{t}(x_t − x̄)(x_{t+k} − x̄) / Σ_{t}(x_t − x̄)²
+
+    with x̄ and the denominator over the FULL series (the textbook
+    estimator). Expanding the numerator removes the mean from every sum:
+    Σ x_t·x_{t+k}, Σ x_t, Σ x_{t+k} over the lag-k pairs plus the series'
+    (n, Σx, Σx²) — with INTEGER values all six are exact int64 sums
+    (order-independent, engine-portable; rescale to cents/millis
+    upstream, the ``grouped_corr`` contract) and the closed form is a
+    fixed IEEE chain, so acf hash-matches cross-engine. Inputs must be
+    integer-typed — fractional columns raise.
+
+    Shuffle profile: ONE window shuffle on the group key computes all
+    ``max_lag`` lag columns, then one partial-combined aggregate; lags
+    unpivot from a single row per group (no per-lag pass).
+
+    Output: (*group_cols, lag, n, n_pairs, acf) — acf NULL when the
+    series is shorter than lag+1 or has zero variance.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if not group_cols:
+        raise ValueError("grouped_acf needs at least one group column")
+    if dict(df.dtypes).get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"grouped_acf needs an integer-typed value column for exact "
+            f"sums; got {dict(df.dtypes).get(value_col)!r} — rescale "
+            f"upstream (cents, millis) like grouped_corr"
+        )
+    x = F.col(value_col).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    lagged = df.select(
+        *group_cols,
+        x.alias("__x__"),
+        *[F.lag(x, k).over(w).alias(f"__l{k}__") for k in range(1, max_lag + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("__s__"),
+        F.sum(F.col("__x__") * F.col("__x__")).alias("__q__"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}__")
+        pair = F.when(lk.isNotNull(), True)
+        aggs += [
+            F.count(F.when(pair, 1)).alias(f"__np{k}__"),
+            F.sum(F.when(pair, lk * F.col("__x__"))).alias(f"__sxy{k}__"),
+            F.sum(F.when(pair, lk)).alias(f"__sa{k}__"),
+            F.sum(F.when(pair, F.col("__x__"))).alias(f"__sb{k}__"),
+        ]
+    g = lagged.groupBy(*group_cols).agg(*aggs)
+
+    stack_args = []
+    for k in range(1, max_lag + 1):
+        stack_args += [
+            f"{k}", f"__np{k}__", f"__sxy{k}__", f"__sa{k}__", f"__sb{k}__",
+        ]
+    unp = g.select(
+        *group_cols,
+        "n", "__s__", "__q__",
+        F.expr(
+            f"stack({max_lag}, "
+            + ", ".join(stack_args)
+            + ") AS (lag, n_pairs, __sxy__, __sa__, __sb__)"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("__s__").cast("double") / nd
+    num = (
+        F.col("__sxy__").cast("double")
+        - xbar * F.col("__sa__").cast("double")
+        - xbar * F.col("__sb__").cast("double")
+        + F.col("n_pairs").cast("double") * (xbar * xbar)
+    )
+    den = F.col("__q__").cast("double") - (
+        F.col("__s__").cast("double") * F.col("__s__").cast("double")
+    ) / nd
+    acf = F.when((F.col("n_pairs") >= 1) & (den > 0.0), num / den)
+    return unp.select(
+        *group_cols, "lag", "n", "n_pairs", acf.alias("acf")
+    )
+
+
+def changepoint_binary(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Single best mean-shift changepoint per group (one round of binary
+    segmentation / CUSUM-style SSE minimization): the split index i that
+    minimizes SSE(x_1..x_i) + SSE(x_{i+1}..x_n), i.e. maximizes the
+    variance-reduction gain
+
+        gain(i) = S_i²/i + (S_n−S_i)²/(n−i) − S_n²/n.
+
+    Cumulative sums S_i run as exact int64 over the window order (integer
+    values required — the ``grouped_corr`` rescale contract), so every
+    gain is a fixed IEEE chain on exact ints: bit-replicable
+    cross-engine, partitioning-invariant. Tie-break: smallest i.
+
+    Shuffle profile: one window shuffle on the group key (running sum +
+    per-group total via unbounded frame), one WindowGroupLimit pick —
+    no self-join, no per-group pass.
+
+    Output: (*group_cols, n, cp_idx, gain) — cp_idx is the 1-based last
+    index of the left segment (1 ≤ cp_idx < n); groups with n < 2 are
+    absent.
+    """
+    if not group_cols:
+        raise ValueError("changepoint_binary needs at least one group column")
+    if dict(df.dtypes).get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"changepoint_binary needs an integer-typed value column; got "
+            f"{dict(df.dtypes).get(value_col)!r} — rescale upstream "
+            f"(cents, millis) like grouped_corr"
+        )
+    x = F.col(value_col).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    wall = Window.partitionBy(*group_cols)
+    cum = df.select(
+        *group_cols,
+        F.row_number().over(w).alias("__i__"),
+        F.sum(x).over(w).alias("__si__"),
+    ).select(
+        *group_cols,
+        "__i__",
+        "__si__",
+        F.max("__i__").over(wall).alias("n"),
+        F.max("__si__").over(wall).alias("__sn__"),
+    )
+    i_d = F.col("__i__").cast("double")
+    n_d = F.col("n").cast("double")
+    si = F.col("__si__").cast("double")
+    sn = F.col("__sn__").cast("double")
+    r_d = n_d - i_d
+    gain = (si * si) / i_d + ((sn - si) * (sn - si)) / r_d - (sn * sn) / n_d
+    scored = cum.filter(F.col("__i__") < F.col("n")).select(
+        *group_cols, "n", F.col("__i__").alias("cp_idx"), gain.alias("gain")
+    )
+    pick = Window.partitionBy(*group_cols).orderBy(
+        F.col("gain").desc(), F.col("cp_idx").asc()
+    )
+    return (
+        scored.withColumn("__rn__", F.row_number().over(pick))
+        .filter(F.col("__rn__") == 1)
+        .select(*group_cols, "n", "cp_idx", "gain")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    max_n: int = 200,
+) -> DataFrame:
+    """Per-group Theil–Sen robust slope: the LOWER MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over x_i < x_j — up to ~29% outlier
+    contamination leaves the estimate intact where OLS (``grouped_linreg``)
+    is dragged arbitrarily far. Lower median (element ⌈m/2⌉ of the sorted
+    slopes) instead of the interpolated median: element SELECTION is
+    engine-exact, while midpoint interpolation is one more IEEE op whose
+    formula differs across engines — documented deviation.
+
+    Integer x and y required (the ``grouped_corr`` rescale contract):
+    each slope is then a single exact-int divide — bit-replicable.
+
+    Pairs are O(n²) per group: the first ``max_n`` rows per group in
+    window order (x, then y, then input order) enter the pair join, so a
+    group costs at most max_n² slope rows — the documented sampling cap
+    (raise it for small groups, pre-aggregate for dense series). The
+    self-join is group-key + rank-banded: only in-group pairs ship.
+
+    Output: (*group_cols, n_pairs, slope).
+    """
+    if not group_cols:
+        raise ValueError("theil_sen needs at least one group column")
+    if max_n < 2:
+        raise ValueError(f"max_n must be >= 2, got {max_n}")
+    types = dict(df.dtypes)
+    if types.get(x_col) not in _INT_TYPES or types.get(y_col) not in _INT_TYPES:
+        raise ValueError(
+            "theil_sen needs integer-typed x and y columns; got "
+            f"{types.get(x_col)!r}/{types.get(y_col)!r} — rescale upstream "
+            "(days, cents, millis) like grouped_corr"
+        )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__x__").asc(), F.col("__y__").asc()
+    )
+    capped = (
+        df.select(
+            *group_cols,
+            F.col(x_col).cast("bigint").alias("__x__"),
+            F.col(y_col).cast("bigint").alias("__y__"),
+        )
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= max_n)
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    slopes = (
+        a.join(
+            b,
+            on=on
+            + [
+                F.col("a.__rn__") < F.col("b.__rn__"),
+                F.col("a.__x__") != F.col("b.__x__"),
+            ],
+        )
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in group_cols],
+            (
+                (F.col("b.__y__") - F.col("a.__y__")).cast("double")
+                / (F.col("b.__x__") - F.col("a.__x__")).cast("double")
+            ).alias("__slope__"),
+        )
+    )
+    ws = Window.partitionBy(*group_cols).orderBy(F.col("__slope__").asc())
+    wc = Window.partitionBy(*group_cols)
+    ranked = slopes.select(
+        *group_cols,
+        "__slope__",
+        F.row_number().over(ws).alias("__sr__"),
+        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("__sr__") == F.floor((F.col("n_pairs") + 1) / 2)
+    ).select(*group_cols, "n_pairs", F.col("__slope__").alias("slope"))

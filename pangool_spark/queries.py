@@ -8885,6 +8885,176 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# round-9 batch 2: time-series statistics (ACF / changepoint / Theil-Sen)
+
+
+def _acf_oracle_sql(max_lag: int = 5) -> str:
+    """Mean-removed-by-algebra ACF: all six component sums are exact
+    int64 (value rescaled to cents), the closed form a fixed IEEE chain —
+    identical expression tree to ``stats.grouped_acf``."""
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    lag_aggs = ", ".join(
+        f"COUNT(l{k}) AS np{k}, CAST(SUM(l{k} * x) AS BIGINT) AS sxy{k}, "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS BIGINT) AS sa{k}, "
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT) AS sb{k}"
+        for k in range(1, max_lag + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, n, s, q, np{k} AS n_pairs, "
+        f"sxy{k} AS sxy, sa{k} AS sa, sb{k} AS sb FROM g"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, x, {lag_cols}
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q, {lag_aggs}
+      FROM l GROUP BY 1
+    ),
+    u AS ({unions})
+    SELECT event_type, lag, n, n_pairs,
+           CASE WHEN n_pairs >= 1
+                 AND (CAST(q AS DOUBLE)
+                      - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / CAST(n AS DOUBLE)) > 0.0
+                THEN (CAST(sxy AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sa AS DOUBLE)
+                      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sb AS DOUBLE)
+                      + CAST(n_pairs AS DOUBLE)
+                        * ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+                     / (CAST(q AS DOUBLE)
+                        - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / CAST(n AS DOUBLE))
+           END AS acf
+    FROM u
+    """
+
+
+@query("acf_events", _acf_oracle_sql())
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-5 of event value (cents) per
+    event type, ordered by (ts, event_id) — the seasonality/ARIMA-order
+    diagnostic as ONE window pass + one partial-combined aggregate.
+    Mean removal is done by algebra over exact int64 sums, so acf
+    hash-matches DuckDB bit-for-bit. See ``stats.grouped_acf``."""
+    from pangool_spark.operators.stats import grouped_acf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return grouped_acf(
+        ev, ["event_type"], ["ts", "event_id"], "cents", max_lag=5
+    )
+
+
+@query(
+    "changepoint_events",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    cum AS (
+      SELECT user_id,
+             row_number() OVER w AS i,
+             CAST(SUM(x) OVER w AS BIGINT) AS si
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tot AS (
+      SELECT user_id, i, si,
+             MAX(i) OVER (PARTITION BY user_id) AS n,
+             MAX(si) OVER (PARTITION BY user_id) AS sn
+      FROM cum
+    ),
+    scored AS (
+      SELECT user_id, n, i AS cp_idx,
+             (CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) / CAST(i AS DOUBLE)
+             + ((CAST(sn AS DOUBLE) - CAST(si AS DOUBLE))
+                * (CAST(sn AS DOUBLE) - CAST(si AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+             - (CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS gain
+      FROM tot WHERE i < n
+    )
+    SELECT user_id, n, cp_idx, gain FROM (
+      SELECT user_id, n, cp_idx, gain,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY gain DESC, cp_idx ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best mean-shift changepoint per user over the value series (cents,
+    ordered by ts) — one binary-segmentation round from exact cumulative
+    int sums; the gain formula is a fixed IEEE chain so the argmax and
+    its gain hash-match cross-engine. See ``stats.changepoint_binary``."""
+    from pangool_spark.operators.stats import changepoint_binary
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return changepoint_binary(ev, ["user_id"], ["ts", "event_id"], "cents")
+
+
+@query(
+    "theil_sen_events",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    capped AS (
+      SELECT user_id, x, y,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY x ASC, y ASC) AS rn
+      FROM d QUALIFY rn <= 200
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)) AS slope
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND a.rn < b.rn AND a.x <> b.x
+    )
+    SELECT user_id, n_pairs, slope FROM (
+      SELECT user_id, slope,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY slope ASC) AS sr,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+      FROM slopes
+    ) WHERE sr = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+    """,
+)
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of value (cents) vs time (epoch seconds)
+    per user — the lower median of exact pairwise slopes, outlier-proof
+    where OLS (``linreg_user_trends``) is dragged; rank-capped at 200
+    rows/group so pairs stay bounded. See ``stats.theil_sen``."""
+    from pangool_spark.operators.stats import theil_sen
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return theil_sen(ev, ["user_id"], "x", "y", max_n=200)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
