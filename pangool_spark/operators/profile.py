@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -393,3 +393,217 @@ def suppress_small_classes(
     audit = k_anonymity(df, keys, k=k)
     ok = audit.filter(F.col("anonymous")).select(*keys)
     return df.join(ok, keys, "left_semi")
+
+
+def referential_integrity(
+    specs: "Sequence[tuple[str, DataFrame, Sequence[str], DataFrame, Sequence[str]]]",
+) -> DataFrame:
+    """Referential-integrity audit across a set of FK relationships in one
+    relation: for each named (child, child_keys, parent, parent_keys) spec,
+    count child rows, NULL-key child rows, and ORPHANS (non-NULL keys with
+    no parent) — the cross-table complement to ``expectations``'s
+    single-table constraints; at 100 TB the audit runs as one left-anti
+    join per FK over keys only (child payload never shuffles; Catalyst
+    broadcasts small parents).
+
+    NULL semantics follow SQL FKs: a child row with any NULL key column is
+    exempt from the FK check (counted separately as n_null_keys).
+
+    Output: (fk, n_child, n_null_keys, n_orphans, orphan_rate) — one row
+    per spec; orphan_rate = n_orphans / non-null child rows (NULL when no
+    checkable rows).
+    """
+    if not specs:
+        raise ValueError("referential_integrity needs at least one FK spec")
+    parts = []
+    for name, child, child_keys, parent, parent_keys in specs:
+        if len(child_keys) != len(parent_keys) or not child_keys:
+            raise ValueError(
+                f"FK {name!r}: child/parent key lists must be same-length "
+                f"and non-empty"
+            )
+        ck = child.select(*[F.col(c) for c in child_keys])
+        nonnull = ck
+        for c in child_keys:
+            nonnull = nonnull.filter(F.col(c).isNotNull())
+        pk = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(child_keys, parent_keys)]
+        ).distinct()
+        orphans = nonnull.join(pk, on=list(child_keys), how="left_anti")
+        totals = ck.agg(F.count(F.lit(1)).alias("n_child"))
+        counted = (
+            totals.crossJoin(
+                nonnull.agg(F.count(F.lit(1)).alias("__nn__"))
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk"),
+                "n_child",
+                (F.col("n_child") - F.col("__nn__")).alias("n_null_keys"),
+                "n_orphans",
+                F.when(
+                    F.col("__nn__") > 0,
+                    F.col("n_orphans").cast("double")
+                    / F.col("__nn__").cast("double"),
+                ).alias("orphan_rate"),
+            )
+        )
+        parts.append(counted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# Benford's-law expected leading-digit probabilities log10(1 + 1/d),
+# inlined as plan literals so NEITHER engine evaluates a libm log at query
+# time (cross-engine log rounding is the historical drift class).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer measure —
+    the classic fraud/synthetic-data screen: natural multi-scale
+    quantities follow P(d) = log10(1 + 1/d); fabricated or clipped ones
+    don't. Expected probabilities are PLAN LITERALS (precomputed above),
+    observed shares exact divides of exact counts, deviation a row-local
+    double — every value engine-portable.
+
+    Input must be integer-typed (the rescale contract: cents/millis) and
+    only rows with value >= 1 participate (zero/negative have no leading
+    digit). Leading digit extracted from the decimal string — exact.
+
+    Output: (*group_cols, digit, n, n_total, observed_p, expected_p,
+    abs_dev), 9 rows per group (absent digits emit n=0 via the digit
+    spine so the audit never silently drops a digit).
+    """
+    if dict(df.dtypes).get(value_col) not in {
+        "tinyint", "smallint", "int", "bigint"
+    }:
+        raise ValueError(
+            f"benford_audit needs an integer-typed value column; got "
+            f"{dict(df.dtypes).get(value_col)!r} — rescale upstream (cents)"
+        )
+    gcols = list(group_cols or [])
+    spark = df.sparkSession
+    pos = df.filter(F.col(value_col) >= 1).select(
+        *gcols,
+        F.substring(F.col(value_col).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    counts = pos.groupBy(*gcols, "digit").agg(F.count(F.lit(1)).alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    if gcols:
+        spine = counts.select(*gcols).distinct().crossJoin(digits)
+    else:
+        spine = digits
+    full = spine.join(counts, on=gcols + ["digit"], how="left").select(
+        *gcols, "digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wtot = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    )
+    expected = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    out = full.select(
+        *gcols,
+        "digit",
+        "n",
+        F.sum("n").over(wtot).alias("n_total"),
+        expected.alias("expected_p"),
+    ).select(
+        *gcols,
+        "digit",
+        "n",
+        "n_total",
+        F.when(
+            F.col("n_total") > 0,
+            F.col("n").cast("double") / F.col("n_total").cast("double"),
+        ).alias("observed_p"),
+        "expected_p",
+    )
+    return out.withColumn(
+        "abs_dev",
+        F.when(
+            F.col("observed_p").isNotNull(),
+            F.abs(F.col("observed_p") - F.col("expected_p")),
+        ),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration index over a non-negative integer
+    measure (revenue cents, token counts):
+
+        G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),   x sorted ascending
+
+    — the inequality audit (is 90% of revenue in 1% of customers? is the
+    training corpus dominated by one source?). The rank-weighted sum runs
+    as exact int64 over one window shuffle (ties broken by value order —
+    any permutation of equal values gives the same Σi·x, so the statistic
+    is deterministic), and the closed form is a fixed IEEE chain:
+    engine-portable. Negative values raise (Gini is undefined); zero-sum
+    groups emit NULL.
+
+    Output: (*group_cols, n, total, gini).
+    """
+    if not group_cols:
+        raise ValueError("gini_coefficient needs at least one group column")
+    if dict(df.dtypes).get(value_col) not in {
+        "tinyint", "smallint", "int", "bigint"
+    }:
+        raise ValueError(
+            f"gini_coefficient needs an integer-typed value column; got "
+            f"{dict(df.dtypes).get(value_col)!r} — rescale upstream (cents)"
+        )
+    x = F.col(value_col).cast("bigint")
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x__").asc())
+    ranked = df.select(*group_cols, x.alias("__x__")).withColumn(
+        "__i__", F.row_number().over(w)
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("total"),
+        F.sum(F.col("__i__").cast("bigint") * F.col("__x__")).alias("__iw__"),
+        F.min("__x__").alias("__min__"),
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("total").cast("double")
+    # the negative-value guard lives INSIDE the output expression — a
+    # side-channel check column would be pruned by Catalyst and never fire
+    gini = F.when(
+        F.col("__min__") < 0,
+        F.raise_error(
+            F.lit(
+                "gini_coefficient: negative values are undefined — "
+                "filter or shift upstream"
+            )
+        ).cast("double"),
+    ).otherwise(
+        F.when(
+            F.col("total") > 0,
+            (2.0 * F.col("__iw__").cast("double") - (nd + 1.0) * td)
+            / (nd * td),
+        )
+    )
+    return agg.select(*group_cols, "n", "total", gini.alias("gini"))

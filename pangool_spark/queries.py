@@ -9055,6 +9055,206 @@ def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen(ev, ["user_id"], "x", "y", max_n=200)
 
 
+# round-9 batch 3: governance / audit operators
+
+
+def _ri_fk_sql(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+    SELECT '{name}' AS fk,
+           (SELECT COUNT(*) FROM {child}) AS n_child,
+           (SELECT COUNT(*) FROM {child} WHERE {ckey} IS NULL) AS n_null_keys,
+           (SELECT COUNT(*) FROM {child} c
+             WHERE c.{ckey} IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey})) AS n_orphans,
+           CASE WHEN (SELECT COUNT(*) FROM {child} WHERE {ckey} IS NOT NULL) > 0
+                THEN CAST((SELECT COUNT(*) FROM {child} c
+                            WHERE c.{ckey} IS NOT NULL
+                              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                              WHERE p.{pkey} = c.{ckey}))
+                          AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM {child}
+                             WHERE {ckey} IS NOT NULL) AS DOUBLE)
+           END AS orphan_rate
+    """
+
+
+@query(
+    "ri_audit_tpch",
+    " UNION ALL ".join(
+        [
+            _ri_fk_sql("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+            _ri_fk_sql("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _ri_fk_sql("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+            _ri_fk_sql("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            _ri_fk_sql("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ]
+    ),
+)
+def ri_audit_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the five core TPC-H FKs in one
+    relation — orphan counts + rates per FK, keys-only anti-joins (child
+    payloads never shuffle). See ``profile.referential_integrity``."""
+    from pangool_spark.operators.profile import referential_integrity
+
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    return referential_integrity(
+        [
+            ("orders.custkey", t("orders"), ["o_custkey"], t("customer"), ["c_custkey"]),
+            ("lineitem.orderkey", t("lineitem"), ["l_orderkey"], t("orders"), ["o_orderkey"]),
+            ("lineitem.partkey", t("lineitem"), ["l_partkey"], t("part"), ["p_partkey"]),
+            ("lineitem.suppkey", t("lineitem"), ["l_suppkey"], t("supplier"), ["s_suppkey"]),
+            ("customer.nationkey", t("customer"), ["c_nationkey"], t("nation"), ["n_nationkey"]),
+        ]
+    )
+
+
+@query(
+    "pseudonymize_customers",
+    """
+    WITH ctok AS (
+      SELECT substr(md5(concat('r9-salt', ':', CAST(c_custkey AS VARCHAR))), 1, 16) AS token
+      FROM customer
+    ),
+    otok AS (
+      SELECT substr(md5(concat('r9-salt', ':', CAST(o_custkey AS VARCHAR))), 1, 16) AS token
+      FROM orders
+    )
+    SELECT c.token, COUNT(o.token) AS n_orders
+    FROM ctok c LEFT JOIN otok o USING (token)
+    GROUP BY c.token
+    """,
+)
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR pseudonymization END TO END: customer and orders keys are
+    independently tokenized with the same salt, then joined ON THE TOKEN
+    — proving salted-md5 tokens preserve cross-table linkage (per-token
+    order counts) while raw keys never appear in the output. See
+    ``upsert.pseudonymize``."""
+    from pangool_spark.operators.upsert import pseudonymize
+
+    cust = pseudonymize(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("token")
+        ),
+        ["token"],
+        salt="r9-salt",
+    )
+    orders = pseudonymize(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("token")
+        ),
+        ["token"],
+        salt="r9-salt",
+    )
+    return cust.join(
+        orders.select(F.col("token").alias("otoken")),
+        cust["token"] == F.col("otoken"),
+        "left",
+    ).groupBy("token").agg(F.count("otoken").alias("n_orders"))
+
+
+def _benford_oracle_sql() -> str:
+    from pangool_spark.operators.profile import _BENFORD_P
+
+    exp_case = (
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)"
+            for d in range(1, 10)
+        )
+        + " END"
+    )
+    return f"""
+    WITH pos AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM pos GROUP BY 1),
+    spine AS (SELECT CAST(u.d AS INTEGER) AS digit FROM unnest(range(1, 10)) AS u(d)),
+    full_counts AS (
+      SELECT s.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM spine s LEFT JOIN counts c USING (digit)
+    )
+    SELECT digit, n, n_total,
+           CASE WHEN n_total > 0
+                THEN CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) END AS observed_p,
+           expected_p,
+           CASE WHEN n_total > 0
+                THEN abs(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) - expected_p)
+           END AS abs_dev
+    FROM (
+      SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS n_total,
+             {exp_case} AS expected_p
+      FROM full_counts
+    )
+    """
+
+
+@query("benford_orders", _benford_oracle_sql())
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (cents) — the
+    fraud/synthetic-data screen; expected digit probabilities are plan
+    literals (no libm in either engine), observed shares exact divides.
+    See ``profile.benford_audit``."""
+    from pangool_spark.operators.profile import benford_audit
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return benford_audit(orders, "cents")
+
+
+@query(
+    "gini_customer_revenue",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY cents ASC) AS i
+      FROM rev
+    ),
+    agg AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(i * cents) AS BIGINT) AS iw
+      FROM ranked GROUP BY 1
+    )
+    SELECT nationkey, n, total,
+           CASE WHEN total > 0
+                THEN (2.0 * CAST(iw AS DOUBLE)
+                      - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+           END AS gini
+    FROM agg
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: per-nation Gini over lifetime customer
+    revenue (cents; customers with no orders count as zero) — exact
+    rank-weighted int sums, one window shuffle, fixed IEEE closed form.
+    See ``profile.gini_coefficient``."""
+    from pangool_spark.operators.profile import gini_coefficient
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__c__"),
+    )
+    rev = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("__c__"), F.lit(0)).cast("bigint").alias("cents"))
+        .select(F.col("c_nationkey").alias("nationkey"), "cents")
+    )
+    return gini_coefficient(rev, ["nationkey"], "cents")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
