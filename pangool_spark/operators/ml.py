@@ -414,3 +414,81 @@ def kmeans_lloyd(
         F.col("__dist2__").alias("dist2"),
     )
     return out, centroids
+
+
+def cluster_topics(
+    assign: DataFrame,
+    docs: DataFrame,
+    cluster_col: str = "cell",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive terms per document cluster — the corpus-curation lens
+    over any clustering (k-means cells, LSH buckets, source groups):
+    for each cluster, the top-k terms by LIFT
+
+        lift(t, c) = (n_tc / n_c) / (n_t / N)
+
+    (share of the term inside the cluster over its corpus share — the
+    log-free PMI variant, exact-ratio arithmetic so it value-oracles).
+    ``min_count`` floors n_tc so one-off tokens can't top the list.
+
+    Shape: one explode + two partial-combined aggregates (term×cluster,
+    term) + a WindowGroupLimit top-k; cluster/corpus totals ride along as
+    window sums over the small term×cluster relation. Nothing touches
+    the corpus twice, nothing is per-pair.
+
+    Output: (cluster, term, n, lift, rank), rank 1..top_k by lift DESC,
+    term ASC tie-break.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pangool_spark.operators.norm import normalized_tokens
+
+    joined = docs.join(
+        assign.select(
+            F.col(id_col), F.col(cluster_col).alias("__cluster__")
+        ),
+        id_col,
+    )
+    terms = joined.select(
+        "__cluster__",
+        F.explode(normalized_tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    tc = terms.groupBy("__cluster__", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("__cluster__")
+    wt = Window.partitionBy("term")
+    # corpus total as a broadcast 1-row relation, NOT a single-partition
+    # window (which would funnel the whole term×cluster relation through
+    # one task at scale)
+    total = tc.agg(F.sum("n").alias("__N__"))
+    scored = tc.select(
+        "__cluster__",
+        "term",
+        "n",
+        F.sum("n").over(wc).alias("__nc__"),
+        F.sum("n").over(wt).alias("__nt__"),
+    ).crossJoin(F.broadcast(total)).select(
+        "__cluster__",
+        "term",
+        "n",
+        (
+            (F.col("n").cast("double") / F.col("__nc__").cast("double"))
+            / (F.col("__nt__").cast("double") / F.col("__N__").cast("double"))
+        ).alias("lift"),
+    )
+    w = Window.partitionBy("__cluster__").orderBy(
+        F.col("lift").desc(), F.col("term").asc()
+    )
+    return (
+        scored.filter(F.col("n") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__cluster__").alias("cluster"), "term", "n", "lift", "rank"
+        )
+    )

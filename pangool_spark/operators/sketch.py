@@ -183,3 +183,90 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    n_counters: int = 64,
+    n_groups: int = 4,
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) F2 sketch — estimate the second frequency
+    moment F2 = Σᵢ fᵢ² (equivalently the SELF-JOIN SIZE of the key column,
+    the cardinality a query optimizer needs before picking a join
+    strategy) in one pass with ``n_counters`` integers of state:
+
+        zⱼ = Σᵢ sⱼ(i)·fᵢ   (sⱼ = ±1 per key),   E[zⱼ²] = F2.
+
+    Median-of-means: counters split into ``n_groups`` groups; the
+    estimate is the lower median of the group means of zⱼ² (selection,
+    not interpolation — engine-exact). Signs come from the 128-bit md5
+    of the key (bit j of the digest), so the sketch is deterministic and
+    value-oracle-able; md5 bits are not 4-wise independent in theory but
+    behave so in practice — swap a tabulation family for proofs.
+
+    Shape: ALL ``n_counters`` sums run inside ONE partial-combined
+    aggregate over one scan (64 agg expressions, no explode — the naive
+    explode-by-j plan multiplies the input ×64 before the shuffle).
+    Constant state per partition, mergeable, any scale.
+
+    Output: one row (n_counters, est_f2, exact_f2, rel_err) — exact F2
+    computed alongside from the key-frequency aggregate for the error
+    report (drop it at 100 TB if the exact pass is the thing you're
+    avoiding; the estimate path never needs it).
+    """
+    if n_counters % n_groups != 0:
+        raise ValueError(
+            f"n_counters ({n_counters}) must divide into n_groups "
+            f"({n_groups})"
+        )
+    if n_counters % 4 != 0 or n_counters > 128:
+        raise ValueError(
+            f"n_counters must be a multiple of 4 and <= 128 (md5 bits), "
+            f"got {n_counters}"
+        )
+    h = F.md5(F.col(key_col).cast("string"))
+    signs = []
+    for j in range(n_counters):
+        c, b = j // 4, j % 4
+        v = F.conv(F.substring(h, c + 1, 1), 16, 10).cast("int")
+        signs.append(
+            F.when(v.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        )
+    z = df.agg(
+        *[
+            F.sum(s.cast("bigint")).alias(f"__z{j}__")
+            for j, s in enumerate(signs)
+        ]
+    )
+    per_group = n_counters // n_groups
+    means = []
+    for g in range(n_groups):
+        sq = None
+        for j in range(g * per_group, (g + 1) * per_group):
+            t = F.col(f"__z{j}__") * F.col(f"__z{j}__")
+            sq = t if sq is None else sq + t
+        means.append((sq.cast("double") / F.lit(float(per_group))))
+    est = F.array_sort(F.array(*means))[(n_groups + 1) // 2 - 1]
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__f__"))
+        .agg(F.sum(F.col("__f__") * F.col("__f__")).alias("exact_f2"))
+    )
+    return (
+        z.select(
+            F.lit(n_counters).alias("n_counters"), est.alias("est_f2")
+        )
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_counters",
+            "est_f2",
+            "exact_f2",
+            (
+                F.abs(F.col("est_f2") - F.col("exact_f2").cast("double"))
+                / F.col("exact_f2").cast("double")
+            ).alias("rel_err"),
+        )
+    )

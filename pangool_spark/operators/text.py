@@ -1396,3 +1396,47 @@ def vocab_coverage(
     return agg.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.k", "r.covered", "r.total", "r.coverage"
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase retrieval over a POSITIONAL index — the IR primitive
+    ``inverted_index`` (df/tf postings) cannot answer: find documents
+    where the phrase's tokens appear contiguously, in order.
+
+    Shape: one posexplode builds the (doc, position, term) stream; each
+    phrase term k filters its OWN slice of the stream (selectivity of
+    that term — the rare-term slice is tiny) and the slices intersect on
+    (doc, start_position) via m−1 equi-joins with the position shifted by
+    k. Only term-matching positions ever shuffle; the corpus text never
+    does. At 100 TB this is the standard positional-intersection query
+    plan every search engine runs — for standing query workloads,
+    materialize the positional index once (``write_bucketed`` on doc) and
+    the joins co-locate.
+
+    Output: (id, n_matches, first_pos) — first_pos is the 1-based token
+    position of the first occurrence; docs without the phrase are absent.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(normalized_tokens(text_col)).alias("__pos__", "__term__"),
+    )
+    base = tok.filter(F.col("__term__") == terms[0]).select(
+        id_col, F.col("__pos__").alias("__start__")
+    )
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = tok.filter(F.col("__term__") == t).select(
+            id_col, (F.col("__pos__") - k).alias("__start__")
+        )
+        base = base.join(nxt, [id_col, "__start__"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("__start__") + 1).alias("first_pos"),
+    )

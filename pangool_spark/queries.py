@@ -9255,6 +9255,140 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(rev, ["nationkey"], "cents")
 
 
+# round-9 batch 4: phrase retrieval, cluster topics, AMS F2 sketch
+
+
+@query(
+    "phrase_search_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS term
+      FROM d, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    m AS (
+      SELECT a.doc_id, a.i
+      FROM tok a
+      JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 AND b.term = 'hash'
+      JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2 AND c.term = 'batch'
+      WHERE a.term = 'slow'
+    )
+    SELECT doc_id, COUNT(*) AS n_matches, MIN(i) AS first_pos
+    FROM m GROUP BY 1
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ('slow hash batch') over the positional
+    token stream — per-term filtered slices intersected on (doc, start)
+    with shifted positions; the corpus text never shuffles. See
+    ``text.phrase_search``."""
+    from pangool_spark.operators.text import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "slow hash batch")
+
+
+def _cluster_topics_oracle_sql(top_k: int = 5, min_count: int = 5) -> str:
+    return f"""
+    WITH assign AS ({_ivf_oracle()}),
+    d AS (
+      SELECT a.cell AS cluster,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents doc JOIN assign a ON a.vec_id = doc.doc_id
+    ),
+    terms AS (SELECT cluster, u.term FROM d, LATERAL unnest(t) AS u(term)),
+    tc AS (SELECT cluster, term, COUNT(*) AS n FROM terms GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM tc),
+    scored AS (
+      SELECT cluster, term, CAST(n AS BIGINT) AS n,
+             (CAST(n AS DOUBLE)
+              / CAST(SUM(n) OVER (PARTITION BY cluster) AS DOUBLE))
+             / (CAST(SUM(n) OVER (PARTITION BY term) AS DOUBLE)
+                / CAST((SELECT N FROM tot) AS DOUBLE)) AS lift
+      FROM tc
+    )
+    SELECT cluster, term, n, lift, CAST(rank AS INT) AS rank FROM (
+      SELECT cluster, term, n, lift,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY lift DESC, term ASC) AS rank
+      FROM scored WHERE n >= {min_count}
+    ) WHERE rank <= {top_k}
+    """
+
+
+@query("cluster_topics_embeddings", _cluster_topics_oracle_sql())
+def cluster_topics_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation cluster profiling END TO END: assign every document
+    to its IVF/k-means cell (fixed centroid literals, the
+    ``ivf_assign_cells`` regime), then surface each cell's top-5
+    distinctive terms by exact-ratio lift — the 'what IS this cluster'
+    report every embedding-space curation pass needs. See
+    ``ml.cluster_topics``."""
+    from pangool_spark.operators.ml import cluster_topics
+    from pangool_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = ivf_assign(emb, _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    return cluster_topics(assign, docs, top_k=5, min_count=5)
+
+
+def _ams_oracle_sql(n_counters: int = 64, n_groups: int = 4) -> str:
+    per_group = n_counters // n_groups
+    sign_sums = []
+    for j in range(n_counters):
+        c, b = j // 4, j % 4
+        v = (
+            f"(strpos('0123456789abcdef', "
+            f"substr(md5(CAST(l_orderkey AS VARCHAR)), {c + 1}, 1)) - 1)"
+        )
+        sign_sums.append(
+            f"CAST(SUM(CASE WHEN ({v} & {1 << b}) <> 0 THEN 1 ELSE -1 END) "
+            f"AS BIGINT) AS z{j}"
+        )
+    means = []
+    for g in range(n_groups):
+        sq = " + ".join(
+            f"z{j} * z{j}" for j in range(g * per_group, (g + 1) * per_group)
+        )
+        means.append(f"CAST({sq} AS DOUBLE) / {float(per_group)!r}")
+    med_idx = (n_groups + 1) // 2
+    return f"""
+    WITH z AS (SELECT {', '.join(sign_sums)} FROM lineitem),
+    est AS (
+      SELECT list_sort([{', '.join(means)}])[{med_idx}] AS est_f2 FROM z
+    ),
+    exact AS (
+      SELECT CAST(SUM(f * f) AS BIGINT) AS exact_f2 FROM (
+        SELECT COUNT(*) AS f FROM lineitem GROUP BY l_orderkey
+      )
+    )
+    SELECT CAST({n_counters} AS INTEGER) AS n_counters, est_f2, exact_f2,
+           abs(est_f2 - CAST(exact_f2 AS DOUBLE)) / CAST(exact_f2 AS DOUBLE)
+             AS rel_err
+    FROM est, exact
+    """
+
+
+@query("ams_f2_lineitem", _ams_oracle_sql())
+def ams_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch of lineitem.l_orderkey — one-pass self-join-size
+    estimate from 64 ±1-sign counters (md5-bit signs, median-of-means),
+    reported against the exact F2 with relative error. All 64 sums run
+    in ONE partial-combined aggregate; no explode, constant state. See
+    ``sketch.ams_f2``."""
+    from pangool_spark.operators.sketch import ams_f2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ams_f2(li, "l_orderkey")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
