@@ -296,3 +296,78 @@ def best_match_join(
         .filter(F.col("__rn__") == 1)
         .select("id_a", "id_b", "distance")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 10,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) blocking for entity resolution
+    (Hernández & Stolfo, SIGMOD'95): sort on the blocking key, slide a
+    ``window``-row pane, and verify only in-pane pairs — the classic
+    alternative to q-gram/deletion blocking (``fuzzy_join``) that finds
+    matches q-gram blocking structurally misses (prefix typos shift
+    every q-gram, but barely move the sort position — and vice versa;
+    production ER runs BOTH and unions candidates).
+
+    Scale shape: the global sort rank comes from ``stable_row_ids``
+    (sample-sort — never a single-partition window); in-pane candidate
+    pairs come from a BLOCK equi-join (block = rank div window; a pair
+    within ``window`` ranks spans at most two adjacent blocks, so each
+    row probes its own and its predecessor block — pigeonhole-complete,
+    no n² and no w-way explode). Verification is one native
+    levenshtein per candidate. Candidates are exactly n·w pairs, the
+    SNM contract.
+
+    Output: (id_a, id_b, key_a, key_b, distance) with id_a < id_b,
+    distance ≤ max_distance.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    from pangool_spark.operators.partitioning import stable_row_ids
+
+    ranked = stable_row_ids(
+        df.select(F.col(id_col), F.col(key_col)),
+        [key_col, id_col],
+        id_col="__rank__",
+    ).select(
+        F.col(id_col).alias("__id__"),
+        F.col(key_col).alias("__key__"),
+        "__rank__",
+        ((F.col("__rank__") - 1) / window).cast("bigint").alias("__blk__"),
+    )
+    probe = ranked.select(
+        F.col("__id__").alias("__idb__"),
+        F.col("__key__").alias("__keyb__"),
+        F.col("__rank__").alias("__rankb__"),
+        F.explode(
+            F.array(F.col("__blk__"), F.col("__blk__") - 1)
+        ).alias("__blk__"),
+    )
+    cand = ranked.join(probe, "__blk__").filter(
+        (F.col("__rankb__") - F.col("__rank__") >= 1)
+        & (F.col("__rankb__") - F.col("__rank__") <= window)
+    )
+    return (
+        cand.withColumn(
+            "distance", F.levenshtein(F.col("__key__"), F.col("__keyb__"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.least("__id__", "__idb__").alias("id_a"),
+            F.greatest("__id__", "__idb__").alias("id_b"),
+            F.when(F.col("__id__") < F.col("__idb__"), F.col("__key__"))
+            .otherwise(F.col("__keyb__"))
+            .alias("key_a"),
+            F.when(F.col("__id__") < F.col("__idb__"), F.col("__keyb__"))
+            .otherwise(F.col("__key__"))
+            .alias("key_b"),
+            "distance",
+        )
+        .distinct()
+    )

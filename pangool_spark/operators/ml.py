@@ -492,3 +492,107 @@ def cluster_topics(
             F.col("__cluster__").alias("cluster"), "term", "n", "lift", "rank"
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: "list[str]",
+) -> DataFrame:
+    """Best single-feature threshold split (a depth-1 decision tree /
+    1R classifier) for a BINARY integer label by weighted Gini impurity
+    — the interpretable baseline and boosting weak learner:
+
+        cost(t) = 2·aL(nL−aL)/nL + 2·aR(nR−aR)/nR,   split: x ≤ t
+
+    (aX = positives, nX = rows on each side — the n-weighted Gini sum
+    with the constant 1/n dropped; exact integer counts in, fixed IEEE
+    chain out, so the chosen threshold AND its cost value-oracle).
+
+    Shape per feature: one partial-combined aggregate collapses rows to
+    DISTINCT feature values with (count, positives); cumulative counts
+    come from ``global_running_sum`` (sample-sort prefix sums — never a
+    single-partition window, the 100 TB discipline); the argmin is a
+    per-feature WindowGroupLimit. Candidate thresholds are the distinct
+    values except the maximum (an empty right side is not a split).
+
+    Labels must be integer 0/1 (raise otherwise — the exactness
+    contract); features integer-typed (rescale upstream).
+
+    Output: one row per feature — (feature, threshold, n_left, n_right,
+    pos_left, pos_right, cost); ties broken toward the smallest
+    threshold.
+    """
+    if not feature_cols:
+        raise ValueError("decision_stump needs at least one feature column")
+    types = dict(df.dtypes)
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    if types.get(label_col) not in int_types:
+        raise ValueError(
+            f"decision_stump needs an integer 0/1 label; got "
+            f"{types.get(label_col)!r}"
+        )
+    for c in feature_cols:
+        if types.get(c) not in int_types:
+            raise ValueError(
+                f"decision_stump: feature {c!r} must be integer-typed; got "
+                f"{types.get(c)!r} — rescale upstream (cents, millis)"
+            )
+    from pangool_spark.operators.partitioning import global_running_sum
+
+    y = F.col(label_col).cast("bigint")
+    guard = F.when(
+        (y < 0) | (y > 1),
+        F.raise_error(
+            F.lit("decision_stump: label must be 0/1")
+        ).cast("bigint"),
+    ).otherwise(y)
+
+    outs = []
+    for c in feature_cols:
+        vals = (
+            df.select(F.col(c).cast("bigint").alias("v"), guard.alias("y"))
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("y").alias("pos"),
+            )
+        )
+        cum = global_running_sum(
+            global_running_sum(vals, ["v"], "cnt", "n_left"),
+            ["v"],
+            "pos",
+            "pos_left",
+        )
+        tot = vals.agg(
+            F.sum("cnt").alias("__n__"), F.sum("pos").alias("__a__")
+        )
+        s = cum.crossJoin(F.broadcast(tot)).filter(
+            F.col("n_left") < F.col("__n__")  # max value is not a split
+        )
+        nl = F.col("n_left").cast("double")
+        al = F.col("pos_left").cast("double")
+        nr = (F.col("__n__") - F.col("n_left")).cast("double")
+        ar = (F.col("__a__") - F.col("pos_left")).cast("double")
+        cost = (2.0 * al * (nl - al)) / nl + (2.0 * ar * (nr - ar)) / nr
+        scored = s.select(
+            F.lit(c).alias("feature"),
+            F.col("v").alias("threshold"),
+            "n_left",
+            (F.col("__n__") - F.col("n_left")).alias("n_right"),
+            F.col("pos_left"),
+            (F.col("__a__") - F.col("pos_left")).alias("pos_right"),
+            cost.alias("cost"),
+        )
+        w = Window.partitionBy("feature").orderBy(
+            F.col("cost").asc(), F.col("threshold").asc()
+        )
+        outs.append(
+            scored.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -9389,6 +9389,120 @@ def ams_f2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2(li, "l_orderkey")
 
 
+# round-9 batch 5: sorted-neighborhood ER + decision stump
+
+
+@query(
+    "sorted_neighborhood_parts",
+    """
+    WITH ranked AS (
+      SELECT p_partkey AS id, p_name AS key,
+             row_number() OVER (ORDER BY p_name, p_partkey) AS r
+      FROM part
+    ),
+    cand AS (
+      SELECT a.id AS ia, b.id AS ib, a.key AS ka, b.key AS kb
+      FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 10
+    )
+    SELECT DISTINCT
+           least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           CASE WHEN ia < ib THEN ka ELSE kb END AS key_a,
+           CASE WHEN ia < ib THEN kb ELSE ka END AS key_b,
+           CAST(levenshtein(ka, kb) AS INTEGER) AS distance
+    FROM cand WHERE levenshtein(ka, kb) <= 1
+    """,
+)
+def sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking over part names (window 10, edit
+    distance ≤ 1) — the ER candidate generator complementary to q-gram
+    blocking; global ranks via sample-sort, candidates via the adjacent-
+    block equi-join. See ``fuzzy.sorted_neighborhood_pairs``."""
+    from pangool_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=10, max_distance=1
+    )
+
+
+def _stump_feature_sql(feature: str, expr: str, label: str) -> str:
+    return f"""
+    SELECT feature, threshold, n_left, n_right, pos_left, pos_right, cost
+    FROM (
+      SELECT feature, threshold, n_left, n_right, pos_left, pos_right, cost,
+             row_number() OVER (ORDER BY cost ASC, threshold ASC) AS rn
+      FROM (
+        SELECT '{feature}' AS feature, v AS threshold,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS n_left,
+               CAST((SELECT SUM(cnt) FROM vals_{feature})
+                    - SUM(cnt) OVER w AS BIGINT) AS n_right,
+               CAST(SUM(pos) OVER w AS BIGINT) AS pos_left,
+               CAST((SELECT SUM(pos) FROM vals_{feature})
+                    - SUM(pos) OVER w AS BIGINT) AS pos_right,
+               (2.0 * CAST(SUM(pos) OVER w AS DOUBLE)
+                    * (CAST(SUM(cnt) OVER w AS DOUBLE)
+                       - CAST(SUM(pos) OVER w AS DOUBLE)))
+                 / CAST(SUM(cnt) OVER w AS DOUBLE)
+               + (2.0 * (CAST((SELECT SUM(pos) FROM vals_{feature}) AS DOUBLE)
+                         - CAST(SUM(pos) OVER w AS DOUBLE))
+                      * ((CAST((SELECT SUM(cnt) FROM vals_{feature}) AS DOUBLE)
+                          - CAST(SUM(cnt) OVER w AS DOUBLE))
+                         - (CAST((SELECT SUM(pos) FROM vals_{feature}) AS DOUBLE)
+                            - CAST(SUM(pos) OVER w AS DOUBLE))))
+                 / (CAST((SELECT SUM(cnt) FROM vals_{feature}) AS DOUBLE)
+                    - CAST(SUM(cnt) OVER w AS DOUBLE)) AS cost
+        FROM vals_{feature}
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE n_left < (SELECT SUM(cnt) FROM vals_{feature})
+    ) WHERE rn = 1
+    """
+
+
+_STUMP_ORACLE = f"""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    vals_price_cents AS (
+      SELECT price_cents AS v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM base GROUP BY 1
+    ),
+    vals_order_day AS (
+      SELECT order_day AS v, COUNT(*) AS cnt, SUM(y) AS pos
+      FROM base GROUP BY 1
+    )
+    {_stump_feature_sql('price_cents', 'price_cents', 'y')}
+    UNION ALL
+    {_stump_feature_sql('order_day', 'order_day', 'y')}
+"""
+
+
+@query("decision_stump_orders", _STUMP_ORACLE)
+def decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision tree: the best Gini split of urgent/high order
+    priority against price (cents) and order day — exact cumulative
+    counts via sample-sort prefix sums, fixed-IEEE cost, smallest-
+    threshold tie-break. See ``ml.decision_stump``."""
+    from pangool_spark.operators.ml import decision_stump
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("bigint")
+        .alias("order_day"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return decision_stump(orders, "y", ["price_cents", "order_day"])
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
