@@ -234,6 +234,30 @@ EXTENDED = [
     "ivf_index_lifecycle",
     "tokenizer_release_docs",
     "bpe_local_merges_docs",
+    # round-9 session-2 additions: governance + analytics + retrieval
+    "k_anonymity_customers",
+    "kanon_release_customers",
+    "rfm_customers",
+    "seasonal_decompose_events",
+    "hits_supplier_part",
+    "assortativity_parts",
+    "image_neardup_docs",
+    "hard_negatives_embeddings",
+    "acf_events",
+    "changepoint_events",
+    "theil_sen_events",
+    "ri_audit_tpch",
+    "pseudonymize_customers",
+    "benford_orders",
+    "gini_customer_revenue",
+    "phrase_search_docs",
+    "cluster_topics_embeddings",
+    "ams_f2_lineitem",
+    "decision_stump_orders",
+    # sorted_neighborhood_parts is NOT benched at sf0.1: the pair VERIFY
+    # volume (n·w levenshteins over near-identical synthetic names) is
+    # the same measured levenshtein wall as the excluded fuzzy_pairs /
+    # er_clusters; correctness gated at both driver SFs.
 ]
 
 RUNS_PER_QUERY = 3
