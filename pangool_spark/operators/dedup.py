@@ -1585,3 +1585,64 @@ def hamming_neardup_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    truth_shingles_df: DataFrame | None = None,
+    cand_shingles_df: DataFrame | None = None,
+    truth_max_df: int | None = None,
+) -> DataFrame:
+    """Quality report for the MinHash+LSH dedup pipeline — 'measure,
+    don't guess' applied to the pipeline itself: run BOTH the sketch
+    path (``minhash_lsh_pairs``) and the exact n-gram-Jaccard truth
+    (``ngram_jaccard_pairs``) at the same threshold and report
+
+        precision = |reported ∩ truth| / |reported|
+        recall    = |reported ∩ truth| / |truth|
+
+    — the ANN-recall discipline (``ann_recall``'s text-dedup twin). The
+    truth side is the exact inverted-index join (run it at eval SF, not
+    at 100 TB: evaluating on a sampled slice is the production calibration
+    loop); the reported side is the production sketch path. One pair
+    equi-join + one aggregate on top of the two existing pipelines.
+
+    Output: one row (n_true, n_reported, n_hit, precision, recall) —
+    precision/recall NULL when their denominator is 0.
+    """
+    truth = ngram_jaccard_pairs(
+        df, id_col, text_col, n, threshold,
+        max_df=truth_max_df, shingles_df=truth_shingles_df,
+    ).select("id_a", "id_b", F.lit(1).alias("__t__"))
+    # separate shingle relations by design: the truth side wants the
+    # pruned HASHED universe (jaccard needs only key equality), while the
+    # sketch side hashes the shingle STRING (md5 base hash)
+    reported = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold,
+        shingles_df=cand_shingles_df,
+    ).select("id_a", "id_b", F.lit(1).alias("__r__"))
+    joined = truth.join(reported, ["id_a", "id_b"], "full_outer")
+    agg = joined.agg(
+        F.count("__t__").alias("n_true"),
+        F.count("__r__").alias("n_reported"),
+        F.count(F.when(F.col("__t__").isNotNull() & F.col("__r__").isNotNull(), 1)).alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_reported",
+        "n_hit",
+        F.when(
+            F.col("n_reported") > 0,
+            F.col("n_hit").cast("double") / F.col("n_reported").cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+        ).alias("recall"),
+    )

@@ -9503,6 +9503,67 @@ def decision_stump_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_stump(orders, "y", ["price_cents", "order_day"])
 
 
+# round-9 batch 6: LSH pipeline quality evaluation
+
+
+def _lsh_recall_oracle_sql(threshold: float = 0.35) -> str:
+    """Truth = exact pruned-universe Jaccard at the threshold (the
+    dedup_ngram_jaccard oracle with the threshold substituted); reported
+    = the full MinHash+LSH replica (_minhash_oracle). Both composed as
+    subqueries; counts + exact divides on top."""
+    truth_sql = f"""
+      WITH {_TOKS_CTE}, {_GRAMS_ALL_CTE}, {_GRAMS_PRUNED_CTE}, sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE least(sa.n_sh, sb.n_sh) >= {threshold} * greatest(sa.n_sh, sb.n_sh)
+        AND CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+    """
+    cand_sql = _minhash_oracle(threshold=threshold)
+    return f"""
+    WITH truth AS ({truth_sql}),
+    cand AS (SELECT id_a, id_b FROM ({cand_sql}) c),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_reported,
+             (SELECT COUNT(*) FROM truth JOIN cand USING (id_a, id_b))
+               AS n_hit
+    )
+    SELECT n_true, n_reported, n_hit,
+           CASE WHEN n_reported > 0
+                THEN CAST(n_hit AS DOUBLE) / CAST(n_reported AS DOUBLE)
+           END AS precision,
+           CASE WHEN n_true > 0
+                THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+           END AS recall
+    FROM counts
+    """
+
+
+@query("lsh_recall_docs", _lsh_recall_oracle_sql())
+def lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH pipeline quality report at threshold 0.35: the sketch
+    path's precision/recall against the exact pruned-universe Jaccard
+    truth — the calibration loop that decides num_hashes/bands before a
+    100 TB run. See ``dedup.lsh_recall_eval``."""
+    from pangool_spark.operators.dedup import lsh_recall_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_recall_eval(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.35,
+        truth_shingles_df=_doc_shingles(
+            spark, sf_dir, max_df=_SHINGLE_MAX_DF, hashed=True
+        ),
+        cand_shingles_df=_doc_shingles(spark, sf_dir),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
