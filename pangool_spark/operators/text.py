@@ -1440,3 +1440,123 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_matches"),
         (F.min("__start__") + 1).alias("first_pos"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 3,
+    mask_denominator: int = 5,
+) -> DataFrame:
+    """T5/UL2-style SPAN CORRUPTION pairs (Raffel et al., JMLR'20) — the
+    denoising-pretraining data prep: tokens are grouped into fixed
+    ``span_len`` spans, a deterministic 1-in-``mask_denominator`` of
+    spans is masked, the input text replaces each masked span with a
+    ``<extra_id_K>`` sentinel, and the target lists each sentinel
+    followed by the tokens it hides.
+
+    RNG-free by design (the repo-wide sampler contract): span s of doc d
+    masks iff md5(d ‖ ':' ‖ s) mod denominator == 0 — reruns, retries,
+    and both engines of the oracle agree on every mask. Sentinels are
+    numbered K = 0.. in span order per document.
+
+    Shape: one posexplode + ONE window pass on the doc key (sentinel
+    numbering = dense_rank over masked spans) + one groupBy rebuilding
+    both texts from position-sorted collect_lists — two keyed shuffles,
+    no per-row quadratic span scans (an array-only build would cost
+    O(spans²) per row at long documents).
+
+    Output: (id, n_tokens, n_masked_spans, input_text, target_text) —
+    unmasked docs keep input == normalized text and empty target.
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    if mask_denominator < 2:
+        raise ValueError(
+            f"mask_denominator must be >= 2, got {mask_denominator}"
+        )
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(normalized_tokens(text_col)).alias("pos", "tok"),
+    ).withColumn("span", (F.col("pos") / span_len).cast("int"))
+    hash32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"),
+                    F.col("span").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tok = tok.withColumn("masked", hash32 % mask_denominator == 0)
+
+    # sentinel K per masked span: dense_rank over masked spans only
+    ranked = tok.withColumn(
+        "k",
+        F.when(
+            F.col("masked"),
+            F.dense_rank().over(
+                Window.partitionBy(id_col, "masked").orderBy("span")
+            )
+            - 1,
+        ),
+    )
+    first_in_span = F.col("pos") % span_len == 0
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    in_piece = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("masked") & first_in_span, sentinel
+    )
+    # target pieces: sentinel sorts before its span tokens via a (span,
+    # order, pos) struct key
+    tgt_tok = F.when(F.col("masked"), F.col("tok"))
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.when(F.col("masked"), F.col("span"))).alias(
+            "n_masked_spans"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            in_piece.isNotNull(),
+                            F.struct(F.col("pos"), in_piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("masked"),
+                                F.struct(
+                                    F.col("pos"),
+                                    F.when(first_in_span, sentinel).alias("s"),
+                                    tgt_tok.alias("t"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: F.filter(
+                        F.array(x["s"], x["t"]), lambda v: v.isNotNull()
+                    ),
+                )
+            ),
+        ).alias("target_text"),
+    )
+    return agg.select(
+        id_col, "n_tokens", "n_masked_spans", "input_text", "target_text"
+    )

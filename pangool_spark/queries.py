@@ -9564,6 +9564,60 @@ def lsh_recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-9 batch 7: span-corruption pretraining pairs
+
+
+@query(
+    "span_corruption_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS tok,
+             CAST((i - 1) // 3 AS INTEGER) AS span
+      FROM d, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    m AS (
+      SELECT *,
+             (('0x' || substr(md5(doc_id || ':' || span), 1, 8))::BIGINT % 5
+              = 0) AS masked
+      FROM tok
+    ),
+    k AS (
+      SELECT *,
+             CASE WHEN masked THEN dense_rank() OVER (
+               PARTITION BY doc_id, masked ORDER BY span) - 1 END AS kk
+      FROM m
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT CASE WHEN masked THEN span END) AS n_masked_spans,
+           COALESCE(string_agg(
+             CASE WHEN NOT masked THEN tok
+                  WHEN pos % 3 = 0 THEN '<extra_id_' || kk || '>' END,
+             ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(
+             CASE WHEN masked AND pos % 3 = 0
+                    THEN '<extra_id_' || kk || '> ' || tok
+                  WHEN masked THEN tok END,
+             ' ' ORDER BY pos), '') AS target_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def span_corruption_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising pairs over the corpus: 3-token spans, a
+    deterministic 1-in-5 masked (md5 of doc:span — RNG-free, rerun- and
+    engine-stable), sentinel-numbered inputs and targets rebuilt from
+    position-sorted aggregation. See ``text.span_corruption``."""
+    from pangool_spark.operators.text import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs, span_len=3, mask_denominator=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
