@@ -607,3 +607,131 @@ def gini_coefficient(
         )
     )
     return agg.select(*group_cols, "n", "total", gini.alias("gini"))
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: Sequence[str],
+    rhs_col: str,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Functional-dependency audit: find LHS keys that map to MORE than
+    one RHS value — the schema-contract check behind 'one customer, one
+    nation', 'one order, one date' assumptions that silently break
+    downstream joins and SCD logic when violated.
+
+    One partial-combined aggregate per (lhs, rhs) pair then per-lhs
+    distinct counts — keys only, never payloads. NULL RHS values are a
+    distinct value of their own (a NULL-and-value split IS a violation).
+
+    Output: (*lhs_cols, n_rows, n_rhs_values) for violating keys only,
+    worst first by n_rhs_values (ties by lhs ascending) — optionally
+    capped at ``top_k`` (WindowGroupLimit).
+    """
+    if not lhs_cols:
+        raise ValueError("fd_violations needs at least one LHS column")
+    pair = (
+        df.groupBy(*lhs_cols, rhs_col)
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .groupBy(*lhs_cols)
+        .agg(
+            F.sum("__n__").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_rhs_values"),
+        )
+        .filter(F.col("n_rhs_values") > 1)
+    )
+    out = pair.select(*lhs_cols, "n_rows", "n_rhs_values")
+    if top_k is not None:
+        # global top-k via TakeOrdered (per-partition heaps), never a
+        # single-partition row_number window
+        out = out.orderBy(
+            F.col("n_rhs_values").desc(), *[F.col(c).asc() for c in lhs_cols]
+        ).limit(top_k)
+    return out
+
+
+def histogram_tv_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Numeric distribution drift between two dataset versions as the
+    TOTAL VARIATION distance over equi-width histograms:
+
+        TV = ½ Σ_bins |p_A(bin) − p_B(bin)|  ∈ [0, 1]
+
+    — the libm-free drift statistic (PSI/KL need logs whose cross-engine
+    rounding drifts; TV is exact): with integer values the per-bin
+    counts are exact, and the sum runs over EXACT INTEGERS via the
+    cross-multiplied form Σ|n_Ai·N_B − n_Bi·N_A| (order-independent —
+    a double |p_A−p_B| sum would depend on bin reduction order), with
+    ONE final double divide by 2·N_A·N_B.
+
+    Shape: one aggregate per side, a full-outer bin join (absent bins
+    count 0), one exact-int aggregate. Inputs must be integer-typed
+    (the rescale contract).
+
+    Output: one row (n_a, n_b, n_bins, tv) — raises when either side is
+    empty (drift vs nothing is undefined).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    for side, d in (("A", df_a), ("B", df_b)):
+        if dict(d.dtypes).get(value_col) not in {
+            "tinyint", "smallint", "int", "bigint"
+        }:
+            raise ValueError(
+                f"histogram_tv_drift side {side}: {value_col!r} must be "
+                f"integer-typed — rescale upstream (cents, millis)"
+            )
+
+    def bins(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.select(
+                F.floor(F.col(value_col) / bin_width)
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ha = bins(df_a, "n_a_bin")
+    hb = bins(df_b, "n_b_bin")
+    joined = ha.join(hb, "bin", "full_outer").select(
+        F.coalesce(F.col("n_a_bin"), F.lit(0)).alias("n_a_bin"),
+        F.coalesce(F.col("n_b_bin"), F.lit(0)).alias("n_b_bin"),
+    )
+    tot_a = df_a.agg(F.count(F.lit(1)).alias("n_a"))
+    tot_b = df_b.agg(F.count(F.lit(1)).alias("n_b"))
+    agg = (
+        joined.crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(
+                F.abs(
+                    F.col("n_a_bin").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("n_b_bin").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).alias("__l1x__"),
+        )
+    )
+    empty_guard = F.when(
+        (F.col("n_a") == 0) | (F.col("n_b") == 0),
+        F.raise_error(
+            F.lit("histogram_tv_drift: empty side — drift is undefined")
+        ).cast("double"),
+    )
+    tv = empty_guard.otherwise(
+        F.col("__l1x__").cast("double")
+        / (
+            2.0
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    return agg.select("n_a", "n_b", "n_bins", tv.alias("tv"))

@@ -1560,3 +1560,62 @@ def span_corruption(
     return agg.select(
         id_col, "n_tokens", "n_masked_spans", "input_text", "target_text"
     )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining — the strongest word associations by exact-ratio
+    lift over the co-occurrence pair space:
+
+        lift(a,b) = n_ab · N / (c_a · c_b)
+
+    with n_ab the (a ≤ b) pair count within ±``window`` tokens, c_x the
+    number of pair SLOTS containing x, and N the total pair count — the
+    log-free PMI ordering (log is monotone, so lift ranks identically to
+    PMI while staying exact-int + one divide, value-oracle-able).
+
+    Shape: the map-side pair stream from ``cooccurrence_pairs`` (zero
+    shuffles before its count aggregate), slot marginals as one more
+    aggregate over the PAIR relation (never re-touching the corpus),
+    total as a broadcast 1-row relation, global top-k via TakeOrdered
+    per-partition heaps (no single-partition window).
+
+    Output: (term_a, term_b, n, lift), top_k by lift DESC with
+    (term_a, term_b) ascending tie-break.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = cooccurrence_pairs(
+        df, id_col=id_col, text_col=text_col, window=window, min_count=1
+    )
+    slots = (
+        pairs.select(F.col("term_a").alias("term"), F.col("n"))
+        .unionByName(pairs.select(F.col("term_b").alias("term"), F.col("n")))
+        .groupBy("term")
+        .agg(F.sum("n").alias("c"))
+    )
+    total = pairs.agg(F.sum("n").alias("__N__"))
+    scored = (
+        pairs.filter(F.col("n") >= min_count)
+        .join(slots.select(F.col("term").alias("term_a"), F.col("c").alias("__ca__")), "term_a")
+        .join(slots.select(F.col("term").alias("term_b"), F.col("c").alias("__cb__")), "term_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "n",
+            (
+                (F.col("n").cast("double") * F.col("__N__").cast("double"))
+                / (F.col("__ca__").cast("double") * F.col("__cb__").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(top_k)

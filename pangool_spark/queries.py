@@ -9618,6 +9618,138 @@ def span_corruption_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corruption(docs, span_len=3, mask_denominator=5)
 
 
+# round-9 batch 8: FD audit, histogram TV drift, collocations
+
+
+@query(
+    "fd_violations_events",
+    """
+    SELECT user_id, n_rows, n_rhs_values FROM (
+      SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_rhs_values
+      FROM (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+      ) GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    ORDER BY n_rhs_values DESC, user_id ASC LIMIT 50
+    """,
+)
+def fd_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: the 50 user_ids mapping to the most
+    distinct event_types (the 'one key, one value' contract check, keys
+    only — payloads never shuffle; top-k via TakeOrdered heaps). See
+    ``profile.fd_violations``."""
+    from pangool_spark.operators.profile import fd_violations
+
+    ev = load_table(spark, sf_dir, "events")
+    return fd_violations(ev, ["user_id"], "event_type", top_k=50)
+
+
+@query(
+    "histogram_drift_orders",
+    """
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate
+      FROM orders
+    ),
+    ha AS (
+      SELECT CAST(FLOOR(CAST(cents AS DOUBLE) / 1000000) AS BIGINT) AS bin,
+             COUNT(*) AS n_a_bin
+      FROM base WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    hb AS (
+      SELECT CAST(FLOOR(CAST(cents AS DOUBLE) / 1000000) AS BIGINT) AS bin,
+             COUNT(*) AS n_b_bin
+      FROM base WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM base
+              WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS n_a,
+             (SELECT COUNT(*) FROM base
+              WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') AS n_b
+    ),
+    j AS (
+      SELECT COALESCE(n_a_bin, 0) AS na, COALESCE(n_b_bin, 0) AS nb
+      FROM ha FULL OUTER JOIN hb USING (bin)
+    )
+    SELECT t.n_a, t.n_b,
+           (SELECT COUNT(*) FROM j) AS n_bins,
+           CAST((SELECT SUM(ABS(CAST(na AS DECIMAL(38,0)) * t.n_b
+                               - CAST(nb AS DECIMAL(38,0)) * t.n_a))
+                 FROM j) AS DOUBLE)
+             / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)) AS tv
+    FROM tot t
+    """,
+)
+def histogram_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift between pre-1995 and post-1995 order totals as the
+    total-variation distance over $10k-wide cent bins — libm-free (no
+    PSI/KL logs): the |p_A − p_B| sum runs over exact cross-multiplied
+    integers, one final double divide. See ``profile.histogram_tv_drift``."""
+    from pangool_spark.operators.profile import histogram_tv_drift
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    a = base.filter(F.col("o_orderdate") < "1998-01-01").select("cents")
+    b = base.filter(F.col("o_orderdate") >= "1998-01-01").select("cents")
+    return histogram_tv_drift(a, b, "cents", bin_width=1000000)
+
+
+@query(
+    "collocations_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(toklist) AS term,
+             generate_subscripts(toklist, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toklist
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT least(a.term, b.term) AS term_a,
+             greatest(a.term, b.term) AS term_b,
+             COUNT(*) AS n
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      GROUP BY 1, 2
+    ),
+    slots AS (
+      SELECT term, CAST(SUM(n) AS BIGINT) AS c FROM (
+        SELECT term_a AS term, n FROM pairs
+        UNION ALL SELECT term_b AS term, n FROM pairs
+      ) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM pairs)
+    SELECT term_a, term_b, n, lift FROM (
+      SELECT p.term_a, p.term_b, CAST(p.n AS BIGINT) AS n,
+             (CAST(p.n AS DOUBLE) * CAST((SELECT N FROM tot) AS DOUBLE))
+               / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+      FROM pairs p
+      JOIN slots ca ON ca.term = p.term_a
+      JOIN slots cb ON cb.term = p.term_b
+      WHERE p.n >= 10
+    ) ORDER BY lift DESC, term_a ASC, term_b ASC LIMIT 20
+    """,
+)
+def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by exact-ratio lift (the log-free PMI
+    ordering) over the ±2-token co-occurrence space — map-side pair
+    stream, slot marginals from the pair relation only, TakeOrdered
+    top-k. See ``text.collocations``."""
+    from pangool_spark.operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, window=2, min_count=10, top_k=20)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
