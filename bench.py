@@ -254,6 +254,12 @@ EXTENDED = [
     "cluster_topics_embeddings",
     "ams_f2_lineitem",
     "decision_stump_orders",
+    "span_corruption_docs",
+    "fd_violations_events",
+    "histogram_drift_orders",
+    "collocations_docs",
+    # lsh_recall_docs is NOT benched: it runs two full dedup pipelines,
+    # both of which are already benched individually.
     # sorted_neighborhood_parts is NOT benched at sf0.1: the pair VERIFY
     # volume (n·w levenshteins over near-identical synthetic names) is
     # the same measured levenshtein wall as the excluded fuzzy_pairs /

@@ -948,3 +948,99 @@ def image_dhash(
             yield pd.DataFrame(rows, columns=[id_col, "dhash"])
 
     return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def audio_voiced_segments(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    frame_ms: int = 25,
+    silence_threshold: float = 1.0,
+    strict: bool = False,
+) -> DataFrame:
+    """VAD-style audio SEGMENTATION — the chunking step after
+    ``audio_rms_silence``'s gating: decode the WAV, compute per-frame
+    RMS over fixed ``frame_ms`` windows, and emit one row per maximal
+    CONTIGUOUS run of voiced frames (rms ≥ ``silence_threshold``) — the
+    'cut the recording into utterances' primitive every speech-data
+    pipeline runs before transcription/embedding.
+
+    Same decode contract as ``audio_rms_silence`` (stdlib wave, mono
+    average, unsigned 8-bit midpoint 128, trailing partial frame
+    ignored); the run-length encoding is one numpy diff per file inside
+    the same Arrow batch — no second decode, no per-frame rows ever
+    leave the executor (segments are typically 100-1000× fewer than
+    frames). Corrupt payloads yield a single null-segment row
+    (``strict=True`` re-raises).
+
+    Output: (id, segment_idx, start_frame, n_frames) — segment_idx
+    0-based in time order; fully-silent files are absent from the
+    output (no voice, no segments); corrupt files emit one
+    (id, NULL, NULL, NULL) row so ingest can count them.
+    """
+    if frame_ms < 1:
+        raise ValueError(f"frame_ms must be >= 1, got {frame_ms}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("segment_idx", T.IntegerType(), True),
+            T.StructField("start_frame", T.LongType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+        ]
+    )
+    _widths = {1: np.uint8, 2: np.int16, 4: np.int32}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    with wave.open(io.BytesIO(payload), "rb") as w:
+                        nch, width, rate = (
+                            w.getnchannels(),
+                            w.getsampwidth(),
+                            w.getframerate(),
+                        )
+                        n = w.getnframes()
+                        samples = np.frombuffer(
+                            w.readframes(n), dtype=_widths[width]
+                        )
+                    x = samples.astype(np.float64)
+                    if width == 1:
+                        x = x - 128.0
+                    if nch > 1:
+                        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(
+                            axis=1
+                        )
+                    spf = (rate * frame_ms) // 1000
+                    if spf < 1:
+                        raise ValueError("frame shorter than one sample")
+                    nf = len(x) // spf
+                    if nf == 0:
+                        continue
+                    frames = x[: nf * spf].reshape(nf, spf)
+                    rms = np.sqrt((frames * frames).mean(axis=1))
+                    voiced = rms >= silence_threshold
+                    if not voiced.any():
+                        continue
+                    # run-length encode the voiced mask
+                    padded = np.diff(
+                        np.concatenate(([0], voiced.view(np.int8), [0]))
+                    )
+                    starts = np.flatnonzero(padded == 1)
+                    ends = np.flatnonzero(padded == -1)
+                    for k, (s, e) in enumerate(zip(starts, ends)):
+                        rows.append((mid, k, int(s), int(e - s)))
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "segment_idx", "start_frame", "n_frames"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)

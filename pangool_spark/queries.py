@@ -9750,6 +9750,82 @@ def collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, window=2, min_count=10, top_k=20)
 
 
+# round-9 batch 9: VAD audio segmentation
+
+
+@query(
+    "audio_segments_docs",
+    """
+    WITH fr AS (
+      SELECT doc_id, CAST(u.f AS BIGINT) AS f,
+             (((doc_id % 255) + 1) >> u.f) & 1 AS v
+      FROM documents, LATERAL unnest(range(0, 8)) AS u(f)
+    ),
+    voiced AS (SELECT doc_id, f FROM fr WHERE v = 1),
+    g AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM voiced
+    ),
+    seg AS (
+      SELECT doc_id, grp, MIN(f) AS start_frame, COUNT(*) AS n_frames
+      FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY start_frame) - 1 AS INTEGER)
+             AS segment_idx,
+           start_frame, n_frames
+    FROM seg
+    """,
+)
+def audio_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VAD segmentation end-to-end: per document an 8-frame 8 kHz
+    WAV whose frame f is a ±1000 square wave iff bit f of
+    (doc_id mod 255)+1 is set (always ≥1 voiced frame, every run shape
+    across the corpus), silence elsewhere — ``audio_voiced_segments``
+    must recover exactly the bit-runs as (start_frame, n_frames)
+    segments. The decode → frame-RMS → run-length path value-oracles
+    against the closed-form bit pattern. See
+    ``multimodal.audio_voiced_segments``."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    from pangool_spark.operators.multimodal import audio_voiced_segments
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                pattern = (int(mid) % 255) + 1
+                pcm = np.zeros(8 * 200, dtype="<i2")
+                blk = np.full(200, 1000, dtype="<i2")
+                blk[1::2] = -1000
+                for f in range(8):
+                    if (pattern >> f) & 1:
+                        pcm[f * 200 : (f + 1) * 200] = blk
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id LONG, payload BINARY")
+    return audio_voiced_segments(media, frame_ms=25, silence_threshold=1.0)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
