@@ -9888,8 +9888,22 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   weighted_sample_orders, pareto_class_customers, melt_order_stats,
 #   source_gate_docs, active_streaks_events, join_view_delta_orders,
 #   temporal_split_events, hashed_features_docs, negative_sample_orders.
-# R10 BUILDER: replace _WINDOW_FRONT with exactly that list (21 slots) —
-# the remaining window capacity can re-check any r09 red rows first.
+# R10 BUILDER (updated at r09 session close): the backlog is now that
+# 21-query list PLUS the 26 queries added during round 9 itself, none of
+# which have driver rows yet:
+#   k_anonymity_customers, kanon_release_customers, rfm_customers,
+#   seasonal_decompose_events, hits_supplier_part, assortativity_parts,
+#   image_neardup_docs, hard_negatives_embeddings, acf_events,
+#   changepoint_events, theil_sen_events, ri_audit_tpch,
+#   pseudonymize_customers, benford_orders, gini_customer_revenue,
+#   phrase_search_docs, cluster_topics_embeddings, ams_f2_lineitem,
+#   sorted_neighborhood_parts, decision_stump_orders, lsh_recall_docs,
+#   span_corruption_docs, fd_violations_events, histogram_drift_orders,
+#   collocations_docs, audio_segments_docs.
+# That is 47 queries — replace _WINDOW_FRONT with the union (floats-
+# first convention: acf/changepoint/theil_sen/gini/benford/tv-drift
+# carry double outputs, put them at the top); any r09 red rows take the
+# remaining 3 slots first.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "holt_events",
