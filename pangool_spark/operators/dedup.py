@@ -1508,24 +1508,32 @@ def hamming_neardup_pairs(
     bits: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs over a fixed-width perceptual hash (dHash /
-    SimHash-style) via BAND-BUCKET candidate generation + exact Hamming
-    verify — the image-dedup companion to ``lsh_band_pairs``.
+    SimHash-style): exact-duplicate COLLAPSE, then band-bucket candidate
+    generation over DISTINCT hash values, then exact Hamming verify, then
+    id-pair expansion — the image-dedup companion to ``lsh_band_pairs``.
 
     Pigeonhole guarantee: a pair at Hamming distance ≤ ``max_dist`` differs
     in at most ``max_dist`` of the ``n_bands`` equal-width bit bands, so
     with ``n_bands >= max_dist + 1`` at least one band is IDENTICAL and the
-    band equi-join finds every qualifying pair (100% recall — LSH banding
-    for Hamming space is exact, unlike MinHash's probabilistic bands).
-    Candidates are Σ bucket² over band-value buckets, never n²; the verify
-    touches only candidate pairs with native bit ops (conv/xor/bit_count
-    on 16-bit chunks — no Python, no full-hash decode).
+    band equi-join finds every qualifying pair (100% recall — banding for
+    Hamming space is exact, unlike MinHash's probabilistic bands).
 
-    At 100 TB: hashes are ``bits``-bit strings (8 bytes at 64) — the join
-    shuffles (band_idx, band_val, id, 4×int) rows, never payloads; hot
-    bands (flat images → constant hash) are the skew risk, handled by AQE
-    skew-join like every other band join in this module.
+    Scale shape (the round-9 100× finding): an r-bit band has only 2^r
+    values, so banding PER IMAGE caps bucket diversity at 2^r and the
+    self-join goes quadratic the moment images outnumber distinct hashes
+    (measured: 1M text-image hashes collapsed to a few hundred distinct
+    values → 1.7e11 candidate pairs, job unfinishable). Collapsing to
+    DISTINCT hashes first bounds the band join by HASH DIVERSITY — the
+    real signal — independent of corpus size; recompressed copies never
+    enter the join at all. The id-pair expansion afterwards is exactly
+    the TRUE ANSWER size (every member-cross of near-identical hash
+    groups) — when groups are huge that output is itself quadratic, which
+    is a property of the data, not the plan; cluster-level consumers
+    should join ``dist ≤ t`` hash pairs + the (hash → ids) relation
+    themselves instead of materializing id pairs.
 
-    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ max_dist.
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ max_dist —
+    including dist-0 pairs (identical hashes).
     """
     if bits % n_bands != 0 or (bits // n_bands) % 4 != 0:
         raise ValueError(
@@ -1540,15 +1548,18 @@ def hamming_neardup_pairs(
         )
     band_hex = (bits // n_bands) // 4
     n_chunks = bits // 16
-    h = F.lower(F.col(hash_col))
 
-    bands = df.select(
-        F.col(id_col).alias("__id__"),
-        h.alias("__h__"),
+    ids = df.select(
+        F.col(id_col).alias("__id__"), F.lower(F.col(hash_col)).alias("__h__")
+    )
+    groups = ids.select("__h__").distinct()
+
+    bands = groups.select(
+        "__h__",
         F.posexplode(
             F.array(
                 *[
-                    F.substring(h, i * band_hex + 1, band_hex)
+                    F.substring(F.col("__h__"), i * band_hex + 1, band_hex)
                     for i in range(n_bands)
                 ]
             )
@@ -1561,30 +1572,52 @@ def hamming_neardup_pairs(
         ).cast("int")
 
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__band__") == F.col("b.__band__"))
-            & (F.col("a.__val__") == F.col("b.__val__"))
-            & (F.col("a.__id__") < F.col("b.__id__")),
-        )
-        .select(
-            F.col("a.__id__").alias("id_a"),
-            F.col("b.__id__").alias("id_b"),
-            F.col("a.__h__").alias("__ha__"),
-            F.col("b.__h__").alias("__hb__"),
-        )
-        .distinct()
-    )
     dist = sum(
         F.bit_count(_chunk("__ha__", i).bitwiseXOR(_chunk("__hb__", i)))
         for i in range(n_chunks)
     ).cast("int")
-    return (
-        cand.withColumn("dist", dist)
+    hash_pairs = (
+        a.join(
+            b,
+            (F.col("a.__band__") == F.col("b.__band__"))
+            & (F.col("a.__val__") == F.col("b.__val__"))
+            & (F.col("a.__h__") < F.col("b.__h__")),
+        )
+        .select(
+            F.col("a.__h__").alias("__ha__"), F.col("b.__h__").alias("__hb__")
+        )
+        .distinct()
+        .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
     )
+
+    # id-pair expansion: cross of the two hash groups for dist >= 1 ...
+    ia = ids.select(F.col("__h__").alias("__ha__"), F.col("__id__").alias("__ida__"))
+    ib = ids.select(F.col("__h__").alias("__hb__"), F.col("__id__").alias("__idb__"))
+    cross = (
+        hash_pairs.join(ia, "__ha__")
+        .join(ib, "__hb__")
+        .select(
+            F.least("__ida__", "__idb__").alias("id_a"),
+            F.greatest("__ida__", "__idb__").alias("id_b"),
+            "dist",
+        )
+    )
+    # ... plus within-group pairs for identical hashes (dist 0)
+    same = (
+        ids.alias("x")
+        .join(
+            ids.alias("y"),
+            (F.col("x.__h__") == F.col("y.__h__"))
+            & (F.col("x.__id__") < F.col("y.__id__")),
+        )
+        .select(
+            F.col("x.__id__").alias("id_a"),
+            F.col("y.__id__").alias("id_b"),
+            F.lit(0).cast("int").alias("dist"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def lsh_recall_eval(
