@@ -692,3 +692,118 @@ def stream_point_in_time_join(
         vfrom,
         vto,
     )
+
+
+def stream_histogram_drift(
+    stream: DataFrame,
+    value_col: str,
+    reference: DataFrame,
+    state_dir: str,
+    bin_width: int,
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming DRIFT monitoring: each micro-batch's integer values fold
+    into a standing equi-width histogram on disk (constant state — the
+    bin relation, never the rows), and the monitor emits the total-
+    variation distance of the ACCUMULATED stream distribution vs a fixed
+    ``reference`` histogram after every batch — 'is live traffic
+    drifting from the training snapshot' as a stream job.
+
+    Same algebra as ``profile.histogram_tv_drift`` (exact cross-
+    multiplied integer L1, one final divide — libm-free), so
+    stream-maintained and batch-recomputed TV are IDENTICAL: the
+    stream==batch parity test pins it. State handling follows
+    ``stream_cms``: only a genuinely missing state dir counts as first
+    batch (transient FS errors re-raise and the micro-batch retries);
+    the tiny bin relation is rewritten through collected rows so the
+    read+overwrite of the same path is safe.
+
+    The running TV lands in ``{state_dir}/_TV`` as one (batch_id,
+    n_stream, n_ref, tv) row per batch — the alerting surface.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    if reference.isStreaming:
+        raise ValueError(
+            "reference must be a static (batch) relation — the training-"
+            "time snapshot the live stream is compared against"
+        )
+    if dict(reference.dtypes).get(value_col) not in {
+        "tinyint", "smallint", "int", "bigint"
+    }:
+        raise ValueError(
+            f"stream_histogram_drift: {value_col!r} must be integer-typed "
+            "— rescale upstream (cents, millis)"
+        )
+    import os as _os
+
+    hist_dir = _os.path.join(state_dir, "hist")
+    tv_dir = _os.path.join(state_dir, "_TV")
+
+    ref_bins = (
+        reference.select(
+            F.floor(F.col(value_col) / bin_width).cast("bigint").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_ref_bin"))
+    )
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_bins = (
+            batch_df.select(
+                F.floor(F.col(value_col) / bin_width)
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if _hadoop_path_exists(spark, hist_dir):
+            standing = spark.read.parquet(hist_dir)
+            merged = (
+                standing.unionByName(batch_bins)
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = batch_bins
+        rows = merged.collect()
+        merged_df = spark.createDataFrame(rows, merged.schema)
+        merged_df.coalesce(1).write.mode("overwrite").parquet(hist_dir)
+
+        joined = merged_df.join(ref_bins, "bin", "full_outer").select(
+            F.coalesce(F.col("n"), F.lit(0)).alias("ns"),
+            F.coalesce(F.col("n_ref_bin"), F.lit(0)).alias("nr"),
+        )
+        # two-pass: totals first (exact ints), then the cross-multiplied L1
+        trow = joined.agg(
+            F.sum("ns").alias("n_stream"), F.sum("nr").alias("n_ref")
+        ).collect()[0]
+        n_s, n_r = int(trow["n_stream"] or 0), int(trow["n_ref"] or 0)
+        if n_s == 0 or n_r == 0:
+            tv = None
+        else:
+            l1 = joined.agg(
+                F.sum(
+                    F.abs(
+                        F.col("ns").cast("decimal(38,0)") * F.lit(n_r)
+                        - F.col("nr").cast("decimal(38,0)") * F.lit(n_s)
+                    )
+                ).alias("l1")
+            ).collect()[0]["l1"]
+            tv = float(l1) / (2.0 * float(n_s) * float(n_r))
+        spark.createDataFrame(
+            [(int(batch_id), n_s, n_r, tv)],
+            "batch_id LONG, n_stream LONG, n_ref LONG, tv DOUBLE",
+        ).coalesce(1).write.mode("append").parquet(tv_dir)
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
