@@ -1046,3 +1046,138 @@ def theil_sen(
     return ranked.filter(
         F.col("__sr__") == F.floor((F.col("n_pairs") + 1) / 2)
     ).select(*group_cols, "n_pairs", F.col("__slope__").alias("slope"))
+
+
+def ks_test(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov–Smirnov statistic — the
+    distribution-shape A/B test beside ``mann_whitney_u`` (which only
+    sees location): D = max_v |F_A(v) − F_B(v)| over the empirical CDFs.
+
+    Exact by construction: with integer values (the rescale contract)
+    the CDF comparison runs CROSS-MULTIPLIED — D_num = max_v
+    |cumA(v)·n_B − cumB(v)·n_A| as exact int64 — and D is ONE final
+    divide by n_A·n_B, so the statistic hash-matches cross-engine (no
+    per-step double CDFs whose rounding could reorder the argmax).
+
+    Same shuffle shape as ``mann_whitney_u``: one partial-combined
+    aggregate to per-(group, value) counts, one window over the
+    DISTINCT-value relation, one final aggregate. Arms must be 0/1;
+    NULL arms/values drop; groups with an empty arm emit NULL d.
+
+    Output: (*group_cols, n_a, n_b, d).
+    """
+    if not group_cols:
+        raise ValueError("ks_test needs at least one group column")
+    if dict(df.dtypes).get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got "
+            f"{dict(df.dtypes).get(value_col)!r} — bucket continuous "
+            "metrics upstream"
+        )
+    rows = df.filter(
+        F.col(arm_col).isin(0, 1) & F.col(value_col).isNotNull()
+    )
+    per_v = rows.groupBy(*group_cols, F.col(value_col).alias("__v__")).agg(
+        F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0)).alias("__ca__"),
+        F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0)).alias("__cb__"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.select(
+        *group_cols,
+        F.sum("__ca__").over(w).alias("__cuma__"),
+        F.sum("__cb__").over(w).alias("__cumb__"),
+    )
+    wt = Window.partitionBy(*group_cols)
+    scored = cum.select(
+        *group_cols,
+        "__cuma__",
+        "__cumb__",
+        F.max("__cuma__").over(wt).alias("n_a"),
+        F.max("__cumb__").over(wt).alias("n_b"),
+    )
+    agg = scored.groupBy(*group_cols).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("__cuma__") * F.col("n_b")
+                - F.col("__cumb__") * F.col("n_a")
+            )
+        ).alias("__dnum__"),
+    )
+    d = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("__dnum__").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    )
+    return agg.select(*group_cols, "n_a", "n_b", d.alias("d"))
+
+
+def auc_score(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group ROC AUC of an integer score against a 0/1 label — the
+    ranking-model evaluation: AUC = P(score⁺ > score⁻) + ½·P(tie),
+    which is exactly U⁺/(n⁺·n⁻) — the Mann–Whitney statistic re-read as
+    a classifier metric, computed by the same exact rank ALGEBRA over
+    per-(group, value) counts (2·U exact int64, one final divide):
+    no global ranking pass, no per-row sort, bit-portable cross-engine.
+
+    Scores must be integer-typed (quantize model outputs upstream —
+    1e-6-scale fixed point loses nothing a ranking metric can see).
+    Labels outside {0, 1} and NULL scores drop; groups with an empty
+    class emit NULL auc.
+
+    Output: (*group_cols, n_pos, n_neg, auc).
+    """
+    if not group_cols:
+        raise ValueError("auc_score needs at least one group column")
+    if dict(df.dtypes).get(score_col) not in _INT_TYPES:
+        raise ValueError(
+            f"score_col must be integer-typed, got "
+            f"{dict(df.dtypes).get(score_col)!r} — quantize upstream"
+        )
+    rows = df.filter(
+        F.col(label_col).isin(0, 1) & F.col(score_col).isNotNull()
+    )
+    per_v = rows.groupBy(*group_cols, F.col(score_col).alias("__v__")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__cp__"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__cn__"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_v = per_v.withColumn(
+        "__cumn__", F.coalesce(F.sum("__cn__").over(w), F.lit(0))
+    )
+    agg = per_v.groupBy(*group_cols).agg(
+        F.sum("__cp__").alias("n_pos"),
+        F.sum("__cn__").alias("n_neg"),
+        F.sum(
+            F.col("__cp__") * (F.lit(2) * F.col("__cumn__") + F.col("__cn__"))
+        ).alias("__u2__"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__u2__").cast("double")
+        / (
+            F.lit(2.0)
+            * F.col("n_pos").cast("double")
+            * F.col("n_neg").cast("double")
+        ),
+    )
+    return agg.select(*group_cols, "n_pos", "n_neg", auc.alias("auc"))

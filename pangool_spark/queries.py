@@ -9826,6 +9826,116 @@ def audio_segments_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_voiced_segments(media, frame_ms=25, silence_threshold=1.0)
 
 
+# round-9 batch 11: distribution-shape A/B test + ranking-model eval
+
+
+@query(
+    "ks_test_events",
+    """
+    WITH rows_in AS (
+      SELECT event_type,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647) % 2 AS arm,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT event_type, v,
+             SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+      FROM rows_in GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+      FROM per_v
+      WINDOW w AS (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    sc AS (
+      SELECT event_type, cuma, cumb,
+             MAX(cuma) OVER (PARTITION BY event_type) AS n_a,
+             MAX(cumb) OVER (PARTITION BY event_type) AS n_b
+      FROM cum
+    )
+    SELECT event_type, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(MAX(ABS(cuma * n_b - cumb * n_a)) AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+           END AS d
+    FROM sc GROUP BY event_type, n_a, n_b
+    """,
+)
+def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per event type (hash-split arms,
+    value cents) — the distribution-SHAPE A/B test beside Mann-Whitney's
+    location test; cross-multiplied exact-int CDF comparison, one final
+    divide. See ``stats.ks_test``."""
+    from pangool_spark.operators.stats import ks_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(2147483647))
+            % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return ks_test(ev, ["event_type"], "arm", "cents")
+
+
+@query(
+    "auc_events",
+    """
+    WITH rows_in AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT v,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS cn
+      FROM rows_in GROUP BY 1
+    ),
+    cum AS (
+      SELECT cp, cn,
+             CAST(COALESCE(SUM(cn) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumn
+      FROM per_v
+    )
+    SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+           CAST(SUM(cn) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(cp) > 0 AND SUM(cn) > 0
+                THEN CAST(SUM(cp * (2 * cumn + cn)) AS DOUBLE)
+                     / (2.0 * CAST(SUM(cp) AS DOUBLE)
+                        * CAST(SUM(cn) AS DOUBLE))
+           END AS auc
+    FROM cum
+    """,
+)
+def auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of event value (cents) as a predictor of 'purchase' —
+    the ranking-model evaluation as exact Mann-Whitney rank algebra
+    (2U int64, one divide); no global sort. See ``stats.auc_score``."""
+    from pangool_spark.operators.stats import auc_score
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.lit(1).alias("g"),
+    )
+    return auc_score(ev, ["g"], "y", "cents").drop("g")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
