@@ -1181,3 +1181,118 @@ def auc_score(
         ),
     )
     return agg.select(*group_cols, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def pr_curve(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Per-group precision/recall curve points at EVERY distinct score
+    threshold (predict positive iff score ≥ t) — the classifier-eval
+    companion to ``auc_score``: exact confusion counts from one
+    descending cumulative pass over per-(group, value) counts, so the
+    curve needs no global sort and every precision/recall is one exact
+    divide (engine-portable).
+
+    Integer scores required (quantize upstream — the ``auc_score``
+    contract); labels outside {0,1} and NULL scores drop.
+
+    Output: (*group_cols, threshold, tp, fp, fn, tn, precision, recall)
+    — one row per distinct score value, descending-threshold semantics.
+    """
+    if not group_cols:
+        raise ValueError("pr_curve needs at least one group column")
+    if dict(df.dtypes).get(score_col) not in _INT_TYPES:
+        raise ValueError(
+            f"score_col must be integer-typed, got "
+            f"{dict(df.dtypes).get(score_col)!r} — quantize upstream"
+        )
+    rows = df.filter(
+        F.col(label_col).isin(0, 1) & F.col(score_col).isNotNull()
+    )
+    per_v = rows.groupBy(*group_cols, F.col(score_col).alias("threshold")).agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("__p__"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("__n__"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = per_v.select(
+        *group_cols,
+        "threshold",
+        F.sum("__p__").over(w).alias("tp"),
+        F.sum("__n__").over(w).alias("fp"),
+        F.sum("__p__").over(wt).alias("__tot_p__"),
+        F.sum("__n__").over(wt).alias("__tot_n__"),
+    )
+    return cum.select(
+        *group_cols,
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("__tot_p__") - F.col("tp")).alias("fn"),
+        (F.col("__tot_n__") - F.col("fp")).alias("tn"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        F.when(
+            F.col("__tot_p__") > 0,
+            F.col("tp").cast("double") / F.col("__tot_p__").cast("double"),
+        ).alias("recall"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: str,
+    score_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Per-group reliability-diagram bins: bucket integer scores into
+    equi-width bins and report the OBSERVED positive rate per bin
+    against the bin's mean score — 'does a 0.8 score mean 80%?' as one
+    partial-combined aggregate of exact counts/sums; both emitted rates
+    are single exact divides (engine-portable). The drill-down behind an
+    AUC: a model can rank perfectly and still be badly calibrated.
+
+    Output: (*group_cols, bin, n, n_pos, pos_rate, mean_score).
+    """
+    if not group_cols:
+        raise ValueError("calibration_bins needs at least one group column")
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    if dict(df.dtypes).get(score_col) not in _INT_TYPES:
+        raise ValueError(
+            f"score_col must be integer-typed, got "
+            f"{dict(df.dtypes).get(score_col)!r} — quantize upstream"
+        )
+    rows = df.filter(
+        F.col(label_col).isin(0, 1) & F.col(score_col).isNotNull()
+    )
+    agg = rows.groupBy(
+        *group_cols,
+        F.floor(F.col(score_col) / bin_width).cast("bigint").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.col(score_col).cast("bigint")).alias("__ssum__"),
+    )
+    return agg.select(
+        *group_cols,
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        (F.col("__ssum__").cast("double") / F.col("n").cast("double")).alias(
+            "mean_score"
+        ),
+    )

@@ -9936,6 +9936,94 @@ def auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auc_score(ev, ["g"], "y", "cents").drop("g")
 
 
+# round-9 batch 12: classifier evaluation (PR curve, calibration)
+
+
+@query(
+    "pr_curve_events",
+    """
+    WITH rows_in AS (
+      SELECT event_type AS g,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+             CAST(round(value * 100) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+      SELECT g, s AS threshold,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n
+      FROM rows_in GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, threshold,
+             CAST(SUM(p) OVER w AS BIGINT) AS tp,
+             CAST(SUM(n) OVER w AS BIGINT) AS fp,
+             CAST(SUM(p) OVER (PARTITION BY g) AS BIGINT) AS tot_p,
+             CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS tot_n
+      FROM per_v
+      WINDOW w AS (PARTITION BY g ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT g, threshold, tp, fp,
+           tot_p - tp AS fn, tot_n - fp AS tn,
+           CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+           CASE WHEN tot_p > 0
+                THEN CAST(tp AS DOUBLE) / CAST(tot_p AS DOUBLE) END AS recall
+    FROM cum
+    """,
+)
+def pr_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve points per event type (hash label, value
+    cents as the score) at every distinct threshold — exact confusion
+    counts from one descending cumulative pass, no global sort. See
+    ``stats.pr_curve``."""
+    from pangool_spark.operators.stats import pr_curve
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    return pr_curve(ev, ["g"], "y", "s")
+
+
+@query(
+    "calibration_events",
+    """
+    SELECT g, bin, n, n_pos,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+           CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE) AS mean_score
+    FROM (
+      SELECT event_type AS g,
+             CAST(FLOOR(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)
+                        / 5000) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ssum
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    """,
+)
+def calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins per event type ($50 score bins): observed
+    positive rate vs mean score — one partial-combined aggregate, exact
+    divides. See ``stats.calibration_bins``."""
+    from pangool_spark.operators.stats import calibration_bins
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        F.round(F.col("value") * 100).cast("bigint").alias("s"),
+    )
+    return calibration_bins(ev, ["g"], "y", "s", bin_width=5000)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
