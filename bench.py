@@ -260,6 +260,11 @@ EXTENDED = [
     "collocations_docs",
     # lsh_recall_docs is NOT benched: it runs two full dedup pipelines,
     # both of which are already benched individually.
+    "audio_segments_docs",
+    "ks_test_events",
+    "auc_events",
+    "pr_curve_events",
+    "calibration_events",
     # sorted_neighborhood_parts is NOT benched at sf0.1: the pair VERIFY
     # volume (n·w levenshteins over near-identical synthetic names) is
     # the same measured levenshtein wall as the excluded fuzzy_pairs /
