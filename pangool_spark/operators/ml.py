@@ -596,3 +596,72 @@ def decision_stump(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def embedding_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-label embedding-space drift between two dataset versions: the
+    L2 shift of each label's CENTROID — 'did this class move' for
+    retraining triggers and encoder-upgrade audits, the numeric sibling
+    of ``category_drift``.
+
+    Exact by the k-means grid contract: embeddings quantize to the
+    FLOOR(x·scale) int64 grid, per-dim coordinate sums are exact ints,
+    and the shift is computed CROSS-MULTIPLIED —
+
+        shift² = Σ_d (sa_d·n_b − sb_d·n_a)² / (n_a·n_b)²
+
+    with the numerator summed as decimal(38,0) over exact squares
+    (order-independent) and ONE final sqrt+divide chain, so the drift
+    value hash-matches cross-engine (no per-dim double centroids whose
+    summation order could wobble).
+
+    Shape: one posexplode + partial-combined (label, dim) aggregate per
+    side, a co-partitioned join on (label, dim), one final aggregate —
+    no window, no collect. Labels present on only one side are absent
+    from the output (no centroid to compare).
+
+    Output: (label, n_a, n_b, shift) — shift in ORIGINAL embedding units
+    (the 1/scale is folded into the final divide).
+    """
+    if dim < 1 or scale < 1:
+        raise ValueError(f"dim/scale must be >= 1, got {dim}/{scale}")
+
+    def per_dim(d: DataFrame, n_out: str, s_out: str) -> DataFrame:
+        q = _quantized(
+            d.select(F.col(label_col).alias("label"), F.col(vec_col)),
+            "label", vec_col, scale, dim,
+        )
+        return (
+            q.select("label", F.posexplode("__q__").alias("dim", "__x__"))
+            .groupBy("label", "dim")
+            .agg(
+                F.count(F.lit(1)).alias(n_out),
+                F.sum("__x__").alias(s_out),
+            )
+        )
+
+    a = per_dim(df_a, "n_a", "sa")
+    b = per_dim(df_b, "n_b", "sb")
+    joined = a.join(b, ["label", "dim"])
+    num_term = (
+        F.col("sa").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("sb").cast("decimal(38,0)") * F.col("n_a")
+    )
+    agg = joined.groupBy("label").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum(num_term * num_term).alias("__num__"),
+    )
+    shift = F.sqrt(F.col("__num__").cast("double")) / (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        * F.lit(float(scale))
+    )
+    return agg.select("label", "n_a", "n_b", shift.alias("shift"))

@@ -10024,6 +10024,98 @@ def calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_bins(ev, ["g"], "y", "s", bin_width=5000)
 
 
+# round-9 batch 13: embedding-space drift + window rank family
+
+
+@query(
+    "embedding_drift_labels",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    expl AS (
+      SELECT vec_id, label, CAST(u.d - 1 AS INTEGER) AS dim, q[u.d] AS x
+      FROM q, LATERAL unnest(range(1, 65)) AS u(d)
+    ),
+    a AS (
+      SELECT label, dim, COUNT(*) AS n_a, CAST(SUM(x) AS BIGINT) AS sa
+      FROM expl WHERE vec_id % 2 = 0 GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT label, dim, COUNT(*) AS n_b, CAST(SUM(x) AS BIGINT) AS sb
+      FROM expl WHERE vec_id % 2 = 1 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.label, a.n_a, b.n_b,
+             (CAST(sa AS DECIMAL(38,0)) * n_b
+              - CAST(sb AS DECIMAL(38,0)) * n_a) AS t
+      FROM a JOIN b USING (label, dim)
+    )
+    SELECT label, n_a, n_b,
+           sqrt(CAST(SUM(t * t) AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000.0) AS shift
+    FROM j GROUP BY label, n_a, n_b
+    """,
+)
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid shift between the even- and odd-vec_id halves
+    of the embedding table — 'did this class move' on the exact
+    FLOOR(x·1000) grid: cross-multiplied decimal numerator, one final
+    sqrt+divide (engine-portable). See ``ml.embedding_drift``."""
+    from pangool_spark.operators.ml import embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=64,
+        scale=1000,
+    )
+
+
+@query(
+    "rank_family_orders",
+    """
+    SELECT o_orderkey, nt,
+           CAST(pr AS DOUBLE) AS pct_rank, CAST(cd AS DOUBLE) AS cume
+    FROM (
+      SELECT o_orderkey,
+             ntile(4) OVER w AS nt,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                            o_orderkey)
+    ) WHERE o_orderkey % 7 = 0
+    """,
+)
+def rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL rank-function family per customer (ntile quartile,
+    percent_rank, cume_dist over price-cents order with key tie-break) —
+    native window coverage; formulas are identical rational expressions
+    in both engines so even the doubles hash-match."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("bigint"), "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("nt"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 7 == 0)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
