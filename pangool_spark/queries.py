@@ -10189,11 +10189,16 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   phrase_search_docs, cluster_topics_embeddings, ams_f2_lineitem,
 #   sorted_neighborhood_parts, decision_stump_orders, lsh_recall_docs,
 #   span_corruption_docs, fd_violations_events, histogram_drift_orders,
-#   collocations_docs, audio_segments_docs.
-# That is 47 queries — replace _WINDOW_FRONT with the union (floats-
-# first convention: acf/changepoint/theil_sen/gini/benford/tv-drift
-# carry double outputs, put them at the top); any r09 red rows take the
-# remaining 3 slots first.
+#   collocations_docs, audio_segments_docs, ks_test_events, auc_events,
+#   pr_curve_events, calibration_events, embedding_drift_labels,
+#   rank_family_orders.
+# That is 55 backlog queries (21 safe holdovers + 34 new) — more than
+# one 50-slot window: r10 takes the 50 RISKIEST (floats-first
+# convention: acf/changepoint/theil_sen/gini/benford/tv-drift/ks/auc/
+# pr-curve/calibration/embedding-drift/rank-family carry double outputs,
+# put them at the top; the governance/count-only shapes
+# fd_violations/ri_audit/pseudonymize and the safest integer-window
+# holdovers can wait for r11); any r09 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "holt_events",
