@@ -267,6 +267,7 @@ EXTENDED = [
     "calibration_events",
     "embedding_drift_labels",
     "rank_family_orders",
+    "governance_report",
     # sorted_neighborhood_parts is NOT benched at sf0.1: the pair VERIFY
     # volume (n·w levenshteins over near-identical synthetic names) is
     # the same measured levenshtein wall as the excluded fuzzy_pairs /

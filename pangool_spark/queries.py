@@ -10116,6 +10116,139 @@ def rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# round-9 batch 14: the composed governance report
+
+
+def _governance_oracle_sql() -> str:
+    ri = " UNION ALL ".join(
+        f"SELECT 'ri:{name}' AS check_name, 'orphan_rate' AS metric, "
+        f"orphan_rate AS value FROM ({_ri_fk_sql(name, c, ck, p, pk)}) r_{i}"
+        for i, (name, c, ck, p, pk) in enumerate(
+            [
+                ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+                ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+                ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ]
+        )
+    )
+    return f"""
+    {ri}
+    UNION ALL
+    SELECT 'benford:o_totalprice' AS check_name, 'max_abs_dev' AS metric,
+           MAX(abs_dev) AS value FROM ({_benford_oracle_sql()}) b
+    UNION ALL
+    SELECT 'gini:customer_revenue' AS check_name, 'max_gini' AS metric,
+           MAX(gini) AS value FROM (
+             SELECT gini FROM (
+               WITH rev AS (
+                 SELECT c.c_custkey, c.c_nationkey,
+                        CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100)
+                             AS BIGINT)), 0) AS BIGINT) AS cents
+                 FROM customer c
+                 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                 GROUP BY 1, 2
+               ),
+               ranked AS (
+                 SELECT c_nationkey, cents,
+                        row_number() OVER (
+                          PARTITION BY c_nationkey ORDER BY cents ASC) AS i
+                 FROM rev
+               ),
+               agg AS (
+                 SELECT c_nationkey, COUNT(*) AS n,
+                        CAST(SUM(cents) AS BIGINT) AS total,
+                        CAST(SUM(i * cents) AS BIGINT) AS iw
+                 FROM ranked GROUP BY 1
+               )
+               SELECT CASE WHEN total > 0
+                           THEN (2.0 * CAST(iw AS DOUBLE)
+                                 - (CAST(n AS DOUBLE) + 1.0)
+                                   * CAST(total AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                      END AS gini
+               FROM agg
+             )
+           ) g
+    UNION ALL
+    SELECT 'fd:user->event_type' AS check_name, 'n_violating_keys' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM (
+             SELECT user_id FROM (
+               SELECT user_id, event_type FROM events GROUP BY 1, 2
+             ) GROUP BY user_id HAVING COUNT(*) > 1
+           ) f
+    """
+
+
+@query("governance_report", _governance_oracle_sql())
+def governance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-stop data-governance report — referential integrity,
+    Benford deviation, revenue concentration, and FD-contract violations
+    composed into a single (check_name, metric, value) relation: the
+    'is this dataset shippable' page, every metric from the
+    already-oracled operators (the curation_pipeline composition
+    pattern applied to governance)."""
+    from pangool_spark.operators.profile import (
+        benford_audit,
+        fd_violations,
+        gini_coefficient,
+        referential_integrity,
+    )
+
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+
+    ri = referential_integrity(
+        [
+            ("orders.custkey", t("orders"), ["o_custkey"], t("customer"), ["c_custkey"]),
+            ("lineitem.orderkey", t("lineitem"), ["l_orderkey"], t("orders"), ["o_orderkey"]),
+            ("customer.nationkey", t("customer"), ["c_nationkey"], t("nation"), ["n_nationkey"]),
+        ]
+    ).select(
+        F.concat(F.lit("ri:"), F.col("fk")).alias("check_name"),
+        F.lit("orphan_rate").alias("metric"),
+        F.col("orphan_rate").alias("value"),
+    )
+
+    benford = benford_audit(
+        t("orders").select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+        ),
+        "cents",
+    ).agg(F.max("abs_dev").alias("value")).select(
+        F.lit("benford:o_totalprice").alias("check_name"),
+        F.lit("max_abs_dev").alias("metric"),
+        "value",
+    )
+
+    cust = t("customer")
+    orders = t("orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__c__"),
+    )
+    rev = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("__c__"), F.lit(0)).cast("bigint").alias("cents"))
+        .select(F.col("c_nationkey").alias("nationkey"), "cents")
+    )
+    gini = gini_coefficient(rev, ["nationkey"], "cents").agg(
+        F.max("gini").alias("value")
+    ).select(
+        F.lit("gini:customer_revenue").alias("check_name"),
+        F.lit("max_gini").alias("metric"),
+        "value",
+    )
+
+    fd = fd_violations(t("events"), ["user_id"], "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    ).select(
+        F.lit("fd:user->event_type").alias("check_name"),
+        F.lit("n_violating_keys").alias("metric"),
+        "value",
+    )
+
+    return ri.unionByName(benford).unionByName(gini).unionByName(fd)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -10191,8 +10324,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   span_corruption_docs, fd_violations_events, histogram_drift_orders,
 #   collocations_docs, audio_segments_docs, ks_test_events, auc_events,
 #   pr_curve_events, calibration_events, embedding_drift_labels,
-#   rank_family_orders.
-# That is 55 backlog queries (21 safe holdovers + 34 new) — more than
+#   rank_family_orders, governance_report.
+# That is 56 backlog queries (21 safe holdovers + 35 new) — more than
 # one 50-slot window: r10 takes the 50 RISKIEST (floats-first
 # convention: acf/changepoint/theil_sen/gini/benford/tv-drift/ks/auc/
 # pr-curve/calibration/embedding-drift/rank-family carry double outputs,
