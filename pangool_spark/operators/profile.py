@@ -563,7 +563,7 @@ def gini_coefficient(
     any permutation of equal values gives the same Σi·x, so the statistic
     is deterministic), and the closed form is a fixed IEEE chain:
     engine-portable. Negative values raise (Gini is undefined); zero-sum
-    groups emit NULL.
+    groups emit NULL; value-NULL rows are dropped before ranking.
 
     Output: (*group_cols, n, total, gini).
     """
@@ -578,8 +578,12 @@ def gini_coefficient(
         )
     x = F.col(value_col).cast("bigint")
     w = Window.partitionBy(*group_cols).orderBy(F.col("__x__").asc())
-    ranked = df.select(*group_cols, x.alias("__x__")).withColumn(
-        "__i__", F.row_number().over(w)
+    # drop value-NULL rows: they would inflate n and the rank positions
+    # while contributing nothing to the sums (ADVICE r09)
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, x.alias("__x__"))
+        .withColumn("__i__", F.row_number().over(w))
     )
     agg = ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),

@@ -833,7 +833,8 @@ def grouped_acf(
     unpivot from a single row per group (no per-lag pass).
 
     Output: (*group_cols, lag, n, n_pairs, acf) — acf NULL when the
-    series is shorter than lag+1 or has zero variance.
+    series is shorter than lag+1 or has zero variance. Value-NULL rows
+    are dropped before anything is counted (n matches the summed rows).
     """
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
@@ -847,7 +848,9 @@ def grouped_acf(
         )
     x = F.col(value_col).cast("bigint")
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
-    lagged = df.select(
+    # drop value-NULL rows up front: n, x-bar and the variance denominator
+    # must count exactly the rows the sums saw (ADVICE r09)
+    lagged = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         x.alias("__x__"),
         *[F.lag(x, k).over(w).alias(f"__l{k}__") for k in range(1, max_lag + 1)],
@@ -923,7 +926,7 @@ def changepoint_binary(
 
     Output: (*group_cols, n, cp_idx, gain) — cp_idx is the 1-based last
     index of the left segment (1 ≤ cp_idx < n); groups with n < 2 are
-    absent.
+    absent. Value-NULL rows are dropped before indexing.
     """
     if not group_cols:
         raise ValueError("changepoint_binary needs at least one group column")
@@ -936,16 +939,17 @@ def changepoint_binary(
     x = F.col(value_col).cast("bigint")
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     wall = Window.partitionBy(*group_cols)
+    # value-NULL rows would inflate i/n while the running sum skips them
+    df = df.filter(F.col(value_col).isNotNull())
     cum = df.select(
         *group_cols,
         F.row_number().over(w).alias("__i__"),
         F.sum(x).over(w).alias("__si__"),
-    ).select(
-        *group_cols,
-        "__i__",
-        "__si__",
-        F.max("__i__").over(wall).alias("n"),
-        F.max("__si__").over(wall).alias("__sn__"),
+        # True per-group total S_n, NOT max(S_i): with negative values a
+        # prefix sum can exceed the final sum, so max of the running sum
+        # is the wrong total (ADVICE r09).
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum(x).over(wall).alias("__sn__"),
     )
     i_d = F.col("__i__").cast("double")
     n_d = F.col("n").cast("double")

@@ -8911,6 +8911,7 @@ def _acf_oracle_sql(max_lag: int = 5) -> str:
       SELECT event_type, ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS x
       FROM events
+      WHERE value IS NOT NULL
     ),
     l AS (
       SELECT event_type, x, {lag_cols}
@@ -8965,17 +8966,18 @@ def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS x
       FROM events
+      WHERE value IS NOT NULL
     ),
     cum AS (
       SELECT user_id,
              row_number() OVER w AS i,
-             CAST(SUM(x) OVER w AS BIGINT) AS si
+             CAST(SUM(x) OVER w AS BIGINT) AS si,
+             CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS sn
       FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     tot AS (
-      SELECT user_id, i, si,
-             MAX(i) OVER (PARTITION BY user_id) AS n,
-             MAX(si) OVER (PARTITION BY user_id) AS sn
+      SELECT user_id, i, si, sn,
+             MAX(i) OVER (PARTITION BY user_id) AS n
       FROM cum
     ),
     scored AS (
@@ -9685,7 +9687,7 @@ def fd_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def histogram_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric drift between pre-1995 and post-1995 order totals as the
+    """Numeric drift between pre-1998 and 1998+ order totals as the
     total-variation distance over $10k-wide cent bins — libm-free (no
     PSI/KL logs): the |p_A − p_B| sum runs over exact cross-multiplied
     integers, one final double divide. See ``profile.histogram_tv_drift``."""

@@ -719,8 +719,18 @@ def stream_histogram_drift(
     the tiny bin relation is rewritten through collected rows so the
     read+overwrite of the same path is safe.
 
+    Exactly-once fold: the standing histogram carries the id of the last
+    batch folded into it (``last_batch_id``, constant across rows). A
+    replayed micro-batch — retry after a failure between the histogram
+    overwrite and the checkpoint commit — sees ``batch_id <=
+    last_batch_id`` and skips the fold instead of double-counting; the
+    TV row is written per-batch to ``_TV/batch_id=N`` with overwrite, so
+    the replay rewrites (not duplicates) its row. This is the standard
+    idempotent-by-batch_id foreachBatch pattern.
+
     The running TV lands in ``{state_dir}/_TV`` as one (batch_id,
-    n_stream, n_ref, tv) row per batch — the alerting surface.
+    n_stream, n_ref, tv) row per batch — the alerting surface
+    (``batch_id`` is the partition directory).
 
     Returns the StreamingQuery (caller awaits termination).
     """
@@ -764,16 +774,34 @@ def stream_histogram_drift(
         )
         if _hadoop_path_exists(spark, hist_dir):
             standing = spark.read.parquet(hist_dir)
-            merged = (
-                standing.unionByName(batch_bins)
-                .groupBy("bin")
-                .agg(F.sum("n").alias("n"))
+            applied = (
+                standing.agg(F.max("last_batch_id")).collect()[0][0]
+                if "last_batch_id" in standing.columns
+                else None
             )
+            if applied is not None and int(batch_id) <= int(applied):
+                # replay of an already-folded batch (failure landed
+                # between histogram overwrite and checkpoint commit):
+                # the histogram already includes these rows — skip the
+                # fold, just rewrite this batch's TV row below.
+                merged_df = standing.select("bin", "n")
+            else:
+                merged = (
+                    standing.select("bin", "n")
+                    .unionByName(batch_bins)
+                    .groupBy("bin")
+                    .agg(F.sum("n").alias("n"))
+                )
+                rows = merged.collect()
+                merged_df = spark.createDataFrame(rows, merged.schema)
+                merged_df.withColumn(
+                    "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+                ).coalesce(1).write.mode("overwrite").parquet(hist_dir)
         else:
-            merged = batch_bins
-        rows = merged.collect()
-        merged_df = spark.createDataFrame(rows, merged.schema)
-        merged_df.coalesce(1).write.mode("overwrite").parquet(hist_dir)
+            merged_df = batch_bins
+            merged_df.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+            ).coalesce(1).write.mode("overwrite").parquet(hist_dir)
 
         joined = merged_df.join(ref_bins, "bin", "full_outer").select(
             F.coalesce(F.col("n"), F.lit(0)).alias("ns"),
@@ -796,10 +824,14 @@ def stream_histogram_drift(
                 ).alias("l1")
             ).collect()[0]["l1"]
             tv = float(l1) / (2.0 * float(n_s) * float(n_r))
+        # per-batch partition dir + overwrite: a replayed batch REWRITES
+        # its row instead of appending a duplicate (idempotent)
         spark.createDataFrame(
-            [(int(batch_id), n_s, n_r, tv)],
-            "batch_id LONG, n_stream LONG, n_ref LONG, tv DOUBLE",
-        ).coalesce(1).write.mode("append").parquet(tv_dir)
+            [(n_s, n_r, tv)],
+            "n_stream LONG, n_ref LONG, tv DOUBLE",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(tv_dir, f"batch_id={int(batch_id)}")
+        )
 
     writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint_dir:

@@ -169,6 +169,20 @@ def test_gini_matches_numpy(spark):
     assert r["gini"] == pytest.approx(expected, rel=1e-12)
 
 
+def test_gini_null_values_dropped(spark):
+    """Regression (ADVICE r09): value-NULL rows must not inflate n or the
+    rank positions."""
+    from pangool_spark.operators.profile import gini_coefficient
+
+    with_nulls = spark.createDataFrame(
+        [("g", 0), ("g", None), ("g", 0), ("g", None), ("g", 0), ("g", 100)],
+        "g STRING, v BIGINT",
+    )
+    [r] = gini_coefficient(with_nulls, ["g"], "v").collect()
+    assert r["n"] == 4 and r["total"] == 100
+    assert r["gini"] == pytest.approx(3 / 4)
+
+
 def test_gini_zero_total_null_and_negative_raises(spark):
     from pangool_spark.operators.profile import gini_coefficient
 

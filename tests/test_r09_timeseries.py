@@ -53,6 +53,27 @@ def test_acf_short_series(spark):
     assert got[2] == (2, 0, None)
 
 
+def test_acf_null_values_dropped(spark):
+    """Regression (ADVICE r09): value-NULL rows must not inflate n, x-bar
+    or the variance denominator — the NULL-padded series must give the
+    same acf as the series without the NULL rows."""
+    from pangool_spark.operators.stats import grouped_acf
+
+    series = [3, 1, 4, 1, 5, 9, 2, 6]
+    clean = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(series)], "g STRING, t INT, x BIGINT"
+    )
+    padded = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(series)]
+        + [("g", 100 + i, None) for i in range(3)],
+        "g STRING, t INT, x BIGINT",
+    )
+    want = _acf_rows(grouped_acf(clean, ["g"], ["t"], "x", max_lag=2))
+    got = _acf_rows(grouped_acf(padded, ["g"], ["t"], "x", max_lag=2))
+    assert got == want
+    assert got[1][0] == len(series)  # n counts only non-NULL rows
+
+
 def test_acf_rejects_fractional(spark):
     from pangool_spark.operators.stats import grouped_acf
 
@@ -95,6 +116,28 @@ def test_changepoint_tie_breaks_smallest_index(spark):
     )
     [row] = changepoint_binary(df, ["g"], ["t"], "x").collect()
     assert row["cp_idx"] == 1
+
+
+def test_changepoint_negative_values(spark):
+    """Regression (ADVICE r09): S_n must be the true series total, not
+    max of the running sum — with negative values a prefix sum can exceed
+    the final sum, silently corrupting every gain."""
+    import numpy as np
+
+    from pangool_spark.operators.stats import changepoint_binary
+
+    # running sums: 10, 22, -8, -18 -> max(si)=22 but true total is -18
+    series = [10, 12, -30, -10]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(series)], ["g", "t", "x"]
+    ).repartition(2)
+    [row] = changepoint_binary(df, ["g"], ["t"], "x").collect()
+    x = np.array(series, dtype=float)
+    sse = lambda v: ((v - v.mean()) ** 2).sum() if len(v) else 0.0
+    best = min(range(1, 4), key=lambda i: sse(x[:i]) + sse(x[i:]))
+    assert row["cp_idx"] == best
+    expected_gain = sse(x) - (sse(x[:best]) + sse(x[best:]))
+    assert row["gain"] == pytest.approx(expected_gain, rel=1e-12)
 
 
 def test_changepoint_singleton_group_absent(spark):

@@ -72,6 +72,40 @@ def test_stream_tv_state_survives_restart(spark, tmp_path):
     assert tv_rows[-1]["n_stream"] == 4
 
 
+def test_stream_tv_replay_is_idempotent(spark, tmp_path):
+    """Regression (ADVICE r09): replaying an already-folded micro-batch
+    (retry after a failure between the histogram overwrite and the
+    checkpoint commit) must NOT double-count its rows or append a
+    duplicate TV row."""
+    ref = _ref(spark)
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,), (2,)], "v BIGINT").coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        q = stream_histogram_drift(
+            read_stream(spark, src + "/*", "v BIGINT", max_files_per_trigger=1),
+            "v",
+            ref,
+            state,
+            bin_width=10,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    # fresh checkpoint + same state dir == the engine replaying batch 0
+    # against state that already folded it
+    run("ckpt2")
+    tv_rows = spark.read.parquet(f"{state}/_TV").collect()
+    assert len(tv_rows) == 1  # rewritten, not duplicated
+    assert tv_rows[0]["n_stream"] == 2  # not double-counted
+    hist = spark.read.parquet(f"{state}/hist")
+    assert hist.agg(F.sum("n")).collect()[0][0] == 2
+
+
 def test_stream_tv_guards(spark, tmp_path):
     ref = _ref(spark)
     src = str(tmp_path / "src")
