@@ -847,12 +847,17 @@ class JobBuilder:
             started = False
             part_counters: dict[str, int] = {}
 
-            def emit_group(collector):
+            def emit_group(collector, last=None):
                 """Concat the buffered chunks (once), fire elements; returns
-                the group's last row as a dict for the close callbacks."""
+                the group's last row as a dict for the close callbacks.
+                ``last`` comes pre-materialized from the batch-level bulk
+                ``to_dict('records')`` when the group's final row is local
+                to the current batch; only groups whose tail lives in the
+                buffer pay a per-group iloc."""
                 frame = buf[0] if len(buf) == 1 else pd.concat(buf, ignore_index=True)
                 buf.clear()
-                last = frame.iloc[len(frame) - 1].to_dict()
+                if last is None:
+                    last = frame.iloc[len(frame) - 1].to_dict()
                 group = {g: last[g] for g in group_fields}
                 reducer.on_group_elements(group, frame, collector)
                 return last
@@ -887,16 +892,32 @@ class JobBuilder:
                     for depth in range(min_depth, n_levels):
                         reducer.on_open_group(depth, group_fields[depth], row0, collector)
                     started = True
+                # Bulk row materialization: ONE iloc + to_dict('records')
+                # for every boundary row and its predecessor, instead of a
+                # per-group iloc[i].to_dict() pair — for many-small-groups
+                # shapes the per-group pandas row access was the hot spot.
+                bidx = np.flatnonzero(depths < n_levels)
+                if len(bidx):
+                    open_rows = pdf.iloc[bidx].to_dict("records")
+                    prev_rows = pdf.iloc[np.maximum(bidx - 1, 0)].to_dict(
+                        "records"
+                    )
+                else:
+                    open_rows, prev_rows = [], []
                 group_start = 0
-                for i in np.flatnonzero(depths < n_levels):
+                for k, i in enumerate(bidx):
                     i = int(i)
                     if i > group_start:
                         buf.append(pdf.iloc[group_start:i])
-                    last = emit_group(collector)
+                    # the closing group's last row is batch-local (row i-1)
+                    # unless the boundary is at row 0 (tail in the buffer)
+                    last = emit_group(
+                        collector, prev_rows[k] if i > 0 else None
+                    )
                     mismatch = max(int(depths[i]), min_depth)
                     for depth in range(n_levels - 1, mismatch - 1, -1):
                         reducer.on_close_group(depth, group_fields[depth], last, collector)
-                    row = pdf.iloc[i].to_dict()
+                    row = open_rows[k]
                     for depth in range(mismatch, n_levels):
                         reducer.on_open_group(depth, group_fields[depth], row, collector)
                     group_start = i

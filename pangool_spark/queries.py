@@ -10334,65 +10334,81 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # put them at the top; the governance/count-only shapes
 # fd_violations/ri_audit/pseudonymize and the safest integer-window
 # holdovers can wait for r11); any r09 red rows preempt.
+#
+# ROUND-10 ROTATION (the r09 verdict's item 1, executed): the r09 window
+# went 50/50 full green, so all 50 rotate out to the middle and the
+# window is filled ENTIRELY from the never-driver-checked backlog — 54
+# queries (mechanically recomputed: catalog keys minus the union of
+# CORRECTNESS_r01–r09 keys; matches the judge's list). 50 go in below,
+# floats/doubles first per convention. The 4 deferred to r11 are the
+# safest pure-integer shapes, every one multiple-times green in local
+# full-catalog sweeps and built from already-driver-proven kernels:
+#   histogram_events        (int equi-width bins; equidepth_histogram_
+#                            events, the harder float sibling, is IN)
+#   running_revenue_orders  (int running-sum window; the window family
+#                            is driver-green many times over)
+#   json_props_stats        (get_json_object + int counts)
+#   melt_order_stats        (stack/unpivot of int aggregates; judge
+#                            lists it pass-local already)
+# NO new catalog queries this round until the backlog is drained (r09
+# verdict item 1).
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
-    "holt_events",
-    "ewma_events",
-    "kaplan_meier_events",
-    "mannwhitney_ab_events",
-    "welch_ab_events",
-    "backtest_forecast_events",
-    "target_encode_orders",
-    "target_encode_loo_orders",
-    "cusum_events",
-    "zscore_outliers_events",
-    "robust_outliers_events",
-    "winsorize_events",
-    "trimmed_mean_events",
-    # embedding-space family (decimal-sum + fixed IEEE chains)
-    "kmeans_embeddings",
-    "quantization_error_embeddings",
-    "quantized_knn_embeddings",
-    "ann_recall_embeddings",
-    "hybrid_search_docs",
-    "item_cf_parts",
-    "bigram_lm_docs",
-    "basket_lift_parts",
-    "link_prediction_parts",
-    "novelty_docs",
-    # graph unrolled-round oracles
-    "kcore_parts",
-    "ktruss_parts",
-    "bfs_hops_parts",
-    "lpa_communities_parts",
-    "ppr_supplier_part",
-    # set-similarity / span / BPE lifecycle
-    "setsim_jaccard_docs",
-    "setsim_join_docs",
-    "containment_join_docs",
-    "duplicate_spans_docs",
-    "bpe_merges_docs",
-    "bpe_encode_docs",
-    "bpe_token_ids_docs",
-    "vocab_coverage_docs",
-    # entity resolution / CDC / snapshot
-    "er_clusters_parts",
-    "best_match_parts",
-    "golden_record_customers",
-    "cascade_delete_customers",
-    "pit_state_events",
-    # sketches / partitioning
-    "kmv_state_lineitem",
-    "kmv_intersect_lineitem",
-    "stable_ids_orders",
-    "skyline_parts",
-    # multimodal perceptual
-    "audio_silence_docs",
-    "image_dhash_docs",
-    # new this round
-    "ivf_index_lifecycle",
-    "tokenizer_release_docs",
-    "bpe_local_merges_docs",
+    "acf_events",
+    "changepoint_events",
+    "theil_sen_events",
+    "seasonal_decompose_events",
+    "gini_customer_revenue",
+    "benford_orders",
+    "histogram_drift_orders",
+    "ks_test_events",
+    "auc_events",
+    "pr_curve_events",
+    "calibration_events",
+    "embedding_drift_labels",
+    "rank_family_orders",
+    "decision_stump_orders",
+    "ams_f2_lineitem",
+    # double-output retrieval / graph / ER scores
+    "collocations_docs",
+    "lsh_recall_docs",
+    "hits_supplier_part",
+    "assortativity_parts",
+    "cluster_topics_embeddings",
+    "hard_negatives_embeddings",
+    "phrase_search_docs",
+    "sorted_neighborhood_parts",
+    # governance batch (new r09 shapes, count/report relations)
+    "governance_report",
+    "k_anonymity_customers",
+    "kanon_release_customers",
+    "rfm_customers",
+    "ri_audit_tpch",
+    "pseudonymize_customers",
+    "fd_violations_events",
+    # multimodal / text-prep
+    "image_neardup_docs",
+    "audio_segments_docs",
+    "span_corruption_docs",
+    "hashed_features_docs",
+    "source_gate_docs",
+    # event-analytics holdovers (r08 additions, portable-hash kernels)
+    "funnel_report_events",
+    "activity_cohorts_events",
+    "category_drift_orders",
+    "event_transitions",
+    "hopping_window_events",
+    "equidepth_histogram_events",
+    "attribution_events",
+    "observability_pipeline",
+    "session_paths_events",
+    "active_streaks_events",
+    "join_view_delta_orders",
+    "pareto_class_customers",
+    # portable-hash samplers / splits
+    "weighted_sample_orders",
+    "temporal_split_events",
+    "negative_sample_orders",
 ]
 
 _ROTATED_PAST_WINDOW = [
