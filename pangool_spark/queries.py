@@ -1715,7 +1715,15 @@ def minhash_lsh_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 as the base hash (one JVM codegen'd call vs md5 hex parse).
     Registered so the bench records the md5-portability tax round over
     round — the plan shape, shuffle count, and banding are byte-identical
-    to ``minhash_lsh_dedup``."""
+    to ``minhash_lsh_dedup``.
+
+    Scale note (r10 interleaved A/B, tools/ab_minhash.py): at sf0.1 the
+    twins are statistically TIED (min 1.77s vs 1.71s over 5 interleaved
+    rounds — the md5 tax is below shuffle noise at 5k docs), so
+    round-over-round inversions at sf0.1 are measurement noise, not
+    regressions. At 100× (5M docs, /tmp/sf10) the tax is real: fast
+    min 37.9s vs exact 54.8s (1.4×) — the twin earns its keep exactly
+    where hashing dominates."""
     from pangool_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
