@@ -314,6 +314,19 @@ def main() -> None:
     from pangool_spark.session import get_spark
     from pangool_spark.queries import clear_shingle_cache
 
+    # Self-identify under-load captures (the r09 final artifact drifted
+    # +15-30% uniformly from host load and read as a regression): record
+    # the 1-min loadavg at start and end so a noisy artifact is visibly
+    # noisy instead of silently poisoning round-over-round comparisons.
+    load_start = round(os.getloadavg()[0], 2)
+    if load_start > 4.0:
+        print(
+            f"# WARNING: loadavg {load_start} at bench start — timings "
+            "will read high; re-run on a quiet machine for the committed "
+            "artifact",
+            file=sys.stderr,
+        )
+
     spark = get_spark("pangool_spark_bench")
 
     # Warm the JVM + parquet footers once so timings measure the queries.
@@ -395,6 +408,8 @@ def main() -> None:
         "runs_heavy": RUNS_PER_QUERY,
         "runs_extended": 2,
         "runs_achieved": runs_achieved,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     line = json.dumps(payload)
     # Persist the FULL artifact (incl. the 150+-entry extended dict) in
