@@ -272,6 +272,10 @@ EXTENDED = [
     # volume (n·w levenshteins over near-identical synthetic names) is
     # the same measured levenshtein wall as the excluded fuzzy_pairs /
     # er_clusters; correctness gated at both driver SFs.
+    # round-10 wishlist additions: event-time windowed dedup + the
+    # plan-cache build/replay lifecycle
+    "windowed_dedup_events",
+    "plan_cache_replay_orders",
 ]
 
 RUNS_PER_QUERY = 3

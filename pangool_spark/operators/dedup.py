@@ -185,6 +185,48 @@ def exact_dedup_by(
     return df.join(reps, on=id_col, how="left_semi")
 
 
+def windowed_dedup(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    tiebreak_cols: "Sequence[str]" = (),
+) -> DataFrame:
+    """Event-time WINDOWED deduplication: within each tumbling
+    event-time window, keep exactly one row per key — the earliest by
+    (``ts_col``, then ``tiebreak_cols``). The batch twin of
+    ``streaming.stream_dedup``: ``dropDuplicatesWithinWatermark`` keeps
+    the first ARRIVAL inside a rolling horizon (arrival order is not
+    replayable, so it can't be value-oracled), while this keeps the
+    first EVENT-TIME row inside epoch-aligned windows — deterministic,
+    hence a full DuckDB value oracle. The operating difference matters:
+    a key that re-fires every window SURVIVES once per window here
+    (heartbeat thinning, at-most-one-per-period alerts), where plain
+    dedup keeps only its first occurrence ever.
+
+    Shuffle profile: ONE hash exchange on (keys, window-start) feeding a
+    WindowGroupLimit rank-1 — at 100 TB the state per task is one row
+    per (key, window) in flight, and the window column prunes to the
+    scanned time range. Output: the surviving input rows plus
+    ``window_start`` (timestamp).
+    """
+    if not keys:
+        raise ValueError("windowed_dedup needs at least one key column")
+    win = F.window(F.col(ts_col), window_duration)
+    w = Window.partitionBy(
+        *[F.col(k) for k in keys], F.col("__ws__")
+    ).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("__ws__", win["start"])
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+        .withColumnRenamed("__ws__", "window_start")
+    )
+
+
 def prune_hot_shingles(
     sh: DataFrame, max_df: int, strategy: str = "window"
 ) -> DataFrame:

@@ -9,5 +9,14 @@
 from pangool_spark.plans.job import JobBuilder, RollupReducer, PlanError
 from pangool_spark.plans.map_only import MapOnlyJobBuilder
 from pangool_spark.plans.iterate import iterate
+from pangool_spark.plans.cache import cached_result, plan_cache_key
 
-__all__ = ["JobBuilder", "RollupReducer", "MapOnlyJobBuilder", "PlanError", "iterate"]
+__all__ = [
+    "JobBuilder",
+    "RollupReducer",
+    "MapOnlyJobBuilder",
+    "PlanError",
+    "iterate",
+    "cached_result",
+    "plan_cache_key",
+]

@@ -10259,6 +10259,110 @@ def governance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ri.unionByName(benford).unionByName(gini).unionByName(fd)
 
 
+# round-10 batch (the r09 verdict's wishlist, item 8 — registered OUTSIDE
+# the driver window so the backlog drain is undisturbed; both fully
+# value-oracled and swept locally at both driver scales)
+
+
+@query(
+    "windowed_dedup_events",
+    """
+    WITH d AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(FLOOR(FLOOR(epoch(ts)) / 3600) AS BIGINT) * 3600 AS ws
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type, ws, event_id, cents,
+             row_number() OVER (PARTITION BY user_id, event_type, ws
+                                ORDER BY ts, event_id) AS rn
+      FROM d
+    )
+    SELECT user_id, event_type, ws AS window_start_s, event_id, cents
+    FROM r WHERE rn = 1
+    """,
+)
+def windowed_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-most-one-per-period thinning: within each 1-hour tumbling
+    event-time window keep the EARLIEST event per (user, event_type) —
+    heartbeat/alert thinning as a deterministic batch op (the
+    value-oracle-able twin of stream_dedup's first-ARRIVAL semantics).
+    One hash exchange on (keys, window-start) + WindowGroupLimit rank-1;
+    epoch-aligned starts surface as BIGINT seconds (timezone-free, the
+    hopping_window_events convention). See ``dedup.windowed_dedup``."""
+    from pangool_spark.operators.dedup import windowed_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    out = windowed_dedup(
+        ev, ["user_id", "event_type"], "ts", "1 hour",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_id",
+        "cents",
+    )
+
+
+@query(
+    "plan_cache_replay_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01'
+    GROUP BY 1
+    """,
+)
+def plan_cache_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-plan-cache lifecycle as ONE oracled entry (the
+    ``dedup_index_lifecycle`` shape for result caching): run the
+    priority-revenue aggregate through ``cached_result`` TWICE against a
+    fresh on-disk cache — the first call BUILDS the keyed parquet
+    materialization (key = canonicalized-plan semantic hash + sorted
+    input files), the second call with the semantically identical plan
+    REPLAYS it without recomputation (asserted: every replay input file
+    lives under the cache dir, none under the source table) — and
+    return the replayed relation, which must value-hash-match the
+    direct SQL. At 100 TB the replay is O(result), never O(inputs).
+    See ``plans.cache.cached_result``."""
+    import uuid
+
+    from pangool_spark.plans.cache import cached_result
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.filter(F.col("o_orderdate") >= "1994-01-01")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    base = (
+        f"/tmp/pangool_spark_plancache/{spark.sparkContext.applicationId}/"
+        f"{uuid.uuid4().hex}"
+    )
+    cached_result(agg, base)  # build: materializes the keyed parquet
+    replay = cached_result(agg, base)  # hit: replays, never recomputes
+    bad = [f for f in replay.inputFiles() if "pangool_spark_plancache" not in f]
+    if bad:
+        raise AssertionError(
+            f"plan-cache replay read outside the cache dir: {bad[:3]}"
+        )
+    return replay
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
