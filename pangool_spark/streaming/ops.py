@@ -354,7 +354,13 @@ def stream_cms(
     so stream-maintained and batch-rebuilt grids are IDENTICAL — the
     stream==batch parity test pins it. The state parquet is rewritten
     per batch (≤ depth·width rows — trivially small); probe it any time
-    with ``cms_estimate``.
+    with ``cms_estimate`` (the extra ``last_batch_id`` bookkeeping
+    column is ignored by the probe).
+
+    Exactly-once fold (the ``stream_histogram_drift`` pattern): the
+    standing grid carries the id of the last batch folded into it, so a
+    micro-batch replayed after a failure between the state overwrite and
+    the checkpoint commit is skipped instead of double-counted.
 
     Returns the StreamingQuery (caller awaits termination).
     """
@@ -372,15 +378,24 @@ def stream_cms(
         # this batch alone.
         if _hadoop_path_exists(spark, state_dir):
             standing = spark.read.parquet(state_dir)
-            merged = merge_sketches(standing, batch_sketch)
+            applied = (
+                standing.agg(F.max("last_batch_id")).collect()[0][0]
+                if "last_batch_id" in standing.columns
+                else None
+            )
+            if applied is not None and int(batch_id) <= int(applied):
+                return  # replay of an already-folded batch: no-op
+            merged = merge_sketches(
+                standing.select("j", "bucket", "n"), batch_sketch
+            )
         else:
             merged = batch_sketch
         # rewrite via a staging temp view: the grid is tiny, and collect/
         # recreate keeps the read+overwrite of the SAME path safe
         rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        spark.createDataFrame(rows, merged.schema).withColumn(
+            "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
 
     writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint_dir:

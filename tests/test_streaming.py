@@ -324,6 +324,40 @@ def test_stream_cms_matches_batch_sketch(spark, tmp_path_factory):
     assert est["zz"] >= 0  # absent key: over-count only
 
 
+def test_stream_cms_replay_is_idempotent(spark, tmp_path_factory):
+    """Replaying an already-folded micro-batch (retry after a failure
+    between the state overwrite and the checkpoint commit) must not
+    double-count the grid — the stream_histogram_drift pattern."""
+    from pangool_spark.operators.sketch import cms_estimate
+    from pangool_spark.streaming.ops import stream_cms
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, "w STRING")
+    src = str(tmp_path_factory.mktemp("cmsr_src"))
+    state = str(tmp_path_factory.mktemp("cmsr_state")) + "/grid"
+    base = str(tmp_path_factory.mktemp("cmsr_ckpt"))
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/p1")
+
+    def run(ckpt):
+        stream = spark.readStream.schema("w STRING").parquet(src + "/*")
+        q = stream_cms(stream, "w", state, width=64, depth=3,
+                       checkpoint_dir=f"{base}/{ckpt}")
+        q.awaitTermination(120)
+
+    run("c1")
+    # fresh checkpoint + same state dir == the engine replaying batch 0
+    # against a grid that already folded it
+    run("c2")
+    keys = spark.createDataFrame([("a",), ("b",)], "w STRING")
+    est = {
+        r.w: r.est_count
+        for r in cms_estimate(
+            spark.read.parquet(state), keys, "w", width=64, depth=3,
+            hash_family="fast",
+        ).collect()
+    }
+    assert est == {"a": 10, "b": 3}  # not doubled
+
+
 def test_stream_outliers_matches_batch(spark, tmp_path_factory):
     import uuid as _uuid
 
