@@ -93,6 +93,13 @@ def foreach_batch_sink(
     through the same per-partition batching writer, so ONE sink
     implementation serves batch and streaming.
 
+    Delivery semantics: AT-LEAST-ONCE — a micro-batch that fails after
+    some partitions sent is retried whole, so ``send_batch`` must be
+    idempotent at the receiver (upsert by document id, the Solr/Mongo
+    norm) for exactly-once effects. State-folding streams that own their
+    sink (``stream_cms``, ``stream_upsert``, ``stream_histogram_drift``)
+    get exactly-once via the idempotent-by-batch_id pattern instead.
+
     Returns the started StreamingQuery (caller awaits/stops it).
     """
     from pangool_spark.sources.external import external_sink
