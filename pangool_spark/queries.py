@@ -10462,8 +10462,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 #   json_props_stats        (get_json_object + int counts)
 #   melt_order_stats        (stack/unpivot of int aggregates; judge
 #                            lists it pass-local already)
-# NO new catalog queries this round until the backlog is drained (r09
-# verdict item 1).
+# NO new window-displacing catalog queries this round (r09 verdict item
+# 1); the two round-10 wishlist additions (windowed_dedup_events,
+# plan_cache_replay_orders — verdict item 8, added after items 1-7
+# closed) are registered OUTSIDE the window.
+# R11 BUILDER: assuming the r10 window goes green, the remaining
+# never-driver-checked backlog is exactly 6 queries — the 4 deferred
+# above plus the 2 wishlist additions. Rotate all 6 into the r11 window
+# front (they fit with 44 slots to spare for new work); any r10 red
+# rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
