@@ -739,3 +739,84 @@ def histogram_tv_drift(
         )
     )
     return agg.select("n_a", "n_b", "n_bins", tv.alias("tv"))
+
+
+# Two-sided geometric (discrete Laplace) inverse-CDF thresholds at 2^31
+# scale for alpha = e^-1 (epsilon = 1, sensitivity-1 counts): a 31-bit
+# uniform hash maps to an integer noise draw k in [-12, 12] via pure
+# integer comparisons — no libm, engine-exact. Thresholds are
+# floor(CDF_k * 2^31) of P(K=k) = (1-a)/(1+a) * a^|k| renormalized over
+# the clamped support (tail mass beyond +/-12 is ~3e-6).
+_GEOM1_T = [
+    (-12, 6097),
+    (-11, 22672),
+    (-10, 67726),
+    (-9, 190197),
+    (-8, 523108),
+    (-7, 1428052),
+    (-6, 3887947),
+    (-5, 10574634),
+    (-4, 28750933),
+    (-3, 78159237),
+    (-2, 212464933),
+    (-1, 577545664),
+    (0, 1569937983),
+    (1, 1935018714),
+    (2, 2069324410),
+    (3, 2118732714),
+    (4, 2136909013),
+    (5, 2143595700),
+    (6, 2146055595),
+    (7, 2146960539),
+    (8, 2147293450),
+    (9, 2147415921),
+    (10, 2147460975),
+    (11, 2147477550),
+]
+
+
+def dp_count_release(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    release_tag: str = "dp1",
+    clamp_nonnegative: bool = True,
+) -> DataFrame:
+    """Differentially-private count histogram release — the geometric
+    mechanism (Ghosh/Roughgarden/Sundararajan STOC'09: the discrete
+    Laplace, the universally-optimal noise for sensitivity-1 counting
+    queries at epsilon = 1 here): per-group COUNT(*) plus an integer
+    noise draw, the release-side sibling of ``k_anonymity`` /
+    ``suppress_small_classes`` in the governance family.
+
+    The noise is pseudorandom-but-DETERMINISTIC: a 31-bit portable md5
+    hash of ``group-key:release_tag`` pushed through the integer
+    inverse-CDF ladder above. That keeps the operator value-oracleable
+    and rerun-stable (the same release is reproducible for audit), at
+    the standard cost of seeded DP: the seed derivation is part of the
+    trust boundary — vary ``release_tag`` per release, never re-release
+    the same tag after the data changes (a before/after diff at a fixed
+    tag reveals exact deltas).
+
+    Scale shape: one partial-combined count aggregate; the noise is a
+    per-GROUP column expression (|groups| rows, not |rows|). Output:
+    group_cols + (noisy_count BIGINT) — the true count never leaves the
+    operator.
+    """
+    from pangool_spark.operators.dedup import base_hash_31
+
+    gcols = list(group_cols)
+    counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__true__"))
+    h = base_hash_31(
+        F.concat_ws(
+            ":", *[F.col(c).cast("string") for c in gcols], F.lit(release_tag)
+        )
+    )
+    noise = F.lit(12)
+    for k, t in reversed(_GEOM1_T):
+        noise = F.when(h < F.lit(t), F.lit(k)).otherwise(noise)
+    released = F.col("__true__") + noise.cast("bigint")
+    if clamp_nonnegative:
+        released = F.greatest(released, F.lit(0).cast("bigint"))
+    return counts.select(
+        *gcols, released.cast("bigint").alias("noisy_count")
+    )

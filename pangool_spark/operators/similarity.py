@@ -1015,3 +1015,81 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: "Sequence[int] | None" = None,
+    scale: int = 100_000,
+) -> DataFrame:
+    """Covariance matrix of embedding dimensions in ONE aggregate pass —
+    the statistic behind whitening / PCA-projection decisions on an
+    embedding corpus (is the representation isotropic? which dims are
+    redundant?). For |dims| = d it emits the d(d+1)/2 upper triangle as
+    rows, computed as d(d+3)/2 + 1 algebraic sums in a single
+    partial-combined groupBy().agg — no explode, no self-join, no
+    per-row Python; at 100 TB this is exactly one map-side-combined scan
+    with a 1-row reduce.
+
+    Determinism contract: each component is quantized to integer units
+    of 1/scale (one double multiply + round — identical IEEE ops in any
+    engine), the Σx / Σxy accumulate as exact BIGINTs, and the final
+    covariance is a fixed IEEE double expression over those ints —
+    value-oracleable bit-exactly. BIGINT headroom: |x|·scale ≤ 1e6-ish
+    components give Σxy ≤ 1e10·n — fine past 10^8 rows; drop ``scale``
+    one decade per 100× rows beyond that.
+
+    ``dims`` are 1-based positions (default: all of a 64-dim layout is
+    usually more matrix than a human wants — pass the slice you need).
+    Output: (i, j, n, mean_i, mean_j, cov) with i <= j, population
+    covariance (divide-by-n).
+    """
+    if dims is None:
+        dims = list(range(1, 65))
+    dims = list(dims)
+    if not dims or len(set(dims)) != len(dims):
+        raise ValueError("dims must be a nonempty list of distinct 1-based positions")
+
+    def q(i: int):
+        return F.round(
+            F.element_at(F.col(vec_col), i).cast("double") * F.lit(float(scale))
+        ).cast("bigint")
+
+    rows = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= max(dims))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i in dims:
+        aggs.append(F.sum(q(i)).alias(f"__s{i}__"))
+    for a in range(len(dims)):
+        for b in range(a, len(dims)):
+            i, j = dims[a], dims[b]
+            aggs.append(F.sum(q(i) * q(j)).alias(f"__p{i}_{j}__"))
+    wide = rows.agg(*aggs)
+
+    n = F.col("__n__").cast("double")
+    sc = float(scale)
+    parts = []
+    for a in range(len(dims)):
+        for b in range(a, len(dims)):
+            i, j = dims[a], dims[b]
+            mi = F.col(f"__s{i}__").cast("double") / n / F.lit(sc)
+            mj = F.col(f"__s{j}__").cast("double") / n / F.lit(sc)
+            cov = (
+                F.col(f"__p{i}_{j}__").cast("double") / n / F.lit(sc * sc)
+                - mi * mj
+            )
+            parts.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.col("__n__").alias("n"),
+                    mi.alias("mean_i"),
+                    mj.alias("mean_j"),
+                    cov.alias("cov"),
+                )
+            )
+    return wide.select(
+        F.explode(F.array(*parts)).alias("__c__")
+    ).select("__c__.*")

@@ -1300,3 +1300,123 @@ def calibration_bins(
             "mean_score"
         ),
     )
+
+
+# Inverse-CDF thresholds for Poisson(1) at 2^31 scale: a 31-bit uniform
+# hash h maps to weight k = #(thresholds < h)-style CASE ladder. Pure
+# integer comparisons — no libm, engine-exact (floor(CDF_k * 2^31),
+# k = 0..7; h >= T_7 clamps to 8, cumulative mass ~1 - 1e-5).
+_POISSON1_T = [
+    790015084,
+    1580030168,
+    1975037710,
+    2106706891,
+    2139624186,
+    2146207645,
+    2147304888,
+    2147461638,
+]
+
+
+def _poisson1_weight(h) -> F.Column:
+    """Map a 31-bit uniform column to a Poisson(1) draw via the integer
+    threshold ladder above."""
+    w = F.lit(8)
+    for k in range(len(_POISSON1_T) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_T[k]), F.lit(k)).otherwise(w)
+    return w.cast("int")
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    replicates: int = 40,
+    lo_rank: int = 2,
+    hi_rank: int = 39,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group mean in ONE pass —
+    the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012; Kleiner et al.'s BLB is the
+    heavier cousin): instead of resampling the data B times (B full
+    shuffles — unrunnable at 100 TB), each ROW draws an independent
+    Poisson(1) replication weight per replicate, and replicate b's mean
+    is Σ(w_b·x)/Σ(w_b). One explode(×B) feeding one partial-combined
+    aggregate: the shuffle carries |groups|·B aggregate states, never a
+    second copy of the data.
+
+    Determinism contract: the per-(row, replicate) weight comes from the
+    portable 31-bit md5 hash of ``id:replicate`` pushed through an
+    integer inverse-CDF ladder (no RNG, no libm) — every weight, hence
+    every replicate sum, is engine-exact, and the replicate mean is one
+    IEEE double division of two exact BIGINTs. The CI bounds are the
+    ``lo_rank``-th / ``hi_rank``-th smallest replicate means (defaults =
+    the 5th/97.5th percentile ranks of 40 replicates), rank ties broken
+    by replicate id — fully value-oracleable.
+
+    ``value_col`` must be integer-typed (cents/micros — exact replicate
+    sums); empty replicates (all weights 0 — vanishingly rare beyond toy
+    groups) are excluded from the rank order.
+
+    Output: group_cols + (n BIGINT, point_mean, ci_lo, ci_hi DOUBLE).
+    """
+    if dict(df.dtypes).get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"poisson_bootstrap_ci needs an integer value column, got "
+            f"{dict(df.dtypes).get(value_col)!r} — rescale to cents/micros"
+        )
+    if not (1 <= lo_rank < hi_rank <= replicates):
+        raise ValueError(
+            f"need 1 <= lo_rank < hi_rank <= replicates, got "
+            f"({lo_rank}, {hi_rank}, {replicates})"
+        )
+    from pangool_spark.operators.dedup import base_hash_31
+
+    gcols = list(group_cols)
+    rows = df.filter(F.col(value_col).isNotNull())
+    rep = rows.select(
+        *gcols,
+        F.col(value_col).cast("bigint").alias("__v__"),
+        F.col(id_col).cast("string").alias("__id__"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+        ).alias("__rep__"),
+    )
+    h = base_hash_31(F.concat_ws(":", F.col("__id__"), F.col("__rep__")))
+    w = _poisson1_weight(h)
+    per_rep = (
+        rep.withColumn("__w__", w)
+        .groupBy(*gcols, "__rep__")
+        .agg(
+            F.sum(F.col("__w__").cast("bigint") * F.col("__v__")).alias("__s__"),
+            F.sum(F.col("__w__").cast("bigint")).alias("__n__"),
+        )
+        .filter(F.col("__n__") > 0)
+        .withColumn(
+            "__mean__",
+            F.col("__s__").cast("double") / F.col("__n__").cast("double"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(*gcols).orderBy("__mean__", "__rep__")
+    )
+    ranked = per_rep.withColumn("__rk__", rk)
+    point = rows.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col(value_col).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("point_mean"),
+    )
+    bounds = ranked.groupBy(*gcols).agg(
+        F.max(F.when(F.col("__rk__") == lo_rank, F.col("__mean__"))).alias(
+            "ci_lo"
+        ),
+        F.max(F.when(F.col("__rk__") == hi_rank, F.col("__mean__"))).alias(
+            "ci_hi"
+        ),
+    )
+    return point.join(bounds, gcols, "inner").select(
+        *gcols, "n", "point_mean", "ci_lo", "ci_hi"
+    )

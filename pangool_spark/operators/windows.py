@@ -486,3 +486,60 @@ def seasonal_decompose(
             F.col("__tsum__").isNotNull(), detr - F.col("seasonal")
         ).alias("residual"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols=(),
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key — the correct mean for
+    irregularly-sampled state series (prices, sensor readings, feature
+    values), where the plain AVG over-weights bursty periods: each
+    observation holds until the next one, so it is weighted by its
+    holding duration. The final observation of a key has no successor
+    and is excluded from the weighting (standard half-open convention).
+
+    Determinism contract: durations are exact integer SECONDS from the
+    lead() timestamp (``unix_timestamp`` differences — the engine-
+    replicable epoch conversion used across the catalog), values must be
+    integer-typed (cents/micros), and the TWAP is one IEEE double
+    division of the two exact BIGINT sums. Keys with a single
+    observation emit NULL twap (zero weighted time); same-second
+    successors contribute zero weight.
+
+    Scale shape: one hash exchange on the keys (the lead window), then a
+    partial-combined aggregate on the same partitioning — Catalyst
+    reuses the exchange, so it is ONE shuffle end to end (plan-gated).
+
+    Output: key_cols + (n_obs BIGINT, total_s BIGINT, twap DOUBLE).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ties = [tiebreak_cols] if isinstance(tiebreak_cols, str) else list(tiebreak_cols)
+    if dict(df.dtypes).get(value_col) not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"time_weighted_avg needs an integer value column, got "
+            f"{dict(df.dtypes).get(value_col)!r} — rescale to cents/micros"
+        )
+    w = Window.partitionBy(*keys).orderBy(ts_col, *ties)
+    es = F.unix_timestamp(F.col(ts_col))
+    nxt = F.lead(es).over(w)
+    dur_s = (nxt - es).cast("bigint")
+    staged = df.select(
+        *keys,
+        F.col(value_col).cast("bigint").alias("__v__"),
+        dur_s.alias("__s__"),
+    )
+    # the groupBy keys match the window partitioning, so Catalyst reuses
+    # the window's exchange: one shuffle, one scan end to end
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(F.sum("__s__"), F.lit(0).cast("bigint")).alias("total_s"),
+        F.when(
+            F.coalesce(F.sum("__s__"), F.lit(0)) > 0,
+            F.sum(F.col("__v__") * F.col("__s__")).cast("double")
+            / F.sum("__s__").cast("double"),
+        ).alias("twap"),
+    )

@@ -10363,6 +10363,312 @@ def plan_cache_replay_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay
 
 
+# ---------------------------------------------------------------------------
+# round-10 session-2 batch: one-pass bootstrap uncertainty, DP release,
+# embedding covariance, TWAP, z-order layout (all registered OUTSIDE the
+# driver window — the r10 window stays the backlog drain)
+
+_POISSON_LADDER_SQL = """CASE
+        WHEN h <  790015084 THEN 0 WHEN h < 1580030168 THEN 1
+        WHEN h < 1975037710 THEN 2 WHEN h < 2106706891 THEN 3
+        WHEN h < 2139624186 THEN 4 WHEN h < 2146207645 THEN 5
+        WHEN h < 2147304888 THEN 6 WHEN h < 2147461638 THEN 7
+        ELSE 8 END"""
+
+
+@query(
+    "poisson_bootstrap_events",
+    f"""
+    WITH d AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), rep AS (
+      SELECT d.event_type, d.cents, g.rep,
+             CAST(('0x' || substr(md5(CAST(d.event_id AS VARCHAR) || ':' ||
+                                      CAST(g.rep AS VARCHAR)), 1, 8))
+                  AS BIGINT) & 2147483647 AS h
+      FROM d, (SELECT unnest(range(0, 40)) AS rep) g
+    ), w AS (
+      SELECT event_type, cents, rep, {_POISSON_LADDER_SQL} AS wgt FROM rep
+    ), per_rep AS (
+      SELECT event_type, rep,
+             CAST(SUM(CAST(wgt AS BIGINT) * cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(wgt AS BIGINT)) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2 HAVING SUM(wgt) > 0
+    ), ranked AS (
+      SELECT event_type, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                                         rep) AS rk
+      FROM per_rep
+    ), bounds AS (
+      SELECT event_type,
+             MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+             MAX(CASE WHEN rk = 39 THEN m END) AS ci_hi
+      FROM ranked GROUP BY 1
+    ), point AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS point_mean
+      FROM d GROUP BY 1
+    )
+    SELECT p.event_type, p.n, p.point_mean, b.ci_lo, b.ci_hi
+    FROM point p JOIN bounds b USING (event_type)
+    """,
+)
+def poisson_bootstrap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the mean event value per event_type WITHOUT
+    resampling passes — the Poisson bootstrap (Chamandy et al. 2012):
+    every row draws 40 deterministic Poisson(1) replication weights
+    (portable md5 hash -> integer inverse-CDF ladder, no RNG, no libm),
+    so all 40 replicate means come out of ONE partial-combined
+    aggregate. The driver hash-verifies the entire uncertainty
+    computation — weights, replicate means, rank-selected CI bounds —
+    against DuckDB. At 100 TB: the alternative (40 resampled
+    aggregation passes) reads the data 40x; this reads it once and
+    shuffles |groups| x 40 aggregate states. See
+    ``operators.stats.poisson_bootstrap_ci``."""
+    from pangool_spark.operators.stats import poisson_bootstrap_ci
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        events, ["event_type"], "cents", "event_id", replicates=40,
+        lo_rank=2, hi_rank=39,
+    )
+
+
+def _geom_ladder_sql() -> str:
+    from pangool_spark.operators.profile import _GEOM1_T
+
+    branches = "\n        ".join(
+        f"WHEN h < {t} THEN ({k})" for k, t in _GEOM1_T
+    )
+    return f"CASE\n        {branches}\n        ELSE 12 END"
+
+
+@query(
+    "dp_histogram_customers",
+    f"""
+    WITH c AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || ':dp1'),
+                                  1, 8)) AS BIGINT) & 2147483647 AS h
+      FROM customer GROUP BY 1
+    )
+    SELECT c_nationkey,
+           GREATEST(cnt + CAST({_geom_ladder_sql()} AS BIGINT),
+                    CAST(0 AS BIGINT)) AS noisy_count
+    FROM c
+    """,
+)
+def dp_histogram_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private customers-per-nation histogram — the
+    geometric mechanism (Ghosh et al. STOC'09) at epsilon = 1 with
+    DETERMINISTIC integer noise (portable hash -> inverse-CDF ladder),
+    so the release is reproducible for audit and the driver
+    hash-verifies the noise draw itself. Governance-family release-side
+    sibling of k_anonymity_customers. One count aggregate; noise is a
+    per-GROUP expression. See ``operators.profile.dp_count_release``."""
+    from pangool_spark.operators.profile import dp_count_release
+
+    customer = load_table(spark, sf_dir, "customer")
+    return dp_count_release(customer, ["c_nationkey"], release_tag="dp1")
+
+
+def _covariance_oracle_sql(dims: "list[int]", scale: float = 100000.0) -> str:
+    s2 = scale * scale
+    q = (
+        lambda i: f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {scale!r}) "
+        f"AS BIGINT)"
+    )
+    sums = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in dims:
+        sums.append(f"CAST(SUM({q(i)}) AS BIGINT) AS s{i}")
+    for a, i in enumerate(dims):
+        for j in dims[a:]:
+            sums.append(f"CAST(SUM({q(i)} * {q(j)}) AS BIGINT) AS p{i}_{j}")
+    rows = []
+    for a, i in enumerate(dims):
+        for j in dims[a:]:
+            mi = f"CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE) / {scale!r}"
+            mj = f"CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE) / {scale!r}"
+            rows.append(
+                f"SELECT CAST({i} AS INTEGER) AS i, CAST({j} AS INTEGER) AS j,"
+                f" n, {mi} AS mean_i, {mj} AS mean_j,"
+                f" CAST(p{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE) / {s2!r}"
+                f" - ({mi}) * ({mj}) AS cov FROM w"
+            )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return (
+        "WITH e AS (\n"
+        f"  SELECT embedding FROM embeddings\n"
+        f"  WHERE embedding IS NOT NULL AND len(embedding) >= {max(dims)}\n"
+        "), w AS (\n  SELECT " + ",\n         ".join(sums) + "\n  FROM e\n)\n"
+        + body
+    )
+
+
+@query("covariance_embeddings", _covariance_oracle_sql(list(range(1, 9))))
+def covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the first 8 embedding dimensions — the
+    whitening/PCA-decision statistic — as ONE partial-combined aggregate
+    pass (44 algebraic BIGINT sums over quantized components, then the
+    36-pair upper triangle as a literal-array explode of the 1-row
+    result). No self-join, no d^2 row blow-up: at 100 TB this is a
+    single map-side-combined scan. Quantization (1e-5 units) + exact
+    integer sums + fixed IEEE double formula = bit-replicable in DuckDB.
+    See ``operators.similarity.embedding_covariance``."""
+    from pangool_spark.operators.similarity import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dims=list(range(1, 9)))
+
+
+@query(
+    "twap_events",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)))
+                  AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COALESCE(SUM(s), 0) AS BIGINT) AS total_s,
+           CASE WHEN COALESCE(SUM(s), 0) > 0
+                THEN CAST(SUM(cents * s) AS DOUBLE)
+                     / CAST(SUM(s) AS DOUBLE) END AS twap
+    FROM d GROUP BY 1
+    """,
+)
+def twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (TWAP): each
+    observation weighted by its holding time until the next event —
+    the correct mean for irregular state series, where plain AVG
+    over-weights bursty periods. Exact integer seconds from the
+    lead() timestamp, integer cents, one IEEE division — and ONE
+    shuffle end to end (the groupBy reuses the lead-window exchange,
+    plan-gated). See ``operators.windows.time_weighted_avg``."""
+    from pangool_spark.operators.windows import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return time_weighted_avg(
+        events, "user_id", "ts", "cents", tiebreak_cols="event_id"
+    )
+
+
+@query(
+    "zorder_layout_lineitem",
+    """
+    WITH b AS (
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS plo,
+             CAST(MAX(l_partkey) AS DOUBLE) AS phi,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS slo,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS shi
+      FROM lineitem
+    ), z AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(LEAST(GREATEST(FLOOR((CAST(l_partkey AS DOUBLE) - plo)
+                                       / (phi - plo) * 256), 0), 255)
+                  AS BIGINT) AS bp,
+             CAST(LEAST(GREATEST(FLOOR((CAST(l_suppkey AS DOUBLE) - slo)
+                                       / (shi - slo) * 256), 0), 255)
+                  AS BIGINT) AS bs
+      FROM lineitem, b
+    ), zv AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             (((bp >> 0) & 1) << 0) | (((bs >> 0) & 1) << 1) |
+             (((bp >> 1) & 1) << 2) | (((bs >> 1) & 1) << 3) |
+             (((bp >> 2) & 1) << 4) | (((bs >> 2) & 1) << 5) |
+             (((bp >> 3) & 1) << 6) | (((bs >> 3) & 1) << 7) |
+             (((bp >> 4) & 1) << 8) | (((bs >> 4) & 1) << 9) |
+             (((bp >> 5) & 1) << 10) | (((bs >> 5) & 1) << 11) |
+             (((bp >> 6) & 1) << 12) | (((bs >> 6) & 1) << 13) |
+             (((bp >> 7) & 1) << 14) | (((bs >> 7) & 1) << 15) AS zval
+      FROM z
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY zval, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER () AS w
+      FROM zv
+    )
+    SELECT CAST((rn - 1) * 16 // w AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_supp,
+           CAST(MIN(zval) AS BIGINT) AS min_z,
+           CAST(MAX(zval) AS BIGINT) AS max_z
+    FROM r GROUP BY 1
+    """,
+)
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout audit: interleave the 8-bit
+    bucket codes of (l_partkey, l_suppkey), split the z-ordered total
+    order into 16 equal-size range buckets, and report each bucket's
+    (partkey, suppkey) bounding rectangle — SMALL on both dimensions,
+    which is exactly why z-ordered files prune on EITHER filter column
+    (1-D clustering prunes only its leading column). The z-value is
+    ``operators.partitioning.zorder_value`` (pure bit algebra, engine-
+    replicable); the equal-size split is the distributed prefix-sum rank
+    (``global_running_sum`` — no single-partition window); the
+    production write path is ``write_zordered`` (repartitionByRange,
+    test-pinned file pruning on both dimensions)."""
+    from pangool_spark.operators.partitioning import (
+        global_running_sum,
+        zorder_value,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    lo_p, hi_p, lo_s, hi_s = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()  # 1 row of domain bounds -> plan literals (guarded small)
+    z = zorder_value(
+        ["l_partkey", "l_suppkey"],
+        mins=[float(lo_p), float(lo_s)],
+        maxs=[float(hi_p), float(hi_s)],
+        bits=8,
+    )
+    zz = li.withColumn("zval", z).withColumn("__one__", F.lit(1).cast("int"))
+    ranked = global_running_sum(
+        zz, ["zval", "l_orderkey", "l_linenumber"], "__one__", out_col="__rn__"
+    )
+    total = F.broadcast(zz.agg(F.count(F.lit(1)).alias("__w__")))
+    return (
+        ranked.crossJoin(total)
+        .withColumn(
+            "bucket",
+            F.expr("CAST((__rn__ - 1) * 16 DIV __w__ AS BIGINT)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            F.min("zval").alias("min_z"),
+            F.max("zval").alias("max_z"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
