@@ -272,6 +272,13 @@ EXTENDED = [
     # volume (n·w levenshteins over near-identical synthetic names) is
     # the same measured levenshtein wall as the excluded fuzzy_pairs /
     # er_clusters; correctness gated at both driver SFs.
+    # round-10 session-2 additions: one-pass uncertainty, DP release,
+    # embedding covariance, TWAP, z-order layout audit
+    "poisson_bootstrap_events",
+    "dp_histogram_customers",
+    "covariance_embeddings",
+    "twap_events",
+    "zorder_layout_lineitem",
     # round-10 wishlist additions: event-time windowed dedup + the
     # plan-cache build/replay lifecycle
     "windowed_dedup_events",

@@ -536,3 +536,69 @@ def temporal_split(
         .when(ts < cutoff, F.lit("embargo"))
         .otherwise(F.lit("test")),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    weights: "dict[str, float]",
+    budget_tokens: int,
+) -> DataFrame:
+    """Data-recipe planning: given a token budget and target mixture
+    weights per source, compute what each source can actually supply —
+    the step BEFORE ``mixture_sample`` draws anything. Training-data
+    pipelines negotiate recipes in exactly these terms (desired vs
+    available tokens, per-source sampling rate, deficit when a source
+    can't fill its slice), and getting the arithmetic out of a
+    spreadsheet and onto the corpus itself keeps the plan honest at
+    100 TB: one partial-combined aggregate per source, then pure
+    expression arithmetic on |sources| rows.
+
+    Determinism: available tokens are exact BIGINT sums; desired =
+    floor(budget * weight) is one IEEE multiply + floor; rate is one
+    double division. Sources absent from ``weights`` get weight 0 (they
+    still appear, carrying their availability); weights need not sum
+    to 1 (the plan reports, it does not normalize).
+
+    Output: (source, n_docs BIGINT, avail_tokens BIGINT, weight DOUBLE,
+    desired_tokens BIGINT, rate DOUBLE, planned_tokens BIGINT,
+    deficit_tokens BIGINT).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_count_col).cast("bigint")).alias("avail_tokens"),
+    )
+    wexpr = F.lit(0.0)
+    for s, w in sorted(weights.items()):
+        wexpr = F.when(F.col("source") == s, F.lit(float(w))).otherwise(wexpr)
+    desired = F.floor(F.lit(int(budget_tokens)).cast("double") * wexpr).cast(
+        "bigint"
+    )
+    planned = F.least(desired, F.col("avail_tokens"))
+    return (
+        avail.withColumn("weight", wexpr)
+        .withColumn("desired_tokens", desired)
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            "desired_tokens",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("desired_tokens").cast("double")
+                    / F.col("avail_tokens").cast("double"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("rate"),
+            planned.alias("planned_tokens"),
+            F.greatest(
+                F.col("desired_tokens") - F.col("avail_tokens"),
+                F.lit(0).cast("bigint"),
+            ).alias("deficit_tokens"),
+        )
+    )

@@ -1420,3 +1420,177 @@ def poisson_bootstrap_ci(
     return point.join(bounds, gcols, "inner").select(
         *gcols, "n", "point_mean", "ci_lo", "ci_hi"
     )
+
+
+def chi_squared_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns
+    (is market segment independent of nation? is label distribution
+    independent of source shard?) plus Cramer's V effect size — the
+    categorical sibling of ``ks_test`` in the classifier/data-QA family.
+
+    One contingency aggregate (|A|x|B| cells — partial-combined), two
+    tiny marginal aggregates derived FROM the cell relation (never a
+    second data pass), broadcast-joined back. Zero-count cells never
+    materialize in a groupBy, but they still contribute E each to chi2
+    — handled algebraically: sum over ALL cells of E is N, so
+    chi2 = sum_observed[(O-E)^2/E - E] + N (no dense cell cross join
+    needed). The per-cell doubles sum in an order Spark does not fix —
+    so each observed cell's (contrib - E) is quantized to 1/quant units
+    (a deterministic double -> one round) and the TOTAL accumulates as
+    an exact BIGINT plus the exact N*quant: order-independent,
+    engine-exact, the module's standard decimal-sum trick. Cramer's V
+    applies one sqrt (IEEE correctly-rounded — bit-replicable, unlike
+    ln/exp).
+
+    NULL categories are kept as their own class (NULL-keyed groupBy row),
+    matching SQL GROUP BY semantics on both engines.
+
+    Output: one row — (n BIGINT, n_a BIGINT, n_b BIGINT, dof BIGINT,
+    chi2 DOUBLE, cramers_v DOUBLE).
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("__a__"), F.col(col_b).alias("__b__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    row_m = cells.groupBy("__a__").agg(F.sum("__o__").alias("__ra__"))
+    col_m = cells.groupBy("__b__").agg(F.sum("__o__").alias("__cb__"))
+    tot = cells.agg(
+        F.sum("__o__").alias("__n__"),
+        F.count(F.lit(1)).alias("__cells__"),
+    )
+    joined = (
+        cells.join(F.broadcast(row_m), "__a__")
+        .join(F.broadcast(col_m), "__b__")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("__ra__").cast("double")
+        * F.col("__cb__").cast("double")
+        / F.col("__n__").cast("double")
+    )
+    contrib = (
+        (F.col("__o__").cast("double") - expected)
+        * (F.col("__o__").cast("double") - expected)
+        / expected
+    )
+    q = F.round((contrib - expected) * F.lit(float(quant))).cast("bigint")
+    # class counts from the marginal relations (COUNT(*) keeps a NULL
+    # class; COUNT(DISTINCT col) would drop it)
+    agg = (
+        joined.agg(
+            F.max("__n__").alias("n"),
+            F.sum(q).alias("__chi2q__"),
+        )
+        .crossJoin(F.broadcast(row_m.agg(F.count(F.lit(1)).alias("n_a"))))
+        .crossJoin(F.broadcast(col_m.agg(F.count(F.lit(1)).alias("n_b"))))
+    )
+    chi2 = (
+        F.col("__chi2q__") + F.col("n") * F.lit(int(quant))
+    ).cast("double") / F.lit(float(quant))
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    min_dim = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    v = F.sqrt(
+        chi2 / (F.col("n").cast("double") * min_dim.cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        dof.cast("bigint").alias("dof"),
+        chi2.alias("chi2"),
+        v.alias("cramers_v"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two categorical
+    labelings of the same rows (two annotators, a heuristic labeler vs a
+    gold set, yesterday's classifier vs today's). The label-QA statistic
+    every training-data pipeline needs before trusting agreement rates:
+    raw accuracy rewards skewed label priors; kappa subtracts the
+    chance-agreement floor.
+
+    Everything reduces to exact integers in one contingency pass:
+    observed agreement is the diagonal count, chance agreement is
+    sum_k(rowN_k * colN_k) — an exact BIGINT dot product of the
+    marginals (order-independent) — and kappa is a fixed IEEE double
+    expression over the three ints: po = diag/N, pe = sum/N^2,
+    kappa = (po - pe)/(1 - pe). Bit-replicable cross-engine; NULL labels
+    are their own class. Degenerate pe = 1 (both raters constant and
+    equal) emits NULL kappa.
+
+    Output: one row — (n BIGINT, n_agree BIGINT, po DOUBLE, pe DOUBLE,
+    kappa DOUBLE).
+    """
+    cells = df.groupBy(
+        F.col(rater_a_col).alias("__a__"), F.col(rater_b_col).alias("__b__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    row_m = cells.groupBy("__a__").agg(F.sum("__o__").alias("__ra__"))
+    col_m = cells.groupBy("__b__").agg(F.sum("__o__").alias("__cb__"))
+    pe_num = (
+        row_m.join(
+            col_m, F.col("__a__").eqNullSafe(F.col("__b__")), "inner"
+        )
+        .agg(F.sum(F.col("__ra__") * F.col("__cb__")).alias("__pe_num__"))
+    )
+    base = cells.agg(
+        F.sum("__o__").alias("n"),
+        F.sum(
+            F.when(
+                F.col("__a__").eqNullSafe(F.col("__b__")), F.col("__o__")
+            ).otherwise(F.lit(0))
+        ).alias("n_agree"),
+    )
+    out = base.crossJoin(F.broadcast(pe_num))
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = F.coalesce(F.col("__pe_num__"), F.lit(0)).cast("double") / (nd * nd)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        kappa.alias("kappa"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    out_col: str = "qnorm",
+) -> DataFrame:
+    """Rank-based quantile normalization per group: each value maps to
+    its mid-rank quantile (2·rank − 1)/(2·n) in (0, 1) — the
+    distribution-free feature harmonization step (cross-batch sensor
+    alignment, score calibration across heterogeneous sources) that
+    makes any two groups' value distributions comparable without
+    assuming a parametric form.
+
+    rank is row_number under (value, tiebreaks) — a total order, so the
+    output is deterministic and engine-replicable: one integer window
+    rank, one per-group count (same partitioning, exchange reused), one
+    fixed IEEE division. ONE shuffle end to end (plan-gated).
+
+    Output: input columns + ``out_col`` DOUBLE.
+    """
+    keys = list(group_cols)
+    ties = list(tiebreak_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col, *ties)
+    wn = Window.partitionBy(*keys)
+    rank = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    qn = (F.lit(2) * rank - F.lit(1)).cast("double") / (
+        F.lit(2) * n
+    ).cast("double")
+    return df.withColumn(out_col, qn)

@@ -10669,6 +10669,210 @@ def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chisq_customers",
+    """
+    WITH cells AS (
+      SELECT c_nationkey AS a, c_mktsegment AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2
+    ), rm AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1
+    ), cm AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), qcell AS (
+      SELECT CAST(round(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                         / e - e) * 1000000.0) AS BIGINT) AS q
+      FROM (
+        SELECT cells.o,
+               CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)
+                 AS e
+        FROM cells JOIN rm USING (a) JOIN cm USING (b), tot
+      )
+    ), dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS n_b,
+             (SELECT n FROM tot) AS n,
+             CAST((SELECT SUM(q) FROM qcell) AS BIGINT) AS sq
+    )
+    SELECT n, n_a, n_b,
+           CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           CAST(sq + n * 1000000 AS DOUBLE) / 1000000.0 AS chi2,
+           sqrt((CAST(sq + n * 1000000 AS DOUBLE) / 1000000.0)
+                / (CAST(n AS DOUBLE)
+                   * CAST(LEAST(n_a - 1, n_b - 1) AS DOUBLE)))
+             AS cramers_v
+    FROM dims
+    """,
+)
+def chisq_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence of (nation x market segment) + Cramer's V
+    effect size: is the segment mix the same in every nation? One
+    contingency aggregate, marginals derived from the cell relation
+    (never a second data pass); the chi2 total accumulates as a
+    quantized BIGINT so the per-cell double contributions sum
+    order-independently (the module's decimal-sum trick), and the only
+    libm call is sqrt — IEEE correctly-rounded, hence bit-replicable,
+    unlike ln/exp. See ``operators.stats.chi_squared_independence``."""
+    from pangool_spark.operators.stats import chi_squared_independence
+
+    customer = load_table(spark, sf_dir, "customer")
+    return chi_squared_independence(customer, "c_nationkey", "c_mktsegment")
+
+
+@query(
+    "cohens_kappa_events",
+    """
+    WITH labeled AS (
+      SELECT CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS a,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 'hi' ELSE 'lo' END AS b
+      FROM events
+    ), cells AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM labeled GROUP BY 1, 2
+    ), rm AS (
+      SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY 1
+    ), cm AS (
+      SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY 1
+    ), pe_num AS (
+      SELECT CAST(SUM(ra * cb) AS BIGINT) AS pn
+      FROM rm JOIN cm ON rm.a IS NOT DISTINCT FROM cm.b
+    ), base AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b
+                           THEN o ELSE 0 END) AS BIGINT) AS n_agree
+      FROM cells
+    )
+    SELECT n, n_agree,
+           CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CAST(COALESCE(pn, 0) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+           CASE WHEN CAST(COALESCE(pn, 0) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(COALESCE(pn, 0) AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (1.0 - CAST(COALESCE(pn, 0) AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                END AS kappa
+    FROM base, pe_num
+    """,
+)
+def cohens_kappa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic labelers of engagement (a
+    value-threshold rater vs an event-type rater) — the chance-corrected
+    agreement statistic for label QA: raw accuracy rewards skewed label
+    priors; kappa subtracts the chance floor. Pure exact-count algebra
+    (diagonal sum + a marginal dot product), one contingency pass. See
+    ``operators.stats.cohens_kappa``."""
+    from pangool_spark.operators.stats import cohens_kappa
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("value") >= 50, "hi").otherwise("lo").alias("a"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "hi")
+        .otherwise("lo")
+        .alias("b"),
+    )
+    return cohens_kappa(events, "a", "b")
+
+
+_MIXTURE_PLAN_WEIGHTS = {
+    "src0": 0.3,
+    "src1": 0.05,
+    "src2": 0.002,
+    "src3": 0.0005,
+}
+_MIXTURE_PLAN_BUDGET = 1_000_000
+
+
+def _mixture_plan_weight_sql() -> str:
+    branches = " ".join(
+        f"WHEN source = '{s}' THEN CAST({float(w)!r} AS DOUBLE)"
+        for s, w in sorted(_MIXTURE_PLAN_WEIGHTS.items())
+    )
+    return f"CASE {branches} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@query(
+    "mixture_plan_docs",
+    f"""
+    WITH avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(list_filter(regexp_split_to_array(text,
+                  '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY 1
+    ), plan AS (
+      SELECT source, n_docs, avail_tokens,
+             {_mixture_plan_weight_sql()} AS weight,
+             CAST(floor(CAST({_MIXTURE_PLAN_BUDGET} AS DOUBLE)
+                        * ({_mixture_plan_weight_sql()})) AS BIGINT)
+               AS desired_tokens
+      FROM avail
+    )
+    SELECT source, n_docs, avail_tokens, weight, desired_tokens,
+           CASE WHEN avail_tokens > 0
+                THEN LEAST(1.0, CAST(desired_tokens AS DOUBLE)
+                                / CAST(avail_tokens AS DOUBLE))
+                ELSE 0.0 END AS rate,
+           LEAST(desired_tokens, avail_tokens) AS planned_tokens,
+           GREATEST(desired_tokens - avail_tokens,
+                    CAST(0 AS BIGINT)) AS deficit_tokens
+    FROM plan
+    """,
+)
+def mixture_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe plan for a 1M-token budget over the document corpus:
+    per-source available tokens vs the mixture's desired share, the
+    sampling rate that realizes it, and the deficit where a source
+    cannot fill its slice (src0 at weight 0.30 always can't — the
+    headroom report is the point). The planning step BEFORE
+    mixture_sample draws anything; one aggregate pass + |sources| rows
+    of expression arithmetic. See ``operators.sampling.mixture_plan``."""
+    from pangool_spark.operators.sampling import mixture_plan
+    from pangool_spark.operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    staged = docs.select("doc_id", "source").join(toks, "doc_id")
+    return mixture_plan(
+        staged, "source", "n_tokens",
+        _MIXTURE_PLAN_WEIGHTS, _MIXTURE_PLAN_BUDGET,
+    )
+
+
+@query(
+    "quantile_normalize_events",
+    """
+    SELECT event_id, event_type, value,
+           CAST(2 * ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) - 1
+                AS DOUBLE)
+           / CAST(2 * COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS qnorm
+    FROM events
+    """,
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of event values within each
+    event type — the distribution-free harmonization step that makes
+    heterogeneous sources comparable (every type's values map onto the
+    same mid-rank grid in (0,1)). One window shuffle; the count reuses
+    the rank's partitioning. See ``operators.stats.quantile_normalize``."""
+    from pangool_spark.operators.stats import quantile_normalize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return quantile_normalize(
+        events, ["event_type"], "value", tiebreak_cols=["event_id"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -10773,10 +10977,15 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # plan_cache_replay_orders — verdict item 8, added after items 1-7
 # closed) are registered OUTSIDE the window.
 # R11 BUILDER: assuming the r10 window goes green, the remaining
-# never-driver-checked backlog is exactly 6 queries — the 4 deferred
-# above plus the 2 wishlist additions. Rotate all 6 into the r11 window
-# front (they fit with 44 slots to spare for new work); any r10 red
-# rows preempt.
+# never-driver-checked backlog is exactly 11 queries — the 4 deferred
+# above, the 2 wishlist additions, and the 5 round-10 session-2
+# additions (poisson_bootstrap_events, dp_histogram_customers,
+# covariance_embeddings, twap_events, zorder_layout_lineitem — all
+# registered outside this round's window so the drain stayed
+# undisturbed; floats-first convention puts poisson_bootstrap /
+# covariance / twap at the front, they carry double outputs). Rotate
+# all 11 into the r11 window front (they fit with 39 slots to spare
+# for new work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
