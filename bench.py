@@ -279,6 +279,10 @@ EXTENDED = [
     "covariance_embeddings",
     "twap_events",
     "zorder_layout_lineitem",
+    "chisq_customers",
+    "cohens_kappa_events",
+    "mixture_plan_docs",
+    "quantile_normalize_events",
     # round-10 wishlist additions: event-time windowed dedup + the
     # plan-cache build/replay lifecycle
     "windowed_dedup_events",

@@ -224,26 +224,47 @@ def zorder_value(
     Ranges are caller-supplied (one cheap agg, or known domain bounds):
     the expression stays deterministic and usable in any plan. Bit budget:
     ``bits × len(cols)`` ≤ 63.
+
+    Implementation note: the interleave is nibble-table lookups (each
+    4-bit chunk maps through a 16-entry literal map whose values carry
+    the chunk's bits spread to stride ``len(cols)``), NOT a per-bit
+    shift/or chain. A chain of ``bits × cols`` binary ops over the
+    source columns sends Catalyst's constraint propagation
+    combinatorial — measured 65s of driver time planning a 16-bit
+    2-column key at sf0.1 vs 8s with the shallow lookup tree (values
+    identical either way).
     """
     if not cols or len(cols) != len(mins) or len(cols) != len(maxs):
         raise ValueError("cols/mins/maxs must be same nonzero length")
     if bits * len(cols) > 63:
         raise ValueError(f"bits*len(cols) must fit a LONG, got {bits * len(cols)}")
     levels = 1 << bits
-    buckets = []
-    for c, lo, hi in zip(cols, mins, maxs):
+    n = len(cols)
+    # spread table: nibble v -> bits of v at positions 0, n, 2n, 3n
+    spread = [
+        sum(((v >> i) & 1) << (i * n) for i in range(4)) for v in range(16)
+    ]
+    spread_map = F.map_from_arrays(
+        F.array(*[F.lit(v) for v in range(16)]),
+        F.array(*[F.lit(s).cast("long") for s in spread]),
+    )
+    parts = []
+    for ci, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
         span = float(hi) - float(lo)
         if span <= 0:
-            buckets.append(F.lit(0).cast("long"))
             continue
         b = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * levels)
-        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit(levels - 1)).cast("long"))
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for bit in range(bits):
-        for ci, b in enumerate(buckets):
-            src = F.shiftright(b, bit).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(src, bit * n + ci))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(levels - 1)).cast("long")
+        for m in range((bits + 3) // 4):  # 4-bit chunks, low to high
+            nib = F.shiftright(b, 4 * m).bitwiseAND(F.lit(15)).cast("int")
+            parts.append(
+                F.shiftleft(F.element_at(spread_map, nib), 4 * m * n + ci)
+            )
+    if not parts:
+        return F.lit(0).cast("long")
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
     return z
 
 

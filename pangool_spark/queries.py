@@ -10977,15 +10977,17 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # plan_cache_replay_orders — verdict item 8, added after items 1-7
 # closed) are registered OUTSIDE the window.
 # R11 BUILDER: assuming the r10 window goes green, the remaining
-# never-driver-checked backlog is exactly 11 queries — the 4 deferred
-# above, the 2 wishlist additions, and the 5 round-10 session-2
+# never-driver-checked backlog is exactly 15 queries — the 4 deferred
+# above, the 2 wishlist additions, and the 9 round-10 session-2
 # additions (poisson_bootstrap_events, dp_histogram_customers,
-# covariance_embeddings, twap_events, zorder_layout_lineitem — all
-# registered outside this round's window so the drain stayed
-# undisturbed; floats-first convention puts poisson_bootstrap /
-# covariance / twap at the front, they carry double outputs). Rotate
-# all 11 into the r11 window front (they fit with 39 slots to spare
-# for new work); any r10 red rows preempt.
+# covariance_embeddings, twap_events, zorder_layout_lineitem,
+# chisq_customers, cohens_kappa_events, mixture_plan_docs,
+# quantile_normalize_events — all registered outside this round's
+# window so the drain stayed undisturbed; floats-first convention puts
+# the double-output stats at the front: poisson_bootstrap, covariance,
+# twap, chisq, kappa, quantile_normalize). Rotate all 15 into the r11
+# window front (they fit with 35 slots to spare for new work); any r10
+# red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
