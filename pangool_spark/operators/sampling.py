@@ -571,6 +571,19 @@ def mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_count_col).cast("bigint")).alias("avail_tokens"),
     )
+    return plan_from_counts(avail, weights, budget_tokens)
+
+
+def plan_from_counts(
+    avail: DataFrame,
+    weights: "dict[str, float]",
+    budget_tokens: int,
+) -> DataFrame:
+    """The expression half of ``mixture_plan``, applied to an
+    already-aggregated (source, n_docs, avail_tokens) relation — shared
+    with ``streaming.stream_mixture_monitor`` so the live monitor's
+    report is the SAME arithmetic as the batch plan (stream == batch
+    parity is structural, not coincidental)."""
     wexpr = F.lit(0.0)
     for s, w in sorted(weights.items()):
         wexpr = F.when(F.col("source") == s, F.lit(float(w))).otherwise(wexpr)

@@ -854,3 +854,101 @@ def stream_histogram_drift(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_mixture_monitor(
+    stream: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    weights: "dict[str, float]",
+    budget_tokens: int,
+    state_dir: str,
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming data-recipe monitor: each micro-batch's per-source
+    (docs, tokens) fold into a standing counts table, and the monitor
+    emits the live mixture-plan report — available vs desired tokens,
+    fill rate, deficit per source — after every batch. 'Is the crawl
+    filling the recipe, and which sources are short' as a stream job,
+    the ingestion-time companion of ``sampling.mixture_plan``.
+
+    The report is computed by the SAME expression half as the batch
+    plan (``sampling.plan_from_counts``), so the stream-maintained
+    report after batch N is bit-identical to ``mixture_plan`` over the
+    union of batches 0..N — the stream == batch parity test pins it
+    structurally.
+
+    State handling follows ``stream_cms`` / ``stream_histogram_drift``:
+    constant state (|sources| rows, never the documents), only a
+    genuinely missing state dir counts as first batch, and the fold is
+    idempotent-by-batch_id (a replayed micro-batch skips the fold and
+    rewrites — not duplicates — its report partition at
+    ``{state_dir}/_PLAN/batch_id=N``).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    import os as _os
+
+    from pangool_spark.operators.sampling import plan_from_counts
+
+    counts_dir = _os.path.join(state_dir, "counts")
+    plan_dir = _os.path.join(state_dir, "_PLAN")
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_counts = batch_df.groupBy(
+            F.col(source_col).alias("source")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_count_col).cast("bigint")).alias(
+                "avail_tokens"
+            ),
+        )
+        if _hadoop_path_exists(spark, counts_dir):
+            standing = spark.read.parquet(counts_dir)
+            applied = (
+                standing.agg(F.max("last_batch_id")).collect()[0][0]
+                if "last_batch_id" in standing.columns
+                else None
+            )
+            if applied is not None and int(batch_id) <= int(applied):
+                # replay of an already-folded batch: state already
+                # includes these rows — just rewrite the report below
+                merged_df = standing.select(
+                    "source", "n_docs", "avail_tokens"
+                )
+            else:
+                merged = (
+                    standing.select("source", "n_docs", "avail_tokens")
+                    .unionByName(batch_counts)
+                    .groupBy("source")
+                    .agg(
+                        F.sum("n_docs").alias("n_docs"),
+                        F.sum("avail_tokens").alias("avail_tokens"),
+                    )
+                )
+                rows = merged.collect()
+                merged_df = spark.createDataFrame(rows, merged.schema)
+                merged_df.withColumn(
+                    "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+                ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        else:
+            merged_df = batch_counts
+            merged_df.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+            ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+
+        report = plan_from_counts(merged_df, weights, budget_tokens)
+        report.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(plan_dir, f"batch_id={int(batch_id)}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
