@@ -283,6 +283,7 @@ EXTENDED = [
     "cohens_kappa_events",
     "mixture_plan_docs",
     "quantile_normalize_events",
+    "cms_join_size_lineitem",
     # round-10 wishlist additions: event-time windowed dedup + the
     # plan-cache build/replay lifecycle
     "windowed_dedup_events",

@@ -270,3 +270,51 @@ def ams_f2(
             ).alias("rel_err"),
         )
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min grids built
+    with the SAME (width, depth, hash_family): |A JOIN B on k| =
+    sum_k f_A(k)*f_B(k), and the sketch estimate is the classic inner
+    product min_j sum_bucket a[j][bucket]*b[j][bucket] (Cormode &
+    Muthukrishnan 2005, §4.2) — never an under-count, ε·n_a·n_b
+    over-count bound at ε = e/width.
+
+    Why it matters at 100 TB: "how big is this join" decides broadcast
+    vs shuffle vs salting BEFORE paying for the join; the exact answer
+    costs a per-key frequency join (a shuffle of every distinct key),
+    the sketch answer costs two constant-size grids that were one
+    map-side-combined scan each — and standing sketches merge
+    incrementally (``merge_sketches``), so the estimate stays current
+    without rescans.
+
+    Inner product in exact decimal(38,0) (BIGINT products can reach
+    n_a·n_b per cell), min over the depth rows, emitted as BIGINT
+    (fine below ~9e18 — beyond that the join should not be run anyway).
+    Missing cells are zero on either side, so the inner join over
+    present cells IS the full dot product.
+
+    Output: one row — (est_join_size BIGINT).
+    """
+    per_j = (
+        sketch_a.alias("a")
+        .join(
+            sketch_b.alias("b"),
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+            "inner",
+        )
+        .groupBy(F.col("a.j"))
+        .agg(
+            F.sum(
+                F.col("a.n").cast("decimal(38,0)")
+                * F.col("b.n").cast("decimal(38,0)")
+            ).alias("__dot__")
+        )
+    )
+    return per_j.agg(
+        F.min("__dot__").cast("bigint").alias("est_join_size")
+    )

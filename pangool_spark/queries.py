@@ -10873,6 +10873,89 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cms_join_size_lineitem",
+    """
+    WITH a AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+    ), b AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+      WHERE l_returnflag = 'R'
+    ), js AS (SELECT unnest(range(0, 4)) AS j), ga AS (
+      SELECT j,
+             (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+                   AS BIGINT) & 2147483647) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a, js GROUP BY 1, 2
+    ), gb AS (
+      SELECT j,
+             (CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || k), 1, 8))
+                   AS BIGINT) & 2147483647) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b, js GROUP BY 1, 2
+    ), est AS (
+      SELECT CAST(MIN(s) AS BIGINT) AS est_join_size FROM (
+        SELECT ga.j, SUM(CAST(ga.n AS HUGEINT) * gb.n) AS s
+        FROM ga JOIN gb ON ga.j = gb.j AND ga.bucket = gb.bucket
+        GROUP BY 1
+      )
+    ), ta AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1
+    ), tb AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1
+    ), tru AS (
+      SELECT CAST(SUM(CAST(ta.c AS HUGEINT) * tb.c) AS BIGINT)
+               AS true_join_size
+      FROM ta JOIN tb USING (k)
+    )
+    SELECT est_join_size, true_join_size,
+           CAST(est_join_size AS DOUBLE) / CAST(true_join_size AS DOUBLE)
+             AS over_ratio
+    FROM est, tru
+    """,
+)
+def cms_join_size_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two count-min grids — 'how big is
+    lineitem JOIN returned-lineitem on l_partkey' answered from two
+    constant-size sketches (one map-side-combined scan each) instead of
+    a per-key frequency join; the broadcast-vs-shuffle-vs-salt decision
+    input at 100 TB. The relation carries the exact size alongside so
+    the driver value-verifies BOTH the sketch algebra and its
+    over-count ratio (est >= true always; est/true bounds the sketch's
+    pessimism). See ``operators.sketch.cms_join_size``."""
+    from pangool_spark.operators.sketch import cms_join_size, count_min_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").cast("string").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    ga = count_min_sketch(a, "k", width=512, depth=4)
+    gb = count_min_sketch(b, "k", width=512, depth=4)
+    est = cms_join_size(ga, gb)
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+    tru = (
+        fa.join(fb, "k")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(38,0)")
+                * F.col("cb").cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("true_join_size")
+        )
+    )
+    return est.crossJoin(F.broadcast(tru)).select(
+        "est_join_size",
+        "true_join_size",
+        (
+            F.col("est_join_size").cast("double")
+            / F.col("true_join_size").cast("double")
+        ).alias("over_ratio"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -10977,17 +11060,18 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # plan_cache_replay_orders — verdict item 8, added after items 1-7
 # closed) are registered OUTSIDE the window.
 # R11 BUILDER: assuming the r10 window goes green, the remaining
-# never-driver-checked backlog is exactly 15 queries — the 4 deferred
-# above, the 2 wishlist additions, and the 9 round-10 session-2
+# never-driver-checked backlog is exactly 16 queries — the 4 deferred
+# above, the 2 wishlist additions, and the 10 round-10 session-2
 # additions (poisson_bootstrap_events, dp_histogram_customers,
 # covariance_embeddings, twap_events, zorder_layout_lineitem,
 # chisq_customers, cohens_kappa_events, mixture_plan_docs,
-# quantile_normalize_events — all registered outside this round's
-# window so the drain stayed undisturbed; floats-first convention puts
-# the double-output stats at the front: poisson_bootstrap, covariance,
-# twap, chisq, kappa, quantile_normalize). Rotate all 15 into the r11
-# window front (they fit with 35 slots to spare for new work); any r10
-# red rows preempt.
+# quantile_normalize_events, cms_join_size_lineitem — all registered
+# outside this round's window so the drain stayed undisturbed;
+# floats-first convention puts the double-output stats at the front:
+# poisson_bootstrap, covariance, twap, chisq, kappa,
+# quantile_normalize, cms_join_size's over_ratio). Rotate all 16 into
+# the r11 window front (they fit with 34 slots to spare for new work);
+# any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
