@@ -267,3 +267,38 @@ def test_twap_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
     assert "EvalPython" not in plan
+
+
+def test_geometric_ladder_matches_inverse_cdf():
+    """The hardcoded discrete-Laplace thresholds ARE floor(CDF_k * 2^31)
+    of the renormalized two-sided geometric at alpha = e^-1 — recompute
+    from scratch."""
+    import math
+
+    from pangool_spark.operators.profile import _GEOM1_T
+
+    a = math.exp(-1.0)
+    p0 = (1 - a) / (1 + a)
+    ks = list(range(-12, 13))
+    probs = [p0 * a ** abs(k) for k in ks]
+    s = sum(probs)
+    cum = 0.0
+    for (k, t), pr in zip(_GEOM1_T, probs):
+        cum += pr
+        assert t == math.floor(cum / s * (1 << 31)), f"threshold k={k}"
+    assert len(_GEOM1_T) == 24  # k = -12..11; k=12 is the ELSE branch
+
+
+def test_cms_join_size_partial_agg_no_cartesian(spark):
+    from pangool_spark.operators.sketch import cms_join_size, count_min_sketch
+
+    df = spark.createDataFrame([(str(i % 9),) for i in range(90)], "k STRING")
+    ga = count_min_sketch(df, "k", width=64, depth=4)
+    gb = count_min_sketch(df, "k", width=64, depth=4)
+    plan = (
+        cms_join_size(ga, gb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # grid build is map-side combined
+    assert "EvalPython" not in plan
