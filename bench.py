@@ -284,6 +284,8 @@ EXTENDED = [
     "mixture_plan_docs",
     "quantile_normalize_events",
     "cms_join_size_lineitem",
+    "windowed_quantiles_events",
+    "weighted_median_lineitem",
     # round-10 wishlist additions: event-time windowed dedup + the
     # plan-cache build/replay lifecycle
     "windowed_dedup_events",

@@ -10956,6 +10956,93 @@ def cms_join_size_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "windowed_quantiles_events",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS bucket,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(v, 0.5) AS p50,
+           quantile_cont(v, 0.95) AS p95,
+           quantile_cont(v, 0.99) AS p99
+    FROM d GROUP BY 1
+    """,
+)
+def windowed_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P95/P99 of event value per hour bucket — the
+    observability workhorse (latency/size percentiles per time window)
+    as ONE groupBy over the bucketed scan: Spark's exact ``percentile``
+    aggregate is a partial-combined JVM agg, and its linear
+    interpolation is bit-identical to DuckDB's quantile_cont over the
+    same cents grid (the robust_outliers precedent). At 100 TB the
+    shuffle carries |buckets| aggregation states, not rows."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint") * 3600
+    ).alias("bucket")
+    v = F.round(F.col("value") * 100).cast("bigint").cast("double")
+    return (
+        events.select(bucket, v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.95)).alias("p95"),
+            F.percentile("v", F.lit(0.99)).alias("p99"),
+        )
+    )
+
+
+@query(
+    "weighted_median_lineitem",
+    """
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_quantity > 0
+    ), r AS (
+      SELECT l_returnflag, cents,
+             SUM(wgt) OVER (PARTITION BY l_returnflag
+                            ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wgt) OVER (PARTITION BY l_returnflag) AS w
+      FROM d
+    )
+    SELECT l_returnflag, CAST(MAX(w) AS BIGINT) AS total_weight,
+           CAST(MIN(cents) AS BIGINT) AS median
+    FROM r WHERE 2 * cw >= w GROUP BY 1
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — 'the price
+    of the middle UNIT sold', not the middle line item. Integer window
+    cumsum + the knife-edge integer cut 2*cumw >= W (no doubles
+    anywhere), one window shuffle. See
+    ``operators.stats.weighted_median``."""
+    from pangool_spark.operators.stats import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return weighted_median(
+        li, ["l_returnflag"], "cents", "wgt",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: Q1 pricing summary at sf0.001."""
     return q1_pricing_summary(spark, sf_dir)
@@ -11060,18 +11147,20 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # plan_cache_replay_orders — verdict item 8, added after items 1-7
 # closed) are registered OUTSIDE the window.
 # R11 BUILDER: assuming the r10 window goes green, the remaining
-# never-driver-checked backlog is exactly 16 queries — the 4 deferred
-# above, the 2 wishlist additions, and the 10 round-10 session-2
+# never-driver-checked backlog is exactly 18 queries — the 4 deferred
+# above, the 2 wishlist additions, and the 12 round-10 session-2
 # additions (poisson_bootstrap_events, dp_histogram_customers,
 # covariance_embeddings, twap_events, zorder_layout_lineitem,
 # chisq_customers, cohens_kappa_events, mixture_plan_docs,
-# quantile_normalize_events, cms_join_size_lineitem — all registered
+# quantile_normalize_events, cms_join_size_lineitem,
+# windowed_quantiles_events, weighted_median_lineitem — all registered
 # outside this round's window so the drain stayed undisturbed;
 # floats-first convention puts the double-output stats at the front:
 # poisson_bootstrap, covariance, twap, chisq, kappa,
-# quantile_normalize, cms_join_size's over_ratio). Rotate all 16 into
-# the r11 window front (they fit with 34 slots to spare for new work);
-# any r10 red rows preempt.
+# quantile_normalize, windowed_quantiles (quantile_cont interpolation),
+# cms_join_size's over_ratio). Rotate all 18 into the r11 window front
+# (they fit with 32 slots to spare for new work); any r10 red rows
+# preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",

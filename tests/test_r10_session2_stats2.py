@@ -210,3 +210,55 @@ def test_mixture_plan_validates_budget(spark):
     df = spark.createDataFrame([("a", 1, 10)], "src STRING, id LONG, toks LONG")
     with pytest.raises(ValueError, match="budget_tokens"):
         mixture_plan(df, "src", "toks", {"a": 1.0}, 0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_median
+
+
+def test_weighted_median_hand_computed(spark):
+    from pangool_spark.operators.stats import weighted_median
+
+    # values 10 (w=1), 20 (w=1), 30 (w=10): half the 12 units sit at 30
+    df = spark.createDataFrame(
+        [("g", 10, 1, 1), ("g", 20, 1, 2), ("g", 30, 10, 3)],
+        "grp STRING, v LONG, w LONG, id LONG",
+    )
+    r = weighted_median(df, ["grp"], "v", "w", ["id"]).first()
+    assert r["total_weight"] == 12
+    assert r["median"] == 30
+    # unweighted median of the rows would be 20 — the point of the op
+
+
+def test_weighted_median_equals_plain_median_at_unit_weights(spark):
+    from pangool_spark.operators.stats import weighted_median
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    df = spark.createDataFrame(
+        [("g", v, 1, i) for i, v in enumerate(vals)],
+        "grp STRING, v LONG, w LONG, id LONG",
+    )
+    r = weighted_median(df, ["grp"], "v", "w", ["id"]).first()
+    # lower weighted median of 8 unit weights = 4th smallest = 3
+    assert r["median"] == sorted(vals)[3]
+
+
+def test_weighted_median_skips_nonpositive_weights(spark):
+    from pangool_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 100, 0, 1), ("g", 1, 5, 2), ("g", 200, None, 3)],
+        "grp STRING, v LONG, w LONG, id LONG",
+    )
+    r = weighted_median(df, ["grp"], "v", "w", ["id"]).first()
+    assert r["total_weight"] == 5 and r["median"] == 1
+
+
+def test_weighted_median_validates_types(spark):
+    from pangool_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1.5, 1, 1)], "grp STRING, v DOUBLE, w LONG, id LONG"
+    )
+    with pytest.raises(ValueError, match="integer value column"):
+        weighted_median(df, ["grp"], "v", "w", ["id"])
