@@ -21,9 +21,15 @@ ROWS_B2 = [
 
 
 def _write(spark, rows, path):
+    # one part file per micro-batch dir: with several part files, the
+    # file-stream source breaks same-mtime ties by (random-UUID) path,
+    # so maxFilesPerTrigger=1 could deliver a LATER event in an EARLIER
+    # batch — violating this fixture's in-order-arrival contract and
+    # flipping the EWMA fold order (observed flake under load)
     (
         spark.createDataFrame(rows, RAW)
         .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(1)
         .write.parquet(path)
     )
 
