@@ -11049,6 +11049,333 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 
 # ---------------------------------------------------------------------------
+# information-theory batch (round 10, session 3): mutual information /
+# Theil's U, WOE/IV feature scoring, feature-MI ranking, per-doc token
+# entropy, unigram-KL corpus drift. All exact integer count algebra plus
+# the quantized-ln sum (operators/infotheory.py docstring) so the driver
+# hash-verifies the full information math cross-engine.
+
+
+def _qsum_sql(x: str, quantum: str = "1000000.0") -> str:
+    """SQL twin of infotheory._qsum(_xlnx(x)): the quantized Σ x·ln(x)."""
+    d = f"CAST({x} AS DOUBLE)"
+    return (
+        f"CAST(SUM(CAST(round({d} * ln({d}) * {quantum}) AS BIGINT)) "
+        f"AS DOUBLE)"
+    )
+
+
+def _mi_sql_block(
+    name: str, feat: str, label: str, table: str, where: str = ""
+) -> str:
+    """One feature's (feature, n, mi, u_label) MI block — the SQL twin of
+    ``infotheory.mutual_information`` restricted to the ranking columns."""
+    extra = f" AND {where}" if where else ""
+    return f"""
+    SELECT '{name}' AS feature, n,
+           CASE WHEN n_a = 1 OR n_b = 1 THEN 0.0
+                ELSE ROUND(greatest(mi_raw, 0.0), 9) END AS mi,
+           CASE WHEN n_b = 1 THEN NULL
+                WHEN n_a = 1 THEN 0.0
+                ELSE ROUND(greatest(mi_raw / h_b_raw, 0.0), 9)
+           END AS u_label
+    FROM (
+      WITH cells AS (
+        SELECT {feat} AS a, {label} AS b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM {table}
+        WHERE ({feat}) IS NOT NULL AND ({label}) IS NOT NULL{extra}
+        GROUP BY 1, 2
+      ), tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n, {_qsum_sql('o')} AS s_ab
+        FROM cells
+      ), ma AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_a, {_qsum_sql('ra')} AS s_a
+        FROM (SELECT CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a)
+      ), mb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_b, {_qsum_sql('cb')} AS s_b
+        FROM (SELECT CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b)
+      )
+      SELECT n, n_a, n_b,
+             ln(CAST(n AS DOUBLE))
+               + (s_ab - s_a - s_b) / (1000000.0 * CAST(n AS DOUBLE))
+               AS mi_raw,
+             ln(CAST(n AS DOUBLE)) - s_b / (1000000.0 * CAST(n AS DOUBLE))
+               AS h_b_raw
+      FROM tot, ma, mb
+    )
+    """
+
+
+@query(
+    "mutual_info_events",
+    f"""
+    WITH cells AS (
+      SELECT event_type AS a, CAST(FLOOR(value / 10.0) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             {_qsum_sql('o')} AS s_ab
+      FROM cells
+    ), ma AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_a, {_qsum_sql('ra')} AS s_a
+      FROM (SELECT CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a)
+    ), mb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_b, {_qsum_sql('cb')} AS s_b
+      FROM (SELECT CAST(SUM(o) AS BIGINT) AS cb FROM cells GROUP BY b)
+    ), calc AS (
+      SELECT n, n_cells, n_a, n_b,
+             ln(CAST(n AS DOUBLE)) - s_a / (1000000.0 * CAST(n AS DOUBLE))
+               AS h_a_raw,
+             ln(CAST(n AS DOUBLE)) - s_b / (1000000.0 * CAST(n AS DOUBLE))
+               AS h_b_raw,
+             ln(CAST(n AS DOUBLE)) - s_ab / (1000000.0 * CAST(n AS DOUBLE))
+               AS h_ab_raw,
+             ln(CAST(n AS DOUBLE))
+               + (s_ab - s_a - s_b) / (1000000.0 * CAST(n AS DOUBLE))
+               AS mi_raw
+      FROM tot, ma, mb
+    )
+    SELECT n, n_a, n_b,
+           CASE WHEN n_a = 1 THEN 0.0
+                ELSE ROUND(greatest(h_a_raw, 0.0), 9) END AS h_a,
+           CASE WHEN n_b = 1 THEN 0.0
+                ELSE ROUND(greatest(h_b_raw, 0.0), 9) END AS h_b,
+           CASE WHEN n_cells = 1 THEN 0.0
+                ELSE ROUND(greatest(h_ab_raw, 0.0), 9) END AS h_ab,
+           CASE WHEN n_a = 1 OR n_b = 1 THEN 0.0
+                ELSE ROUND(greatest(mi_raw, 0.0), 9) END AS mi,
+           CASE WHEN n_a = 1 THEN NULL
+                WHEN n_b = 1 THEN 0.0
+                ELSE ROUND(greatest(mi_raw / h_a_raw, 0.0), 9)
+           END AS u_a_given_b,
+           CASE WHEN n_b = 1 THEN NULL
+                WHEN n_a = 1 THEN 0.0
+                ELSE ROUND(greatest(mi_raw / h_b_raw, 0.0), 9)
+           END AS u_b_given_a
+    FROM calc
+    """,
+)
+def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does knowing the event type tell you about the value
+    decile (and vice versa)? Mutual information + Theil's uncertainty
+    coefficients between ``event_type`` and ``floor(value/10)``, from
+    ONE contingency aggregate; entropies via the quantized ``Σ c·ln c``
+    identity so the driver hash-verifies MI cross-engine. See
+    ``operators.infotheory.mutual_information``."""
+    from pangool_spark.operators.infotheory import mutual_information
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") / F.lit(10.0)).alias("vbucket"),
+    )
+    return mutual_information(pairs, "etype", "vbucket")
+
+
+@query(
+    "feature_mi_orders",
+    f"""
+    SELECT * FROM (
+    {_mi_sql_block('order_month', 'EXTRACT(MONTH FROM o_orderdate)',
+                   '(o_totalprice >= 250000.0)', 'orders')}
+    UNION ALL
+    {_mi_sql_block('order_priority', 'o_orderpriority',
+                   '(o_totalprice >= 250000.0)', 'orders')}
+    UNION ALL
+    {_mi_sql_block('order_status', 'o_orderstatus',
+                   '(o_totalprice >= 250000.0)', 'orders')}
+    ) ORDER BY mi DESC, feature ASC
+    """,
+)
+def feature_mi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-selection sweep: which order attribute (month, priority,
+    status) carries the most information about the high-value flag
+    (total ≥ 250k)? One MI relation per candidate feature, ranked by MI
+    with ``u_label = MI/H(label)`` as the saturation measure. See
+    ``operators.infotheory.feature_mi_rank``."""
+    from pangool_spark.operators.infotheory import feature_mi_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.col("o_totalprice") >= F.lit(250000.0)
+    return feature_mi_rank(
+        orders,
+        [
+            ("order_month", F.month("o_orderdate")),
+            ("order_priority", F.col("o_orderpriority")),
+            ("order_status", F.col("o_orderstatus")),
+        ],
+        label,
+    )
+
+
+@query(
+    "woe_iv_orders",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS feature_value,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice >= 250000.0)
+                  AS BIGINT) AS goods,
+             CAST(COUNT(*) FILTER (WHERE NOT (o_totalprice >= 250000.0))
+                  AS BIGINT) AS bads
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             CAST(SUM(goods) AS DOUBLE) AS g,
+             CAST(SUM(bads) AS DOUBLE) AS b
+      FROM cells
+    ), raw AS (
+      SELECT feature_value, goods, bads,
+             ln(((CAST(goods AS DOUBLE) + 0.5) / (g + k * 0.5))
+                / ((CAST(bads AS DOUBLE) + 0.5) / (b + k * 0.5)))
+               AS woe_raw,
+             ((CAST(goods AS DOUBLE) + 0.5) / (g + k * 0.5)
+              - (CAST(bads AS DOUBLE) + 0.5) / (b + k * 0.5))
+               * ln(((CAST(goods AS DOUBLE) + 0.5) / (g + k * 0.5))
+                    / ((CAST(bads AS DOUBLE) + 0.5) / (b + k * 0.5)))
+               AS iv_raw
+      FROM cells, tot
+    )
+    SELECT feature_value, goods, bads,
+           ROUND(woe_raw, 9) AS woe,
+           ROUND(iv_raw, 9) AS iv_term,
+           CAST((SELECT SUM(CAST(round(iv_raw * 1000000000.0) AS BIGINT))
+                 FROM raw) AS DOUBLE) / 1000000000.0 AS iv_total
+    FROM raw
+    """,
+)
+def woe_iv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence / Information Value of the order priority
+    against the high-value flag (total ≥ 250k) — the credit-scoring
+    feature audit as one partial-combined aggregate; the IV total
+    accumulates as a quantized sum so it is order-independent and
+    driver-hash-verifiable. See ``operators.infotheory.woe_iv``."""
+    from pangool_spark.operators.infotheory import woe_iv
+
+    orders = load_table(spark, sf_dir, "orders")
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_totalprice") >= F.lit(250000.0)
+    )
+
+
+@query(
+    "token_entropy_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             {_qsum_sql('c')} AS s
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+             AS ttr,
+           CASE WHEN n_types = 1 THEN 0.0
+                ELSE ROUND(greatest(
+                       ln(CAST(n_tokens AS DOUBLE))
+                       - s / (1000000.0 * CAST(n_tokens AS DOUBLE)),
+                       0.0), 9)
+           END AS entropy,
+           CASE WHEN n_types > 1 THEN
+             ROUND(greatest(
+                     (ln(CAST(n_tokens AS DOUBLE))
+                      - s / (1000000.0 * CAST(n_tokens AS DOUBLE)))
+                     / ln(CAST(n_types AS DOUBLE)),
+                     0.0), 9)
+           END AS norm_entropy
+    FROM per_doc
+    """,
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: token/type counts, type-token
+    ratio, unigram Shannon entropy and its normalized form — the
+    template-spam / boilerplate-repetition quality gate that runs
+    BEFORE pairwise dedup. One explode + two partial-combined
+    aggregates. See ``operators.infotheory.token_entropy``."""
+    from pangool_spark.operators.infotheory import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text")
+
+
+@query(
+    "unigram_kl_docs",
+    """
+    WITH cp AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cpn FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE lang = 'en'
+      ) GROUP BY 1
+    ), cq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cqn FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '\\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents WHERE lang <> 'en'
+      ) GROUP BY 1
+    ), v AS (
+      SELECT COALESCE(cpn, 0) AS cp2, COALESCE(cqn, 0) AS cq2
+      FROM cp FULL OUTER JOIN cq USING (tok)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(cp2) AS BIGINT) AS n_p,
+             CAST(SUM(cq2) AS BIGINT) AS n_q
+      FROM v
+    ), terms AS (
+      SELECT vocab, n_p, n_q,
+             (CAST(cp2 + 1 AS DOUBLE) / CAST(n_p + vocab AS DOUBLE))
+               * ln((CAST(cp2 + 1 AS DOUBLE) * CAST(n_q + vocab AS DOUBLE))
+                    / (CAST(cq2 + 1 AS DOUBLE)
+                       * CAST(n_p + vocab AS DOUBLE))) AS t_pq,
+             (CAST(cq2 + 1 AS DOUBLE) / CAST(n_q + vocab AS DOUBLE))
+               * (- ln((CAST(cp2 + 1 AS DOUBLE)
+                        * CAST(n_q + vocab AS DOUBLE))
+                       / (CAST(cq2 + 1 AS DOUBLE)
+                          * CAST(n_p + vocab AS DOUBLE)))) AS t_qp
+      FROM v, tot
+    )
+    SELECT vocab, n_p, n_q,
+           CAST(SUM(CAST(round(t_pq * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS kl_pq,
+           CAST(SUM(CAST(round(t_qp * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 AS kl_qp
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def unigram_kl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between the English corpus and the
+    rest: add-1-smoothed KL divergence in both directions over the
+    joint vocabulary — "did this slice's token mix move away from the
+    reference corpus", the lexical drift monitor beside embedding/
+    histogram drift. Counts join on TOKEN (|vocab| rows), never on
+    documents. See ``operators.infotheory.unigram_kl``."""
+    from pangool_spark.operators.infotheory import unigram_kl
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_kl(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "text",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver-window ordering
 #
 # The correctness driver verifies the FIRST 50 registry entries in iteration
@@ -11158,9 +11485,12 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # floats-first convention puts the double-output stats at the front:
 # poisson_bootstrap, covariance, twap, chisq, kappa,
 # quantile_normalize, windowed_quantiles (quantile_cont interpolation),
-# cms_join_size's over_ratio). Rotate all 18 into the r11 window front
-# (they fit with 32 slots to spare for new work); any r10 red rows
-# preempt.
+# cms_join_size's over_ratio), PLUS the 5 round-10 session-3
+# information-theory additions (mutual_info_events, feature_mi_orders,
+# woe_iv_orders, token_entropy_docs, unigram_kl_docs — quantized-ln
+# double outputs, so they join the floats-first front). Rotate all 23
+# into the r11 window front (they fit with 27 slots to spare for new
+# work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
