@@ -952,3 +952,98 @@ def stream_mixture_monitor(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    k: int,
+    state_dir: str,
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming exact top-k: each micro-batch's per-key counts fold into
+    a standing (key, count) table, and the monitor emits the live top-k
+    snapshot (count desc, key asc tie-break) after every batch — "what
+    are the hottest event types / sources / status codes right now"
+    maintained incrementally instead of recomputed over history.
+
+    EXACT counts need |keys| state, so this operator is for BOUNDED key
+    domains (categories, languages, sources, error codes — the
+    dashboards that actually want exact numbers); for unbounded domains
+    (user ids, URLs) use ``stream_cms`` + ``sketch.cms_heavy_hitters``,
+    which trade a bounded over-count for constant state. The standing
+    table is collected-and-rewritten each batch (the
+    ``stream_mixture_monitor`` small-state contract) — that collect IS
+    the bounded-domain assumption, stated rather than hidden.
+
+    Because the fold is plain integer addition, the snapshot after
+    batch N is bit-identical to a batch groupBy-count + rank over the
+    union of batches 0..N — the stream == batch parity test pins it.
+
+    Exactly-once: the standing table carries ``last_batch_id``; a
+    replayed micro-batch (retry after a failure between the state
+    overwrite and the checkpoint commit) sees ``batch_id <=
+    last_batch_id``, skips the fold, and only rewrites — not
+    duplicates — its snapshot partition at
+    ``{state_dir}/_TOPK/batch_id=N``.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    counts_dir = _os.path.join(state_dir, "counts")
+    topk_dir = _os.path.join(state_dir, "_TOPK")
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_counts = (
+            batch_df.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if _hadoop_path_exists(spark, counts_dir):
+            standing = spark.read.parquet(counts_dir)
+            applied = standing.agg(F.max("last_batch_id")).collect()[0][0]
+            if applied is not None and int(batch_id) <= int(applied):
+                # replay of an already-folded batch: skip the fold,
+                # rewrite the snapshot below
+                merged_df = standing.select("key", "cnt")
+            else:
+                merged = (
+                    standing.select("key", "cnt")
+                    .unionByName(batch_counts)
+                    .groupBy("key")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+                rows = merged.collect()  # bounded-domain contract
+                merged_df = spark.createDataFrame(rows, merged.schema)
+                merged_df.withColumn(
+                    "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+                ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        else:
+            merged_df = batch_counts
+            merged_df.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+            ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+
+        w = _W.orderBy(F.desc("cnt"), F.asc("key"))
+        snapshot = (
+            merged_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", "key", "cnt")
+        )
+        snapshot.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(topk_dir, f"batch_id={int(batch_id)}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
