@@ -1658,3 +1658,93 @@ def weighted_median(
             F.min("__v__").alias("median"),
         )
     )
+
+
+def grouped_moments(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+) -> DataFrame:
+    """Per-group skewness and excess kurtosis from the four raw power
+    sums — the distribution-shape profile (is the tail heavy? is the
+    spread asymmetric?) as ONE partial-combined aggregate, the
+    ``grouped_linreg`` pattern extended to third and fourth moments.
+
+    ``x_col`` must be integer-typed (cents/units — the module's exact
+    path): Σx..Σx⁴ accumulate as decimal(38,0)/HUGEINT-exact integers,
+    so they are order-independent and engine-identical. The central-
+    moment solve is a fixed sequence of IEEE double ops and the only
+    libm call is sqrt (correctly rounded) — but a power sum above 2⁵³
+    hits the engines' integer→double conversion, which is NOT uniformly
+    correctly rounded across engines (measured: DuckDB's
+    HUGEINT→DOUBLE is 1 ulp off Spark's correctly-rounded
+    decimal→double on Σc⁴ ≈ 3.1e19). So the two outputs fed by the
+    big sums — skewness (Σx³) and kurtosis (Σx⁴) — are rounded to 9
+    decimals, which fully absorbs ulp drift at their O(1..10³)
+    scale-free magnitudes. mean/variance_pop are NOT rounded: their
+    sums stay exact-in-double while Σx² < 2⁵³ (so they hash-match
+    bit-for-bit), and rounding large-magnitude doubles to 9 decimals
+    is itself engine-divergent (x·10⁹ > 2⁵³ makes round() lossy and
+    implementation-dependent). Keep per-group Σ|x|⁴ under 10³⁸ (≈
+    |x| ≤ 10⁷ at 10¹⁰ rows per group) — beyond that the exact sum
+    itself overflows; rescale the measure.
+
+    Population moments (n denominator)::
+
+        mu = Σx/n
+        m2 = Σx²/n − mu²                       (variance_pop)
+        m3 = Σx³/n − 3·mu·(Σx²/n) + 2·mu³
+        m4 = Σx⁴/n − 4·mu·(Σx³/n) + 6·mu²·(Σx²/n) − 3·mu⁴
+        skewness = m3 / (m2·√m2),  kurtosis_excess = m4/m2² − 3
+
+    NULL x rows are excluded. Groups with n < 2 or zero variance emit
+    NULL skewness/kurtosis (shape of a point mass is undefined).
+
+    Output: (*group_cols, n, mean, variance_pop, skewness,
+    kurtosis_excess).
+    """
+    if not group_cols:
+        raise ValueError("grouped_moments needs at least one group column")
+    if dict(df.dtypes).get(x_col) not in _INT_TYPES:
+        raise ValueError(
+            f"grouped_moments needs an integer x column, got "
+            f"{x_col}: {dict(df.dtypes).get(x_col)!r} — rescale to "
+            "cents/units"
+        )
+    x = F.col(x_col).cast("decimal(38,0)")
+    agg = (
+        df.filter(F.col(x_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("__s1__"),
+            F.sum(x * x).cast("double").alias("__s2__"),
+            F.sum(x * x * x).cast("double").alias("__s3__"),
+            F.sum(x * x * x * x).cast("double").alias("__s4__"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("__s1__") / n
+    m2 = F.col("__s2__") / n - mu * mu
+    m3 = (
+        F.col("__s3__") / n
+        - F.lit(3.0) * mu * (F.col("__s2__") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("__s4__") / n
+        - F.lit(4.0) * mu * (F.col("__s3__") / n)
+        + F.lit(6.0) * mu * mu * (F.col("__s2__") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0.0)
+    return agg.select(
+        *group_cols,
+        "n",
+        mu.alias("mean"),
+        m2.alias("variance_pop"),
+        F.when(ok, F.round(m3 / (m2 * F.sqrt(m2)), 9)).alias("skewness"),
+        F.when(ok, F.round(m4 / (m2 * m2) - F.lit(3.0), 9)).alias(
+            "kurtosis_excess"
+        ),
+    )

@@ -11375,6 +11375,146 @@ def unigram_kl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "moments_events",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+      FROM cents GROUP BY 1
+    ), m AS (
+      SELECT event_type, n,
+             s1 / CAST(n AS DOUBLE) AS mu,
+             s2 / CAST(n AS DOUBLE)
+               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+             s3 / CAST(n AS DOUBLE)
+               - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+               + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                     * (s1 / CAST(n AS DOUBLE)) AS m3,
+             s4 / CAST(n AS DOUBLE)
+               - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+               + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                     * (s2 / CAST(n AS DOUBLE))
+               - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                     * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               AS m4
+      FROM s
+    )
+    SELECT event_type, n, mu AS mean, m2 AS variance_pop,
+           CASE WHEN n >= 2 AND m2 > 0.0
+                THEN ROUND(m3 / (m2 * sqrt(m2)), 9) END AS skewness,
+           CASE WHEN n >= 2 AND m2 > 0.0
+                THEN ROUND(m4 / (m2 * m2) - 3.0, 9) END AS kurtosis_excess
+    FROM m
+    """,
+)
+def moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: skewness and excess
+    kurtosis from the four exact integer power sums (value in cents) —
+    ONE partial-combined aggregate, sqrt-only libm, so the shape
+    statistics hash-match cross-engine with no output rounding. See
+    ``operators.stats.grouped_moments``."""
+    from pangool_spark.operators.stats import grouped_moments
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.withColumn(
+        "c", F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    )
+    return grouped_moments(cents, ["event_type"], "c")
+
+
+@query(
+    "zipf_fit_docs",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1
+    ), ranked AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, word ASC)
+                  AS BIGINT) AS rnk
+      FROM counts
+    ), q AS (
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT n AS n_types,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+           ((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+            / CAST(n AS DOUBLE)) / 1000.0 AS intercept_nats
+    FROM s
+    """,
+)
+def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS slope
+    of ln(freq) vs ln(rank) — the classic "is this corpus natural
+    language or template spam" diagnostic (natural text fits slope ≈ −1;
+    machine-generated/boilerplate corpora bend the curve).
+
+    Scale shape: ranks come from the DISTRIBUTED prefix-sum
+    (``partitioning.global_running_sum``, the sample-sort primitive —
+    no single-partition window over the vocabulary), and the fit runs
+    on millinat-QUANTIZED logs (``round(ln·1000)`` integers) through
+    ``grouped_linreg``'s exact-integer path, so the slope is an exact
+    integer-sum ratio — order-independent and engine-identical. The
+    quantization cancels in the slope (both axes scale by the same
+    factor); the intercept divides back to nats."""
+    from pangool_spark.operators.partitioning import global_running_sum
+    from pangool_spark.operators.stats import grouped_linreg
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_running_sum(
+        counts.withColumn("__neg__", -F.col("cnt")).withColumn(
+            "__one__", F.lit(1).cast("int")
+        ),
+        ["__neg__", "word"],
+        "__one__",
+        out_col="rnk",
+    )
+    quantized = ranked.select(
+        F.lit(1).alias("g"),
+        F.round(F.log(F.col("rnk").cast("double")) * F.lit(1000.0))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * F.lit(1000.0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    fit = grouped_linreg(quantized, ["g"], "x", "y")
+    return fit.select(
+        F.col("n").alias("n_types"),
+        F.col("slope"),
+        (F.col("intercept") / F.lit(1000.0)).alias("intercept_nats"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
