@@ -318,3 +318,79 @@ def cms_join_size(
     return per_j.agg(
         F.min("__dot__").cast("bigint").alias("est_join_size")
     )
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    bin_width: int,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Quantile estimation from a MERGEABLE equi-width histogram — the
+    fixed-state alternative to an exact rank pass, with a HARD error
+    bound of one bin width.
+
+    Why this matters at 100 TB: an exact quantile needs the ordered
+    cumulative over every distinct value; the histogram needs
+    ``range/bin_width`` counters TOTAL, built as one partial-combined
+    aggregate (the count-min argument, module docstring) — and two
+    histograms with the same width merge by cell-wise addition, so the
+    sketch composes across shards, days, and streams the way
+    ``merge_sketches`` does. The estimate brackets the true quantile:
+    the q-th value lies in ``[bin·w, (bin+1)·w − 1]`` of the first bin
+    whose cumulative count reaches ``ceil(q·n)`` — deterministic, no
+    probabilistic guarantee needed.
+
+    ``value_col`` must be integer-typed (cents/units); NULL values are
+    excluded. The rank target uses the exact lower-quantile definition
+    (smallest value whose cumulative count ≥ ceil(q·n)) so it composes
+    with an exact verifier. The per-bin cumulative runs as a window
+    over the BIN relation (|bins| rows — that bound is the point).
+
+    Output (one row per q): ``q, n, bin, est_lo, est_hi`` with
+    ``est_hi − est_lo = bin_width − 1``.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles!r}")
+    from pyspark.sql import Window
+
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"histogram_quantile_sketch needs an integer value column, "
+            f"got {value_col}: {vt!r} — rescale to cents/units"
+        )
+    w = int(bin_width)
+    bins = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.floor(F.col(value_col).cast("bigint") / F.lit(w))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bins.select(
+        "bin",
+        F.sum("cnt")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    spark = df.sparkSession
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    hit = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+    )
+    return hit.select(
+        "q",
+        "n",
+        "bin",
+        (F.col("bin") * F.lit(w)).alias("est_lo"),
+        (F.col("bin") * F.lit(w) + F.lit(w - 1)).alias("est_hi"),
+    )

@@ -11515,6 +11515,126 @@ def zipf_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "histogram_quantiles_lineitem",
+    """
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents
+    ), bins AS (
+      SELECT CAST(FLOOR(c / 100000.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cents GROUP BY 1
+    ), cum AS (
+      SELECT bin,
+             SUM(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM bins
+    ), qs AS (
+      SELECT CAST(q AS DOUBLE) AS q
+      FROM (VALUES (0.5), (0.95), (0.99)) AS t(q)
+    ), sk AS (
+      SELECT q, CAST(MIN(bin) AS BIGINT) AS bin
+      FROM qs, tot, cum
+      WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+      GROUP BY q
+    ), vals AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY 1
+    ), runs AS (
+      SELECT c,
+             SUM(cnt) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run
+      FROM vals
+    ), exacts AS (
+      SELECT q, CAST(MIN(c) AS BIGINT) AS exact_value
+      FROM qs, tot, runs
+      WHERE run >= CAST(ceil(q * n) AS BIGINT)
+      GROUP BY q
+    )
+    SELECT sk.q, tot.n, sk.bin,
+           sk.bin * 100000 AS est_lo,
+           sk.bin * 100000 + 99999 AS est_hi,
+           exacts.exact_value,
+           (exacts.exact_value >= sk.bin * 100000
+            AND exacts.exact_value <= sk.bin * 100000 + 99999) AS ok
+    FROM sk JOIN exacts USING (q), tot
+    """,
+)
+def histogram_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a MERGEABLE equi-width histogram sketch, verified
+    against the exact rank quantile in the same relation: P50/P95/P99
+    of the extended price (cents, $1000 bins) bracketed to one bin
+    width — the constant-state quantile path for shard/stream
+    composition, with the error-bound guarantee oracle-checked (``ok``).
+    The exact verifier uses the histogram AS THE PARTITIONER (the
+    two-phase exact-quantile classic): the true value provably lies in
+    the sketch's chosen bin, so only rows of the 3 candidate bins (a
+    broadcast-pruned map-side filter) get a local rank — never a global
+    prefix pass over all distinct values. See
+    ``operators.sketch.histogram_quantile_sketch``."""
+    from pangool_spark.operators.sketch import histogram_quantile_sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = 100_000
+    cents = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.round(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("c")
+    )
+    sk = histogram_quantile_sketch(
+        cents, "c", bin_width=w, quantiles=(0.5, 0.95, 0.99)
+    )
+    bins = cents.groupBy(
+        F.floor(F.col("c") / F.lit(w)).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("__cnt__"))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", (F.sum("__cnt__").over(wcum) - F.col("__cnt__")).alias("__base__")
+    )
+    targets = sk.join(cum, "bin").select(
+        "q",
+        "bin",
+        "__base__",
+        F.ceil(F.col("q") * F.col("n")).alias("__r__"),
+    )
+    in_bin = cents.withColumn(
+        "bin", F.floor(F.col("c") / F.lit(w)).cast("bigint")
+    ).join(F.broadcast(targets), "bin")
+    wloc = Window.partitionBy("q").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = (
+        in_bin.groupBy("q", "__base__", "__r__", "c")
+        .agg(F.count(F.lit(1)).alias("__lc__"))
+        .select(
+            "q", "c",
+            (F.col("__base__") + F.sum("__lc__").over(wloc)).alias("__run__"),
+            "__r__",
+        )
+    )
+    exacts = (
+        local.filter(F.col("__run__") >= F.col("__r__"))
+        .groupBy("q")
+        .agg(F.min("c").alias("exact_value"))
+    )
+    return sk.join(exacts, "q").select(
+        "q",
+        "n",
+        "bin",
+        "est_lo",
+        "est_hi",
+        "exact_value",
+        (
+            (F.col("exact_value") >= F.col("est_lo"))
+            & (F.col("exact_value") <= F.col("est_hi"))
+        ).alias("ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
