@@ -615,3 +615,82 @@ def plan_from_counts(
             ).alias("deficit_tokens"),
         )
     )
+
+
+def temperature_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    tau: float,
+    budget_tokens: int,
+) -> DataFrame:
+    """Temperature-scaled data-recipe planning: target weights derived
+    FROM the corpus itself as ``w_s ∝ avail_tokens_s^τ`` (normalized) —
+    the multilingual/multi-source pre-training convention (τ = 1 keeps
+    natural proportions, τ → 0 flattens toward uniform, τ ≈ 0.7 is the
+    usual low-resource boost) — then the same desired/rate/deficit
+    report as ``mixture_plan``, whose hand-written ``weights`` dict this
+    replaces with in-plan arithmetic.
+
+    Same shape as ``mixture_plan``: one partial-combined aggregate per
+    source, then expression arithmetic on the |sources|-row relation
+    (the window below runs over that tiny relation, not the data).
+    Determinism: available tokens are exact BIGINT sums; the only
+    non-correctly-rounded libm call is ``pow`` inside the weight, so
+    the normalized weight is rounded to 9 decimals (the engine-drift
+    convention) before ``desired = floor(budget · w)``.
+
+    Output: (source, n_docs BIGINT, avail_tokens BIGINT, weight DOUBLE,
+    desired_tokens BIGINT, rate DOUBLE, planned_tokens BIGINT,
+    deficit_tokens BIGINT) — column-compatible with ``mixture_plan``.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if tau < 0:
+        raise ValueError(f"tau must be non-negative, got {tau}")
+    from pyspark.sql import Window
+
+    avail = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(token_count_col).cast("bigint")).alias(
+                "avail_tokens"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()  # |sources| rows — the point of the plan
+    y = F.when(
+        F.col("avail_tokens") > 0,
+        F.pow(F.col("avail_tokens").cast("double"), F.lit(float(tau))),
+    ).otherwise(F.lit(0.0))
+    weight = F.round(y / F.sum(y).over(w_all), 9)
+    desired = F.floor(
+        F.lit(int(budget_tokens)).cast("double") * weight
+    ).cast("bigint")
+    planned = F.least(desired, F.col("avail_tokens"))
+    return (
+        avail.withColumn("weight", weight)
+        .withColumn("desired_tokens", desired)
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            "desired_tokens",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.col("desired_tokens").cast("double")
+                    / F.col("avail_tokens").cast("double"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("rate"),
+            planned.alias("planned_tokens"),
+            F.greatest(
+                F.col("desired_tokens") - F.col("avail_tokens"),
+                F.lit(0).cast("bigint"),
+            ).alias("deficit_tokens"),
+        )
+    )

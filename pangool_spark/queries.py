@@ -11635,6 +11635,62 @@ def histogram_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mixture_temperature_docs",
+    """
+    WITH avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(list_filter(regexp_split_to_array(text,
+                  '\\s+'), x -> x <> '')) AS BIGINT)) AS BIGINT)
+               AS avail_tokens
+      FROM documents WHERE source IS NOT NULL GROUP BY 1
+    ), weighted AS (
+      SELECT source, n_docs, avail_tokens,
+             ROUND(
+               (CASE WHEN avail_tokens > 0
+                     THEN pow(CAST(avail_tokens AS DOUBLE), 0.7)
+                     ELSE 0.0 END)
+               / SUM(CASE WHEN avail_tokens > 0
+                          THEN pow(CAST(avail_tokens AS DOUBLE), 0.7)
+                          ELSE 0.0 END) OVER (), 9) AS weight
+      FROM avail
+    ), plan AS (
+      SELECT source, n_docs, avail_tokens, weight,
+             CAST(floor(CAST(1000000 AS DOUBLE) * weight) AS BIGINT)
+               AS desired_tokens
+      FROM weighted
+    )
+    SELECT source, n_docs, avail_tokens, weight, desired_tokens,
+           CASE WHEN avail_tokens > 0
+                THEN LEAST(1.0, CAST(desired_tokens AS DOUBLE)
+                                / CAST(avail_tokens AS DOUBLE))
+                ELSE 0.0 END AS rate,
+           LEAST(desired_tokens, avail_tokens) AS planned_tokens,
+           GREATEST(desired_tokens - avail_tokens,
+                    CAST(0 AS BIGINT)) AS deficit_tokens
+    FROM plan
+    """,
+)
+def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data recipe (τ = 0.7, 1M-token budget): target
+    weights derived from the corpus itself as ``avail_tokens^0.7``
+    normalized — the multilingual low-resource-boost convention —
+    instead of ``mixture_plan_docs``'s hand-written weights dict; same
+    desired/rate/deficit report columns. See
+    ``operators.sampling.temperature_plan``."""
+    from pangool_spark.operators.sampling import temperature_plan
+    from pangool_spark.operators.text import token_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    staged = docs.select("doc_id", "source").join(toks, "doc_id")
+    return temperature_plan(
+        staged, "source", "n_tokens", tau=0.7, budget_tokens=1_000_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
