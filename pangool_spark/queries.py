@@ -11801,13 +11801,15 @@ def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floats-first convention puts the double-output stats at the front:
 # poisson_bootstrap, covariance, twap, chisq, kappa,
 # quantile_normalize, windowed_quantiles (quantile_cont interpolation),
-# cms_join_size's over_ratio), PLUS the 7 round-10 session-3
+# cms_join_size's over_ratio), PLUS the 9 round-10 session-3
 # additions (mutual_info_events, feature_mi_orders, woe_iv_orders,
 # token_entropy_docs, unigram_kl_docs — quantized-ln double outputs —
-# and moments_events, zipf_fit_docs — power-sum shape stats and the
-# quantized-log OLS fit; all float-heavy, so they join the floats-first
-# front). Rotate all 25 into the r11 window front (they fit with 25
-# slots to spare for new work); any r10 red rows preempt.
+# moments_events, zipf_fit_docs — power-sum shape stats and the
+# quantized-log OLS fit — histogram_quantiles_lineitem — sketch-bracket
+# booleans — and mixture_temperature_docs — pow-weight doubles; the
+# float-heavy ones join the floats-first front). Rotate all 27 into
+# the r11 window front (they fit with 23 slots to spare for new work);
+# any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
