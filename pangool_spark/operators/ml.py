@@ -665,3 +665,88 @@ def embedding_drift(
         * F.lit(float(scale))
     )
     return agg.select("label", "n_a", "n_b", shift.alias("shift"))
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-query ranking quality: DCG@k / ideal-DCG@k / NDCG@k and the
+    reciprocal rank of the first relevant item (MRR's per-query half) —
+    the retrieval-eval companion of the classifier family (AUC / PR /
+    calibration): "how good is the ordering this ranker produced",
+    scored against graded relevance labels.
+
+    Standard exponential-gain DCG::
+
+        DCG@k  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+        IDCG@k = the same sum under the ideal ordering (rel desc,
+                 original rank as the deterministic tie-break)
+        NDCG@k = DCG@k / IDCG@k       (NULL when no item is relevant)
+
+    ``rank_col`` must be a 1-based position, ``rel_col`` a non-negative
+    integer grade (keep rel ≤ ~40 so 2^rel stays exact). Per-item DCG
+    terms are quantized-summed (the ``infotheory`` contract: round(term
+    · quantum) accumulated exactly) so per-query scores are order-
+    independent and engine-replicable; NDCG rounds to 9 decimals; the
+    reciprocal rank is one exact double division.
+
+    One exchange on the query key (both windows and the final aggregate
+    share it). Output: (query_col, n_items, dcg, idcg, ndcg, rr).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.desc(rel_col), F.asc(rank_col)
+    )
+    staged = df.filter(
+        F.col(rank_col).isNotNull() & F.col(rel_col).isNotNull()
+    ).select(
+        query_col,
+        F.col(rank_col).cast("bigint").alias("__rank__"),
+        F.col(rel_col).cast("bigint").alias("__rel__"),
+        gain.alias("__gain__"),
+        F.row_number().over(w_ideal).cast("bigint").alias("__irank__"),
+    )
+    q = F.lit(float(quantum))
+    term = F.col("__gain__") / log2(F.col("__rank__").cast("double") + F.lit(1.0))
+    iterm = F.col("__gain__") / log2(
+        F.col("__irank__").cast("double") + F.lit(1.0)
+    )
+    qsum = lambda c: (  # noqa: E731
+        F.sum(F.round(c * q).cast("decimal(38,0)")).cast("double")
+    )
+    agg = staged.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        qsum(F.when(F.col("__rank__") <= k, term).otherwise(F.lit(0.0))).alias(
+            "__sd__"
+        ),
+        qsum(
+            F.when(F.col("__irank__") <= k, iterm).otherwise(F.lit(0.0))
+        ).alias("__si__"),
+        F.min(F.when(F.col("__rel__") > 0, F.col("__rank__"))).alias(
+            "__fr__"
+        ),
+    )
+    return agg.select(
+        query_col,
+        "n_items",
+        (F.col("__sd__") / q).alias("dcg"),
+        (F.col("__si__") / q).alias("idcg"),
+        F.when(
+            F.col("__si__") > 0.0,
+            F.round(F.col("__sd__") / F.col("__si__"), 9),
+        ).alias("ndcg"),
+        F.when(
+            F.col("__fr__").isNotNull(),
+            F.lit(1.0) / F.col("__fr__").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )

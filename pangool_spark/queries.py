@@ -11691,6 +11691,70 @@ def mixture_temperature_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ranking_metrics_events",
+    """
+    WITH staged AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id ASC)
+                  AS BIGINT) AS rnk,
+             CAST(FLOOR(value / 25.0) AS BIGINT) AS rel
+      FROM events WHERE value IS NOT NULL
+    ), ideal AS (
+      SELECT user_id, rnk, rel,
+             (pow(2.0, CAST(rel AS DOUBLE)) - 1.0) AS gain,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY rel DESC, rnk ASC)
+                  AS BIGINT) AS irank
+      FROM staged
+    ), agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(round(
+               (CASE WHEN rnk <= 10
+                     THEN gain / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0))
+                     ELSE 0.0 END) * 1000000.0) AS BIGINT)) AS DOUBLE)
+               AS sd,
+             CAST(SUM(CAST(round(
+               (CASE WHEN irank <= 10
+                     THEN gain / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0))
+                     ELSE 0.0 END) * 1000000.0) AS BIGINT)) AS DOUBLE)
+               AS si,
+             MIN(CASE WHEN rel > 0 THEN rnk END) AS fr
+      FROM ideal GROUP BY 1
+    )
+    SELECT user_id, n_items,
+           sd / 1000000.0 AS dcg,
+           si / 1000000.0 AS idcg,
+           CASE WHEN si > 0.0 THEN ROUND(sd / si, 9) END AS ndcg,
+           CASE WHEN fr IS NOT NULL THEN 1.0 / CAST(fr AS DOUBLE)
+                ELSE 0.0 END AS rr
+    FROM agg
+    """,
+)
+def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-eval over recency rankings: per user, score the
+    "most recent first" ordering of their events against the value-
+    bucket relevance grade — NDCG@10 asks "are a user's high-value
+    events concentrated in their recent history", MRR's per-query half
+    gives the first-relevant position. Completes the classifier-eval
+    family (AUC / PR / calibration) with graded ranking metrics; DCG
+    terms are quantized-summed so every score hash-matches
+    cross-engine. See ``operators.ml.ranking_metrics``."""
+    from pangool_spark.operators.ml import ranking_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.asc("event_id")
+    )
+    staged = ev.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("rel"),
+    )
+    return ranking_metrics(staged, "user_id", "rnk", "rel", k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
