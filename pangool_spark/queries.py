@@ -11870,10 +11870,11 @@ def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_entropy_docs, unigram_kl_docs — quantized-ln double outputs —
 # moments_events, zipf_fit_docs — power-sum shape stats and the
 # quantized-log OLS fit — histogram_quantiles_lineitem — sketch-bracket
-# booleans — and mixture_temperature_docs — pow-weight doubles; the
-# float-heavy ones join the floats-first front). Rotate all 27 into
-# the r11 window front (they fit with 23 slots to spare for new work);
-# any r10 red rows preempt.
+# booleans — mixture_temperature_docs — pow-weight doubles — and
+# ranking_metrics_events — quantized-DCG doubles; the float-heavy ones
+# join the floats-first front). Rotate all 28 into the r11 window
+# front (they fit with 22 slots to spare for new work); any r10 red
+# rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
