@@ -1748,3 +1748,82 @@ def grouped_moments(
             "kurtosis_excess"
         ),
     )
+
+
+def cuped(
+    df: DataFrame,
+    arm_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    adjust the experiment metric by a pre-period covariate,
+    ``y_adj = ȳ_arm − θ·(x̄_arm − x̄)`` with the pooled
+    ``θ = cov(x, y)/var(x)`` — the industry-standard way to shrink A/B
+    confidence intervals without more traffic. Rows are experiment
+    units (already unit-aggregated); NULL metric/covariate rows are
+    excluded pairwise; units with no pre-period activity should carry
+    covariate 0, not NULL (that IS their pre-period signal).
+
+    Both columns must be integer-typed (cents/units): θ, the adjusted
+    means, and the variance-reduction ratio ρ² = cov²/(var_x·var_y)
+    all derive from five exact int64 sums per arm (ONE partial-combined
+    aggregate; the pooled sums are the arm sums re-added), so every
+    output is a fixed IEEE expression over exact integers —
+    engine-replicable with no libm at all. Keep per-arm Σx², Σxy, Σy²
+    under 2⁵³ for bit-exact cross-engine hashes (the
+    ``grouped_linreg`` contract; rescale to coarser units beyond).
+
+    Output (one row per arm): ``(arm_col, n, y_mean, x_mean, y_adj,
+    theta, rho2)`` — theta/rho2 are pooled, repeated per row so the
+    relation is self-contained; NULL when the pooled covariate variance
+    is 0 (nothing to adjust with).
+    """
+    types = dict(df.dtypes)
+    for c, what in ((metric_col, "metric"), (covariate_col, "covariate")):
+        if types.get(c) not in _INT_TYPES:
+            raise ValueError(
+                f"cuped needs an integer {what} column, got {c}: "
+                f"{types.get(c)!r} — rescale to cents/units"
+            )
+    x = F.col(covariate_col).cast("bigint")
+    y = F.col(metric_col).cast("bigint")
+    both = x.isNotNull() & y.isNotNull()
+    arms = df.filter(both).groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx__"),
+        F.sum(y).alias("__sy__"),
+        F.sum(x * y).alias("__sxy__"),
+        F.sum(x * x).alias("__sxx__"),
+        F.sum(y * y).alias("__syy__"),
+    )
+    w = Window.partitionBy()  # |arms| rows
+    gn = F.sum("n").over(w).cast("double")
+    gsx = F.sum("__sx__").over(w).cast("double")
+    gsy = F.sum("__sy__").over(w).cast("double")
+    gsxy = F.sum("__sxy__").over(w).cast("double")
+    gsxx = F.sum("__sxx__").over(w).cast("double")
+    gsyy = F.sum("__syy__").over(w).cast("double")
+    gxbar = gsx / gn
+    gybar = gsy / gn
+    cov = gsxy / gn - gxbar * gybar
+    var_x = gsxx / gn - gxbar * gxbar
+    var_y = gsyy / gn - gybar * gybar
+    theta = F.when(var_x > 0.0, cov / var_x)
+    rho2 = F.when(
+        (var_x > 0.0) & (var_y > 0.0), (cov * cov) / (var_x * var_y)
+    )
+    n = F.col("n").cast("double")
+    ybar = F.col("__sy__").cast("double") / n
+    xbar = F.col("__sx__").cast("double") / n
+    return arms.select(
+        arm_col,
+        "n",
+        ybar.alias("y_mean"),
+        xbar.alias("x_mean"),
+        F.when(
+            theta.isNotNull(), ybar - theta * (xbar - gxbar)
+        ).alias("y_adj"),
+        theta.alias("theta"),
+        rho2.alias("rho2"),
+    )

@@ -11755,6 +11755,92 @@ def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(staged, "user_id", "rnk", "rel", k=10)
 
 
+@query(
+    "cuped_orders",
+    """
+    WITH units AS (
+      SELECT o_custkey % 2 AS arm,
+             CAST(round(COALESCE(SUM(CASE
+                    WHEN EXTRACT(YEAR FROM o_orderdate) = 1997
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0))
+                  AS BIGINT) AS y,
+             CAST(round(COALESCE(SUM(CASE
+                    WHEN EXTRACT(YEAR FROM o_orderdate) = 1996
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM units GROUP BY 1
+    ), pooled AS (
+      SELECT arm, n, sx, sy,
+             CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS gn,
+             CAST(CAST(SUM(sx) OVER () AS BIGINT) AS DOUBLE) AS gsx,
+             CAST(CAST(SUM(sy) OVER () AS BIGINT) AS DOUBLE) AS gsy,
+             CAST(CAST(SUM(sxy) OVER () AS BIGINT) AS DOUBLE) AS gsxy,
+             CAST(CAST(SUM(sxx) OVER () AS BIGINT) AS DOUBLE) AS gsxx,
+             CAST(CAST(SUM(syy) OVER () AS BIGINT) AS DOUBLE) AS gsyy
+      FROM arms
+    ), calc AS (
+      SELECT arm, n, sx, sy,
+             gsx / gn AS gxbar,
+             gsxy / gn - (gsx / gn) * (gsy / gn) AS cov,
+             gsxx / gn - (gsx / gn) * (gsx / gn) AS var_x,
+             gsyy / gn - (gsy / gn) * (gsy / gn) AS var_y
+      FROM pooled
+    )
+    SELECT arm, n,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS y_mean,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS x_mean,
+           CASE WHEN var_x > 0.0
+                THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (cov / var_x)
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gxbar)
+           END AS y_adj,
+           CASE WHEN var_x > 0.0 THEN cov / var_x END AS theta,
+           CASE WHEN var_x > 0.0 AND var_y > 0.0
+                THEN (cov * cov) / (var_x * var_y) END AS rho2
+    FROM calc
+    """,
+)
+def cuped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction readout for a synthetic A/B split of
+    customers (arm = custkey parity): 1997 spend adjusted by the 1996
+    pre-period covariate — the WSDM'13 estimator as exact int64 sum
+    algebra (no libm at all), with the pooled θ and ρ² (the fraction of
+    metric variance the covariate removes) repeated per arm. See
+    ``operators.stats.cuped``."""
+    from pangool_spark.operators.stats import cuped
+
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    units = orders.groupBy(
+        (F.col("o_custkey") % F.lit(2)).alias("arm"),
+        F.col("o_custkey"),
+    ).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1997, dec)), zero
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.year("o_orderdate") == 1996, dec)), zero
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+    )
+    return cuped(units, "arm", "y", "x")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -11871,10 +11957,10 @@ def ranking_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moments_events, zipf_fit_docs — power-sum shape stats and the
 # quantized-log OLS fit — histogram_quantiles_lineitem — sketch-bracket
 # booleans — mixture_temperature_docs — pow-weight doubles — and
-# ranking_metrics_events — quantized-DCG doubles; the float-heavy ones
-# join the floats-first front). Rotate all 28 into the r11 window
-# front (they fit with 22 slots to spare for new work); any r10 red
-# rows preempt.
+# ranking_metrics_events — quantized-DCG doubles — and cuped_orders —
+# exact-sum ratio doubles; the float-heavy ones join the floats-first
+# front). Rotate all 29 into the r11 window front (they fit with 21
+# slots to spare for new work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
