@@ -1827,3 +1827,83 @@ def cuped(
         theta.alias("theta"),
         rho2.alias("rho2"),
     )
+
+
+def raking_weights(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    row_targets: "dict",
+    col_targets: "dict",
+    iters: int = 3,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Survey raking / iterative proportional fitting: per-cell weights
+    that pull the (A × B) contingency margins toward target totals by
+    alternating row/column ratio updates (Deming & Stephan 1940) — the
+    post-stratification step that makes a skewed sample representative
+    before any downstream aggregate.
+
+    Determinism contract for an ITERATIVE float algorithm: weights live
+    as QUANTIZED integers between iterations (``round(w · quantum)``),
+    so each margin is an exact integer sum (window over the cell
+    relation — |A|·|B| rows, never the data) and each update is one
+    fixed IEEE expression ``round(wq · (target / (margin / quantum)))``
+    — bit-replicable in any engine for a FIXED iteration count, the
+    same unrolling contract as pagerank/kcore. Keep ``margin =
+    Σ n·wq < 2⁵³`` (≈ 10⁹ rows per margin at quantum 10⁶ and O(1)
+    weights) for the exact path; int64 → double is correctly rounded
+    in every engine beyond that, but the sum itself must not overflow
+    int64.
+
+    Categories absent from a target dict get target 0 (their weights
+    collapse toward 0 — stated, not hidden). ``iters`` alternating
+    (row, column) passes; after the final pass column margins are
+    matched exactly, row margins to IPF convergence.
+
+    Output (|A|·|B| rows): ``(a_col, b_col, n, weight, fitted)`` where
+    ``weight = wq/quantum`` and ``fitted = n · weight``.
+    """
+    if iters <= 0 or iters > 10:
+        raise ValueError(f"iters must be in [1, 10], got {iters}")
+    if quantum <= 0:
+        raise ValueError(f"quantum must be positive, got {quantum}")
+    if not row_targets or not col_targets:
+        raise ValueError("raking_weights needs non-empty target dicts")
+
+    def _target(col, targets):
+        expr = F.lit(0.0)
+        for k, v in sorted(targets.items()):
+            expr = F.when(F.col(col) == k, F.lit(float(v))).otherwise(expr)
+        return expr
+
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = F.lit(float(quantum))
+    out = cells.withColumn("__wq__", F.lit(int(quantum)).cast("bigint"))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    ta = _target(a_col, row_targets)
+    tb = _target(b_col, col_targets)
+    for _ in range(int(iters)):
+        for win, tgt in ((wa, ta), (wb, tb)):
+            margin = F.sum(F.col("n") * F.col("__wq__")).over(win)
+            ratio = tgt / (margin.cast("double") / q)
+            out = out.withColumn(
+                "__wq__",
+                F.when(margin > 0, F.round(F.col("__wq__").cast("double") * ratio))
+                .otherwise(F.lit(0.0))
+                .cast("bigint"),
+            )
+    return out.select(
+        a_col,
+        b_col,
+        "n",
+        (F.col("__wq__").cast("double") / q).alias("weight"),
+        (
+            F.col("n").cast("double") * (F.col("__wq__").cast("double") / q)
+        ).alias("fitted"),
+    )

@@ -11841,6 +11841,84 @@ def cuped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped(units, "arm", "y", "x")
 
 
+_RAKE_ROW_T = {0: 300.0, 1: 300.0, 2: 300.0, 3: 300.0, 4: 300.0}
+_RAKE_COL_T = {
+    "AUTOMOBILE": 400.0,
+    "BUILDING": 350.0,
+    "FURNITURE": 300.0,
+    "HOUSEHOLD": 250.0,
+    "MACHINERY": 200.0,
+}
+
+
+def _rake_case(col: str, targets: "dict") -> str:
+    whens = " ".join(
+        f"WHEN {col} = {k!r} THEN {float(v)!r}"
+        if isinstance(k, str)
+        else f"WHEN {col} = {k} THEN {float(v)!r}"
+        for k, v in sorted(targets.items())
+    )
+    return f"(CASE {whens} ELSE 0.0 END)"
+
+
+def _raking_sql(iters: int = 3) -> str:
+    """Unrolled IPF oracle — the pagerank/kcore fixed-iteration contract:
+    the SQL replays the exact quantized-weight update chain."""
+    sql = """
+    WITH c0 AS (
+      SELECT a, b, n, CAST(1000000 AS BIGINT) AS wq FROM (
+        SELECT c_nationkey % 5 AS a, c_mktsegment AS b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        GROUP BY 1, 2)
+    )"""
+    step = 0
+    prev = "c0"
+    for _ in range(iters):
+        for dim, tgt in (("a", _rake_case("a", _RAKE_ROW_T)),
+                         ("b", _rake_case("b", _RAKE_COL_T))):
+            step += 1
+            cur = f"c{step}"
+            margin = f"SUM(n * wq) OVER (PARTITION BY {dim})"
+            sql += f""", {cur} AS (
+      SELECT a, b, n,
+             CAST(CASE WHEN {margin} > 0
+                  THEN round(CAST(wq AS DOUBLE)
+                             * ({tgt}
+                                / (CAST(CAST({margin} AS BIGINT) AS DOUBLE)
+                                   / 1000000.0)))
+                  ELSE 0.0 END AS BIGINT) AS wq
+      FROM {prev})"""
+            prev = cur
+    sql += f"""
+    SELECT a, b, n,
+           CAST(wq AS DOUBLE) / 1000000.0 AS weight,
+           CAST(n AS DOUBLE) * (CAST(wq AS DOUBLE) / 1000000.0) AS fitted
+    FROM {prev}
+    """
+    return sql
+
+
+@query("raking_customers", _raking_sql(3))
+def raking_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (IPF, 3 alternating passes): post-stratification
+    weights pulling the (nation-bucket × market-segment) margins toward
+    fixed target totals — the make-the-sample-representative step before
+    any weighted readout. Weights stay QUANTIZED integers between
+    iterations so every margin is an exact integer sum and the whole
+    iterative fit carries a full value oracle (the pagerank unrolling
+    contract). See ``operators.stats.raking_weights``."""
+    from pangool_spark.operators.stats import raking_weights
+
+    cust = load_table(spark, sf_dir, "customer")
+    staged = cust.select(
+        (F.col("c_nationkey") % F.lit(5)).alias("a"),
+        F.col("c_mktsegment").alias("b"),
+    )
+    return raking_weights(staged, "a", "b", _RAKE_ROW_T, _RAKE_COL_T, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -11957,10 +12035,11 @@ def cuped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # moments_events, zipf_fit_docs — power-sum shape stats and the
 # quantized-log OLS fit — histogram_quantiles_lineitem — sketch-bracket
 # booleans — mixture_temperature_docs — pow-weight doubles — and
-# ranking_metrics_events — quantized-DCG doubles — and cuped_orders —
-# exact-sum ratio doubles; the float-heavy ones join the floats-first
-# front). Rotate all 29 into the r11 window front (they fit with 21
-# slots to spare for new work); any r10 red rows preempt.
+# ranking_metrics_events — quantized-DCG doubles — cuped_orders —
+# exact-sum ratio doubles — and raking_customers — quantized-IPF
+# weight doubles; the float-heavy ones join the floats-first front).
+# Rotate all 30 into the r11 window front (they fit with 20 slots to
+# spare for new work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
