@@ -499,3 +499,66 @@ def pseudonymize(
         )
         out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
     return out
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    validate: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a CDC change-log batch into a
+    standing ``scd2_history`` relation WITHOUT rebuilding it — closed
+    versions are never touched, untouched keys pass through, and only
+    the affected keys' current rows re-chain against the batch. The
+    nightly-dimension-merge shape: O(|current ∩ batch keys| + |batch|),
+    not O(full history log).
+
+    Exact-equivalence contract (the oracle): for any split of a change
+    log into (past, batch),
+    ``scd2_apply(scd2_history(past), batch) == scd2_history(past ∪
+    batch)`` row-for-row — because re-historizing each affected key's
+    open version together with its batch rows rebuilds exactly the
+    tail of the full chain. That requires batch timestamps strictly
+    AFTER the affected key's current ``valid_from`` (late-arriving
+    rows would belong inside already-closed versions); with
+    ``validate=True`` (default) a violation count runs as one
+    aggregate and raises instead of silently mis-chaining. Batch rows
+    must be unique per (keys, ts) — collapse with ``keep_latest``
+    upstream, as ``scd2_history`` itself requires.
+
+    Output: the ``scd2_history`` schema (keys + attrs + valid_from,
+    valid_to, is_current).
+    """
+    keys = list(keys)
+    attrs = list(attr_cols)
+    closed = history.filter(~F.col("is_current"))
+    current = history.filter(F.col("is_current"))
+    bkeys = batch.select(*keys).distinct()
+    untouched = current.join(bkeys, keys, "left_anti")
+    affected = current.join(bkeys, keys, "left_semi")
+    if validate:
+        n_bad = (
+            affected.select(*keys, "valid_from")
+            .join(batch.select(*keys, F.col(ts_col).alias("__bts__")), keys)
+            .filter(F.col("__bts__") <= F.col("valid_from"))
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"scd2_apply: {n_bad} batch row(s) at or before an "
+                f"affected key's current valid_from — late-arriving "
+                f"changes need a rebuild of those keys, not an append"
+            )
+    minilog = affected.select(
+        *keys, *attrs, F.col("valid_from").alias(ts_col)
+    ).unionByName(batch.select(*keys, *attrs, ts_col))
+    rebuilt = scd2_history(minilog, keys, ts_col, attrs)
+    cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    return (
+        closed.select(*cols)
+        .unionByName(untouched.select(*cols))
+        .unionByName(rebuilt.select(*cols))
+    )

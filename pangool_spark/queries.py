@@ -11919,6 +11919,53 @@ def raking_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raking_weights(staged, "a", "b", _RAKE_ROW_T, _RAKE_COL_T, iters=3)
 
 
+@query(
+    "scd2_apply_events",
+    """
+    WITH dedup AS (
+      SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+             AS is_current
+    FROM dedup
+    """,
+)
+def scd2_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance, equivalence-oracled: historize the
+    pre-1998 change log, then ``scd2_apply`` the 1998+ batch — the
+    result must equal the one-shot historization of the FULL log
+    row-for-row (the oracle replays exactly that), proving the
+    incremental fold touches only affected keys yet rebuilds the same
+    chain. See ``operators.upsert.scd2_apply``."""
+    from pangool_spark.operators.upsert import (
+        keep_latest,
+        scd2_apply,
+        scd2_history,
+    )
+
+    split = "1998-01-01"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    deduped = keep_latest(ev, ["user_id", "ts"], ["event_id"]).drop(
+        "event_id"
+    )
+    past = deduped.filter(F.col("ts") < F.lit(split).cast("timestamp"))
+    batch = deduped.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+    history = scd2_history(past, ["user_id"], "ts", ["event_type"])
+    return scd2_apply(
+        history, batch, ["user_id"], "ts", ["event_type"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -12036,10 +12083,11 @@ def raking_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized-log OLS fit — histogram_quantiles_lineitem — sketch-bracket
 # booleans — mixture_temperature_docs — pow-weight doubles — and
 # ranking_metrics_events — quantized-DCG doubles — cuped_orders —
-# exact-sum ratio doubles — and raking_customers — quantized-IPF
-# weight doubles; the float-heavy ones join the floats-first front).
-# Rotate all 30 into the r11 window front (they fit with 20 slots to
-# spare for new work); any r10 red rows preempt.
+# exact-sum ratio doubles — raking_customers — quantized-IPF weight
+# doubles — and scd2_apply_events (timestamp-interval relation, the
+# equivalence oracle); the float-heavy ones join the floats-first
+# front). Rotate all 31 into the r11 window front (they fit with 19
+# slots to spare for new work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
