@@ -1047,3 +1047,162 @@ def stream_heavy_hitters(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_unigram_drift(
+    stream: DataFrame,
+    text_col: str,
+    reference: DataFrame,
+    state_dir: str,
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+    quantum: int = 1_000_000_000,
+):
+    """Streaming LEXICAL drift: each micro-batch's token counts fold into
+    a standing vocabulary-count table, and the monitor emits the add-1-
+    smoothed unigram KL divergence (both directions) of the ACCUMULATED
+    stream distribution vs a fixed ``reference`` corpus after every
+    batch — "is the live crawl's token mix walking away from the
+    training snapshot", the streaming twin of ``infotheory.unigram_kl``
+    (same cross-ratio + quantized-term algebra, so stream-maintained
+    and batch-recomputed KL are bit-identical — the parity test pins
+    it).
+
+    State is the |vocab|-row count relation — too big for the
+    collect-and-rewrite small-state pattern (``stream_cms`` grids), so
+    versioning replaces collection: batch N writes
+    ``{state_dir}/counts/v{N}`` distributively, reads the previous
+    version, and best-effort deletes ``v{N-2}``. A replayed micro-batch
+    finds its own version already present (``batch_id <= last``) and
+    skips the fold (idempotent-by-batch_id); only a genuinely missing
+    state dir counts as first batch. KL rows land at
+    ``{state_dir}/_KL/batch_id=N``.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    import os as _os
+
+    ref_counts = (
+        reference.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "__tok__"
+            )
+        )
+        .filter(F.col("__tok__") != "")
+        .groupBy("__tok__")
+        .agg(F.count(F.lit(1)).alias("__cq__"))
+    )
+
+    counts_root = _os.path.join(state_dir, "counts")
+    kl_dir = _os.path.join(state_dir, "_KL")
+
+    def _versions(spark):
+        if not _hadoop_path_exists(spark, counts_root):
+            return []
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(counts_root)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        batch_counts = (
+            batch_df.select(
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), r"\s+")
+                ).alias("__tok__")
+            )
+            .filter(F.col("__tok__") != "")
+            .groupBy("__tok__")
+            .agg(F.count(F.lit(1)).alias("__cp__"))
+        )
+        versions = _versions(spark)
+        if versions and bid <= versions[-1]:
+            merged = spark.read.parquet(
+                _os.path.join(counts_root, f"v{versions[-1]}")
+            )  # replay: fold already applied — rewrite the KL row only
+        else:
+            if versions:
+                standing = spark.read.parquet(
+                    _os.path.join(counts_root, f"v{versions[-1]}")
+                )
+                merged_new = (
+                    standing.unionByName(batch_counts)
+                    .groupBy("__tok__")
+                    .agg(F.sum("__cp__").alias("__cp__"))
+                )
+            else:
+                merged_new = batch_counts
+            merged_new.write.mode("overwrite").parquet(
+                _os.path.join(counts_root, f"v{bid}")
+            )
+            merged = spark.read.parquet(
+                _os.path.join(counts_root, f"v{bid}")
+            )
+            # best-effort cleanup of versions older than the previous one
+            for old in versions[:-1]:
+                try:
+                    p = spark._jvm.org.apache.hadoop.fs.Path(
+                        _os.path.join(counts_root, f"v{old}")
+                    )
+                    p.getFileSystem(
+                        spark._jsc.hadoopConfiguration()
+                    ).delete(p, True)
+                except Exception:
+                    pass  # cleanup must never fail the batch
+
+        # KL via the SAME algebra as infotheory.unigram_kl, fed with the
+        # standing counts: unigram_kl explodes raw text, so its exact
+        # expression chain is inlined here over the pre-aggregated
+        # counts (identical expressions, pinned by the parity test):
+        vocab = merged.join(ref_counts, "__tok__", "full_outer").select(
+            F.coalesce("__cp__", F.lit(0)).alias("__cp__"),
+            F.coalesce("__cq__", F.lit(0)).alias("__cq__"),
+        )
+        totals = F.broadcast(
+            vocab.agg(
+                F.count(F.lit(1)).alias("vocab"),
+                F.sum("__cp__").alias("n_p"),
+                F.sum("__cq__").alias("n_q"),
+            )
+        )
+        joined = vocab.crossJoin(totals)
+        dp = (F.col("n_p") + F.col("vocab")).cast("double")
+        dq = (F.col("n_q") + F.col("vocab")).cast("double")
+        ap = (F.col("__cp__") + F.lit(1)).cast("double")
+        aq = (F.col("__cq__") + F.lit(1)).cast("double")
+        lnratio = F.log((ap * dq) / (aq * dp))
+        q = F.lit(float(quantum))
+        qsum = lambda c: (  # noqa: E731
+            F.sum(F.round(c * q).cast("decimal(38,0)")).cast("double")
+        )
+        kl = (
+            joined.groupBy("vocab", "n_p", "n_q")
+            .agg(
+                qsum((ap / dp) * lnratio).alias("__skl_pq__"),
+                qsum((aq / dq) * (-lnratio)).alias("__skl_qp__"),
+            )
+            .select(
+                F.lit(bid).cast("bigint").alias("batch_id"),
+                "vocab",
+                "n_p",
+                "n_q",
+                (F.col("__skl_pq__") / q).alias("kl_pq"),
+                (F.col("__skl_qp__") / q).alias("kl_qp"),
+            )
+        )
+        kl.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(kl_dir, f"batch_id={bid}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
