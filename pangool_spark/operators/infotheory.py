@@ -230,9 +230,9 @@ def woe_iv(
     usually the most predictive bin). The IV total accumulates as a
     quantized sum over the k-row category relation (module docstring)
     so it is order-independent; per-row WOE/IV terms round to 9
-    decimals. Totals come from broadcast 1-row aggregates, not a
-    single-partition window, so a million-category feature (hashed ids,
-    URLs) never funnels through one task.
+    decimals. Totals come from a window over the k-row CATEGORY
+    relation — one data scan total; the single-partition window only
+    ever holds k rows.
 
     Output (k rows): ``feature_value, goods, bads, woe, iv_term,
     iv_total`` (``iv_total`` repeated on every row so the relation is
@@ -249,40 +249,33 @@ def woe_iv(
             F.count(F.when(~lbl, 1)).alias("bads"),
         )
     )
+    # totals via a window over the CELL relation: the input is k rows
+    # (one per category), so the single partition holds k rows, never
+    # the data — and the raw rows are scanned exactly once. (A
+    # broadcast-aggregate form avoids the window but replays the
+    # contingency aggregate per consumer: 3 data scans. Scans dominate
+    # at 100 TB; the k-row window does not.)
+    w = Window.partitionBy()
     s = F.lit(float(smooth))
-    totals = F.broadcast(
-        cells.agg(
-            F.count(F.lit(1)).cast("double").alias("__k__"),
-            F.sum("goods").cast("double").alias("__G__"),
-            F.sum("bads").cast("double").alias("__B__"),
-        )
-    )
-    staged = cells.crossJoin(totals)
-    k = F.col("__k__")
-    big_g = F.col("__G__")
-    big_b = F.col("__B__")
+    k = F.count(F.lit(1)).over(w).cast("double")
+    big_g = F.sum("goods").over(w).cast("double")
+    big_b = F.sum("bads").over(w).cast("double")
     pg = (F.col("goods").cast("double") + s) / (big_g + k * s)
     pb = (F.col("bads").cast("double") + s) / (big_b + k * s)
     woe = F.log(pg / pb)
     iv_term = (pg - pb) * woe
     q = F.lit(float(quantum))
-    ivt = F.broadcast(
-        staged.agg(
-            (
-                F.sum(F.round(iv_term * q).cast("decimal(38,0)")).cast(
-                    "double"
-                )
-                / q
-            ).alias("__ivt__")
-        )
+    iv_total = (
+        F.sum(F.round(iv_term * q).cast("decimal(38,0)")).over(w).cast("double")
+        / q
     )
-    return staged.crossJoin(ivt).select(
+    return cells.select(
         "feature_value",
         "goods",
         "bads",
         F.round(woe, 9).alias("woe"),
         F.round(iv_term, 9).alias("iv_term"),
-        F.col("__ivt__").alias("iv_total"),
+        iv_total.alias("iv_total"),
     )
 
 
