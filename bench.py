@@ -290,6 +290,21 @@ EXTENDED = [
     # plan-cache build/replay lifecycle
     "windowed_dedup_events",
     "plan_cache_replay_orders",
+    # round-10 session-3 additions: information theory, shape stats,
+    # sketch quantiles, recipes/eval/governance, incremental SCD2
+    "mutual_info_events",
+    "feature_mi_orders",
+    "woe_iv_orders",
+    "token_entropy_docs",
+    "unigram_kl_docs",
+    "moments_events",
+    "zipf_fit_docs",
+    "histogram_quantiles_lineitem",
+    "mixture_temperature_docs",
+    "ranking_metrics_events",
+    "cuped_orders",
+    "raking_customers",
+    "scd2_apply_events",
 ]
 
 RUNS_PER_QUERY = 3
