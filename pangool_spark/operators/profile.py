@@ -820,3 +820,98 @@ def dp_count_release(
     return counts.select(
         *gcols, released.cast("bigint").alias("noisy_count")
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    step past ``k_anonymity``'s l-diversity: a class can hold many
+    DISTINCT sensitive values and still leak if its sensitive
+    DISTRIBUTION differs sharply from the table's (e.g. 90% "debt" in
+    one zip code vs 10% overall). Per equivalence class, the total-
+    variation distance between the class's sensitive distribution and
+    the global one; ``close`` iff TV ≤ t.
+
+    Exact integer algebra: with class counts ``c_gs``, class size
+    ``n_g``, global counts ``C_s``, total ``N``,
+    ``TV_g = Σ_s |c_gs·N − C_s·n_g| / (2·n_g·N)`` — the numerator
+    accumulates as exact DECIMAL(38,0) products (order-independent),
+    one double division at the boundary, rounded to 9dp (the
+    large-int→double conversion is the one step engines may differ on
+    by 1 ulp — the moments_events finding). Classes missing a sensitive
+    value still pay its global mass: the cell grid is the class
+    relation CROSS the |domain|-sized sensitive relation (both
+    aggregate-sized — never row-sized), left-filled with 0.
+
+    Output: one row per class — (*quasi_cols, class_size, tv, close).
+    NULL is a legitimate value on both sides (GROUP BY semantics), same
+    as ``k_anonymity``.
+    """
+    keys = list(quasi_cols)
+    if not keys:
+        raise ValueError("t_closeness needs at least one quasi-identifier")
+    if not 0.0 <= t <= 1.0:
+        raise ValueError(f"t must be in [0, 1], got {t}")
+    s = F.col(sensitive_col)
+    cells = df.groupBy(*keys, s.alias("__s__")).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    classes = cells.groupBy(*keys).agg(F.sum("__c__").alias("class_size"))
+    dom = cells.groupBy("__s__").agg(F.sum("__c__").alias("__cs__"))
+    n_total = dom.agg(F.sum("__cs__").alias("__n__"))
+    # class × sensitive-domain grid (|classes|·|domain| rows, both
+    # aggregate-sized), observed counts left-filled with 0. Null-safe
+    # equality on every key: NULL is a legitimate class/sensitive value
+    # and must match its own cell (plain SQL `=` would zero it out).
+    base = classes.crossJoin(F.broadcast(dom)).alias("__b__")
+    obs = cells.alias("__o__")
+    cond = [
+        F.col(f"__b__.{k}").eqNullSafe(F.col(f"__o__.{k}")) for k in keys
+    ]
+    cond.append(F.col("__b__.__s__").eqNullSafe(F.col("__o__.__s__")))
+    joined = base.join(obs, cond, "left").select(
+        *[F.col(f"__b__.{k}") for k in keys],
+        F.col("__b__.class_size"),
+        F.col("__b__.__cs__"),
+        F.col("__o__.__c__"),
+    )
+    grid = (
+        joined.crossJoin(F.broadcast(n_total))
+        .select(
+            *keys,
+            "class_size",
+            (
+                F.abs(
+                    F.coalesce(F.col("__c__"), F.lit(0)).cast("decimal(38,0)")
+                    * F.col("__n__")
+                    - F.col("__cs__").cast("decimal(38,0)") * F.col("class_size")
+                )
+            ).alias("__num__"),
+            (
+                F.col("class_size").cast("decimal(38,0)")
+                * F.col("__n__")
+                * F.lit(2)
+            ).alias("__den__"),
+        )
+    )
+    return (
+        grid.groupBy(*keys)
+        .agg(
+            F.max("class_size").alias("class_size"),
+            F.round(
+                F.sum("__num__").cast("double")
+                / F.max("__den__").cast("double"),
+                9,
+            ).alias("tv"),
+        )
+        .select(
+            *keys,
+            "class_size",
+            "tv",
+            (F.col("tv") <= F.lit(float(t))).alias("close"),
+        )
+    )

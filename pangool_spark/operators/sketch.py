@@ -394,3 +394,134 @@ def histogram_quantile_sketch(
         (F.col("bin") * F.lit(w)).alias("est_lo"),
         (F.col("bin") * F.lit(w) + F.lit(w - 1)).alias("est_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet & Meunier, AofA 2007) with a
+# PORTABLE register construction: every bit of the sketch derives from
+# md5 hex-string algebra (substring / regexp / CASE), so the registers
+# AND the estimate replicate verbatim in DuckDB SQL — unlike
+# approx_count_distinct, whose engine-internal HLL is rows-only
+# checkable. Same portability contract as base_hash_31 / the md5
+# MinHash family.
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """Build the 2^p HyperLogLog registers over ``key_col``. Output:
+    ``(j, m_j)`` — at most 2^p rows, absent registers are zero.
+
+    Why this matters at 100 TB: exact COUNT(DISTINCT) shuffles one row
+    per distinct key; the HLL state is 2^p counters TOTAL regardless of
+    cardinality, built as ONE partial-combined aggregate (the count-min
+    argument) — the shuffle moves at most ``2^p · tasks`` partial rows.
+    Two register sets with the same p merge by cell-wise MAX
+    (``hll_merge``), so sketches compose across shards and days.
+
+    Register construction (one md5 per row, no RNG, rerun-identical):
+    ``j`` = the base_hash_31 31-bit value (md5 hex chars 1-8) mod 2^p;
+    ``rho`` = 1 + the number of leading zero BITS of the 52-bit word in
+    md5 hex chars 9-21, computed by hex-string algebra (leading-zero
+    chars via an anchored regexp strip, the partial nibble via a CASE) —
+    every step has an exact DuckDB twin. NULL keys are excluded
+    (COUNT DISTINCT semantics).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    key = F.col(key_col).cast("string")
+    hx = F.md5(key)
+    j = (
+        F.conv(F.substring(hx, 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        % m
+    )
+    stripped = F.regexp_replace(F.substring(hx, 9, 13), "^0+", "")
+    zchars = F.lit(13) - F.length(stripped)
+    nib = F.substring(stripped, 1, 1)
+    nib_lz = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (F.lit(4) * zchars + nib_lz + F.lit(1)).cast("int")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(j.alias("j"), rho.alias("rho"))
+        .groupBy("j")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise MAX of two register sets built with the same p —
+    the incremental-maintenance path (sketch the new batch, merge with
+    the standing registers, never rescan history)."""
+    return a.unionByName(b).groupBy("j").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10, rho_cap: int = 40) -> DataFrame:
+    """Cardinality estimate from HLL registers — one row:
+    ``(m, nonzero, v_zero, s_scaled, linear_counting, estimate)``.
+
+    The harmonic sum is EXACT integer algebra: each register contributes
+    ``2^(rho_cap − min(m_j, rho_cap))`` (a ≤2^40 BIGINT; absent
+    registers contribute 2^rho_cap), so ``s_scaled ≤ 2^(p+rho_cap)``
+    stays under 2^53 for p ≤ 13 — both engines convert it to double
+    EXACTLY, and the raw estimate ``alpha·m²·2^rho_cap / s_scaled`` is a
+    fixed IEEE expression over identical doubles, bit-equal cross-engine.
+    Capping rho at ``rho_cap`` biases a register only when it saw ≥ 40
+    leading zero bits (probability ~2^-40 per distinct key — never at
+    any realistic cardinality). The small-range branch is the standard
+    linear counting ``m·ln(m/V)`` when the raw estimate ≤ 2.5m and zero
+    registers remain; its single ln is rounded to 9dp like every
+    ln-derived output in the catalog.
+    """
+    if not 4 <= p <= 13:
+        raise ValueError(f"p must be in [4, 13] (2^53 exactness), got {p}")
+    if rho_cap < 1 or p + rho_cap > 52:
+        raise ValueError(f"need p + rho_cap <= 52, got {p}+{rho_cap}")
+    m = 1 << p
+    term = F.pow(
+        F.lit(2.0), F.lit(rho_cap) - F.least(F.col("m_j"), F.lit(rho_cap))
+    ).cast("bigint")
+    s = registers.agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("__sp__"),
+    )
+    full = (1 << rho_cap)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s_scaled = (
+        F.col("__sp__") + (F.lit(m) - F.col("nonzero")) * F.lit(full)
+    ).cast("bigint")
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m) * float(m) * float(full))
+        / s_scaled.cast("double")
+    )
+    v = (F.lit(m) - F.col("nonzero")).cast("bigint")
+    lc = F.col("linear_counting")
+    return (
+        s.select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.col("nonzero").cast("bigint").alias("nonzero"),
+            v.alias("v_zero"),
+            s_scaled.alias("s_scaled"),
+            ((raw <= F.lit(2.5) * m) & (v > 0)).alias("linear_counting"),
+            raw.alias("__raw__"),
+        )
+        .select(
+            "m",
+            "nonzero",
+            "v_zero",
+            "s_scaled",
+            "linear_counting",
+            F.round(
+                F.when(
+                    lc, F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero"))
+                ).otherwise(F.col("__raw__")),
+                9,
+            ).alias("estimate"),
+        )
+    )

@@ -1907,3 +1907,127 @@ def raking_weights(
             F.col("n").cast("double") * (F.col("__wq__").cast("double") / q)
         ).alias("fitted"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Difference-in-differences (the Card & Krueger AER'94 design):
+    the causal-effect workhorse when you have a treated and a control
+    population observed before and after a change —
+    ``DiD = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    ȳ_control,pre)``, the treated group's change net of the secular
+    trend the control group shows.
+
+    ``treated_col``/``post_col`` are booleans; ``metric_col`` must be
+    integer-typed (cents/units — the cuped contract). ONE
+    partial-combined aggregate builds the four (treated, post) cells as
+    exact int64 sums; the cell means, per-group deltas, and the DiD
+    estimate are fixed IEEE expressions over those exact sums (repeated
+    per cell row via a |4|-row window, so the relation is
+    self-contained) — engine-replicable, zero libm. NULL metric,
+    treated, or post rows are excluded (a row that can't be assigned to
+    a cell can't enter the contrast).
+
+    Output: the 4 cell rows — (treated, post, n, mean, did) — did is
+    NULL when any cell is empty (the contrast is undefined).
+    """
+    types = dict(df.dtypes)
+    if types.get(metric_col) not in _INT_TYPES:
+        raise ValueError(
+            f"diff_in_diff needs an integer metric column, got "
+            f"{metric_col}: {types.get(metric_col)!r} — rescale to cents"
+        )
+    tr, po = F.col(treated_col), F.col(post_col)
+    y = F.col(metric_col).cast("bigint")
+    cells = (
+        df.filter(tr.isNotNull() & po.isNotNull() & y.isNotNull())
+        .groupBy(tr.alias("treated"), po.alias("post"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("__sy__"))
+    )
+    w = Window.partitionBy()  # 4 rows
+    mean_of = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("__sy__").cast("double") / F.col("n").cast("double"),
+        )
+    ).over(w)
+    m11, m10 = mean_of(True, True), mean_of(True, False)
+    m01, m00 = mean_of(False, True), mean_of(False, False)
+    return cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("__sy__").cast("double") / F.col("n").cast("double")).alias(
+            "mean"
+        ),
+        ((m11 - m10) - (m01 - m00)).alias("did"),
+    )
+
+
+def smd_balance(
+    df: DataFrame,
+    arm_col: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Standardized mean difference per covariate between two arms —
+    the covariate-balance audit that gates every observational contrast
+    (Austin, Statistics in Medicine 2009): ``SMD = (m_t − m_c) /
+    sqrt((v_t + v_c)/2)`` with sample variances; |SMD| > 0.1 is the
+    conventional imbalance flag.
+
+    ``arm_col`` is boolean (True = treated); ``value_col`` must be
+    integer-typed (cents/units — the cuped contract); ``group_col``
+    labels the covariate when several are melted into one relation.
+    ONE partial-combined aggregate produces six exact int64 sums per
+    covariate (n/Σy/Σy² per arm as conditional aggregates — never a
+    second pass); mean, variance, and SMD are fixed IEEE chains over
+    them (sqrt only), so the relation is engine-replicable bit-for-bit.
+    Keep per-arm Σy² under 2⁵³ (the grouped_linreg contract). NULL arm
+    or value rows are excluded. SMD is NULL when either arm has n ≤ 1
+    or the pooled variance is 0 (no scale to standardize by).
+
+    Output: (group_col, n_t, n_c, mean_t, mean_c, smd).
+    """
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"smd_balance needs an integer value column, got "
+            f"{value_col}: {types.get(value_col)!r} — rescale to cents"
+        )
+    arm = F.col(arm_col)
+    y = F.col(value_col).cast("bigint")
+    g = (
+        df.filter(arm.isNotNull() & y.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.when(arm, F.lit(1))).alias("n_t"),
+            F.count(F.when(~arm, F.lit(1))).alias("n_c"),
+            F.coalesce(F.sum(F.when(arm, y)), F.lit(0)).alias("__st__"),
+            F.coalesce(F.sum(F.when(~arm, y)), F.lit(0)).alias("__sc__"),
+            F.coalesce(F.sum(F.when(arm, y * y)), F.lit(0)).alias("__sst__"),
+            F.coalesce(F.sum(F.when(~arm, y * y)), F.lit(0)).alias("__ssc__"),
+        )
+    )
+    n_t, n_c = F.col("n_t").cast("double"), F.col("n_c").cast("double")
+    s_t, s_c = F.col("__st__").cast("double"), F.col("__sc__").cast("double")
+    ss_t, ss_c = F.col("__sst__").cast("double"), F.col("__ssc__").cast("double")
+    mean_t, mean_c = s_t / n_t, s_c / n_c
+    v_t = (ss_t - s_t * s_t / n_t) / (F.col("n_t") - F.lit(1)).cast("double")
+    v_c = (ss_c - s_c * s_c / n_c) / (F.col("n_c") - F.lit(1)).cast("double")
+    pooled = (v_t + v_c) / F.lit(2).cast("double")
+    return g.select(
+        group_col,
+        "n_t",
+        "n_c",
+        mean_t.alias("mean_t"),
+        mean_c.alias("mean_c"),
+        F.when(
+            (F.col("n_t") > 1) & (F.col("n_c") > 1) & (pooled > 0),
+            (mean_t - mean_c) / F.sqrt(pooled),
+        ).alias("smd"),
+    )

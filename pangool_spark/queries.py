@@ -11967,6 +11967,279 @@ def scd2_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 10, session 4: portable HyperLogLog (the value-oracled register
+# sketch approx_distinct_parts cannot be), t-closeness governance,
+# difference-in-differences + covariate-balance experimentation algebra.
+
+
+def _hll_sql_block(p: int, key: str, table: str) -> str:
+    """One ``(p, m, nonzero, v_zero, s_scaled, linear_counting,
+    estimate)`` row — the DuckDB twin of ``sketch.hll_registers`` +
+    ``hll_estimate`` (md5 hex-string register algebra, exact-integer
+    harmonic sum, CASTed double literals so DuckDB does IEEE — not
+    DECIMAL — arithmetic)."""
+    m = 1 << p
+    num = m * m * (1 << 40)
+    md = f"CAST({m} AS DOUBLE)"
+    alpha = f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {md}))"
+    raw = f"({alpha} * {num} / CAST(s_scaled AS DOUBLE))"
+    is_lc = f"({raw} <= CAST(2.5 AS DOUBLE) * {md} AND {m} - nonzero > 0)"
+    return f"""
+    SELECT {p} AS p, CAST({m} AS BIGINT) AS m, nonzero,
+           CAST({m} - nonzero AS BIGINT) AS v_zero, s_scaled,
+           {is_lc} AS linear_counting,
+           ROUND(CASE WHEN {is_lc}
+                      THEN {md} * ln({md} / ({m} - nonzero))
+                      ELSE {raw} END, 9) AS estimate
+    FROM (
+      SELECT nonzero,
+             CAST(sp + ({m} - nonzero) * {1 << 40} AS BIGINT) AS s_scaled
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nonzero,
+               CAST(COALESCE(SUM(CAST(POWER(2, 40 - LEAST(m_j, 40))
+                                      AS BIGINT)), 0) AS BIGINT) AS sp
+        FROM (
+          SELECT j, MAX(4 * (13 - length(st)) + CASE substr(st, 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                     WHEN '7' THEN 1 ELSE 0 END + 1) AS m_j
+          FROM (
+            SELECT (('0x' || substr(h, 1, 8))::BIGINT & 2147483647) % {m} AS j,
+                   regexp_replace(substr(h, 9, 13), '^0+', '') AS st
+            FROM (SELECT md5(CAST({key} AS VARCHAR)) AS h
+                  FROM {table} WHERE {key} IS NOT NULL)
+          ) GROUP BY j
+        )
+      )
+    )
+    """
+
+
+@query(
+    "hll_distinct_lineitem",
+    f"""
+    WITH est AS (
+      {_hll_sql_block(6, 'l_partkey', 'lineitem')}
+      UNION ALL
+      {_hll_sql_block(10, 'l_partkey', 'lineitem')}
+    ), exact AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    )
+    SELECT p, m, nonzero, v_zero, s_scaled, linear_counting, estimate,
+           exact_distinct,
+           ROUND(ABS(estimate - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE), 9) AS rel_error
+    FROM est, exact
+    ORDER BY p
+    """,
+)
+def hll_distinct_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts ordered, estimated by a PORTABLE HyperLogLog at two
+    precisions (p=6 exercises the raw harmonic branch, p=10 the linear-
+    counting branch at this cardinality) — every register bit derives
+    from md5 hex-string algebra and the harmonic sum is exact-integer, so
+    unlike ``approx_distinct_parts`` (engine-internal HLL, rows-only) the
+    sketch carries a FULL value oracle, estimate included. The relation
+    also carries the exact distinct count and the relative error, so the
+    driver verifies the estimator's accuracy contract too. See
+    ``operators.sketch.hll_registers`` / ``hll_estimate``."""
+    from pangool_spark.operators.sketch import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.filter(F.col("l_partkey").isNotNull()).agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("exact_distinct")
+    )
+    ests = [
+        hll_estimate(hll_registers(li, "l_partkey", p=p), p=p)
+        .select(F.lit(p).alias("p"), "*")
+        for p in (6, 10)
+    ]
+    both = ests[0].unionByName(ests[1])
+    return (
+        both.crossJoin(F.broadcast(exact))
+        .select(
+            "p",
+            "m",
+            "nonzero",
+            "v_zero",
+            "s_scaled",
+            "linear_counting",
+            "estimate",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("estimate") - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                9,
+            ).alias("rel_error"),
+        )
+        .orderBy("p")
+    )
+
+
+@query(
+    "t_closeness_customers",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    ), cls AS (
+      SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS class_size
+      FROM cells GROUP BY 1
+    ), dom AS (
+      SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM cells GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS n FROM dom),
+    grid AS (
+      SELECT cls.c_nationkey, cls.class_size,
+             ABS(CAST(COALESCE(cells.c, 0) AS HUGEINT) * tot.n
+                 - CAST(dom.cs AS HUGEINT) * cls.class_size) AS num,
+             CAST(cls.class_size AS HUGEINT) * tot.n * 2 AS den
+      FROM cls CROSS JOIN dom CROSS JOIN tot
+      LEFT JOIN cells ON cells.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
+                     AND cells.s IS NOT DISTINCT FROM dom.s
+    )
+    SELECT c_nationkey, MAX(class_size) AS class_size,
+           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(MAX(den) AS DOUBLE), 9) AS tv,
+           ROUND(CAST(SUM(num) AS DOUBLE) / CAST(MAX(den) AS DOUBLE), 9)
+             <= CAST(0.05 AS DOUBLE) AS close
+    FROM grid GROUP BY c_nationkey
+    """,
+)
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the nation quasi-identifier with the market
+    segment as the sensitive attribute: per nation, the total-variation
+    distance between its segment mix and the table-wide mix (exact
+    DECIMAL(38) cross-multiplied integer L1, one double divide, 9dp) and
+    the ``close`` verdict at t=0.05 — the governance step past
+    ``k_anonymity_customers``'s l-diversity: a class can hold every
+    segment and still leak if its MIX is far from global. See
+    ``operators.profile.t_closeness``."""
+    from pangool_spark.operators.profile import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness(cust, ["c_nationkey"], "c_mktsegment", t=0.05)
+
+
+@query(
+    "did_events",
+    """
+    WITH cells AS (
+      SELECT (user_id % 2 = 0) AS treated,
+             (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT treated, post, n,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           (MAX(CASE WHEN treated AND post
+                     THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END) OVER ()
+            - MAX(CASE WHEN treated AND NOT post
+                       THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END) OVER ())
+           - (MAX(CASE WHEN NOT treated AND post
+                       THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END) OVER ()
+              - MAX(CASE WHEN NOT treated AND NOT post
+                         THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) END) OVER ())
+             AS did
+    FROM cells
+    ORDER BY treated, post
+    """,
+)
+def did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout on the events stream: treated =
+    even user ids, post = the back half of the month, metric = value in
+    cents. Four exact-int cells from ONE partial-combined aggregate; the
+    DiD contrast is a fixed IEEE expression over the cell means, repeated
+    per row so the relation is self-contained. See
+    ``operators.stats.diff_in_diff``."""
+    from pangool_spark.operators.stats import diff_in_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return diff_in_diff(rows, "treated", "post", "cents").orderBy(
+        "treated", "post"
+    )
+
+
+@query(
+    "smd_balance_events",
+    """
+    WITH rows_ AS (
+      SELECT (user_id % 2 = 0) AS treated, 'props_len' AS covariate,
+             CAST(length(props) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL AND props IS NOT NULL
+      UNION ALL
+      SELECT (user_id % 2 = 0), 'value_cents',
+             CAST(round(value * 100) AS BIGINT)
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), g AS (
+      SELECT covariate,
+             CAST(COUNT(*) FILTER (treated) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (NOT treated) AS BIGINT) AS n_c,
+             CAST(COALESCE(SUM(y) FILTER (treated), 0) AS BIGINT) AS s_t,
+             CAST(COALESCE(SUM(y) FILTER (NOT treated), 0) AS BIGINT) AS s_c,
+             CAST(COALESCE(SUM(y * y) FILTER (treated), 0) AS BIGINT) AS ss_t,
+             CAST(COALESCE(SUM(y * y) FILTER (NOT treated), 0) AS BIGINT)
+               AS ss_c
+      FROM rows_ GROUP BY covariate
+    )
+    SELECT covariate, n_t, n_c,
+           CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+           CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+           CASE WHEN n_t > 1 AND n_c > 1
+                AND ((CAST(ss_t AS DOUBLE)
+                      - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                        / CAST(n_t AS DOUBLE)) / CAST(n_t - 1 AS DOUBLE)
+                     + (CAST(ss_c AS DOUBLE)
+                        - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                          / CAST(n_c AS DOUBLE)) / CAST(n_c - 1 AS DOUBLE))
+                    / CAST(2 AS DOUBLE) > 0
+                THEN (CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                      - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                     / sqrt(((CAST(ss_t AS DOUBLE)
+                              - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+                                / CAST(n_t AS DOUBLE)) / CAST(n_t - 1 AS DOUBLE)
+                             + (CAST(ss_c AS DOUBLE)
+                                - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                                  / CAST(n_c AS DOUBLE))
+                               / CAST(n_c - 1 AS DOUBLE))
+                            / CAST(2 AS DOUBLE))
+           END AS smd
+    FROM g ORDER BY covariate
+    """,
+)
+def smd_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance check for the same A/B assignment as
+    ``did_events``: the standardized mean difference of each covariate
+    (props length, value cents) between arms — the pre-experiment sanity
+    gate (|SMD| > 0.1 means the split is biased and CUPED/DiD estimates
+    inherit the skew). Exact int64 sums per (covariate, arm) from ONE
+    melt + aggregate; mean/variance/SMD are fixed IEEE chains over those
+    sums (sqrt only — no libm divergence surface). See
+    ``operators.stats.smd_balance``."""
+    from pangool_spark.operators.stats import smd_balance
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.filter(F.col("user_id").isNotNull()).select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        F.expr(
+            "stack(2, 'props_len', CAST(length(props) AS BIGINT), "
+            "'value_cents', CAST(round(value * 100) AS BIGINT)) "
+            "AS (covariate, y)"
+        ),
+    )
+    return smd_balance(rows, "treated", "covariate", "y").orderBy("covariate")
+
+
+# ---------------------------------------------------------------------------
 # driver-window ordering
 #
 # The correctness driver verifies the FIRST 50 registry entries in iteration

@@ -1,0 +1,220 @@
+"""Round-10 session-4 operators: portable HyperLogLog, t-closeness,
+difference-in-differences, SMD covariate balance."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_estimate_accuracy(spark):
+    """p=10 HLL on 5000 distinct keys lands within the ~3·1.04/√m
+    standard-error envelope."""
+    from pangool_spark.operators.sketch import hll_estimate, hll_registers
+
+    n = 5000
+    df = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    est = hll_estimate(hll_registers(df, "k", p=10), p=10).collect()[0]
+    rel = abs(est["estimate"] - n) / n
+    assert rel < 3 * 1.04 / math.sqrt(1024), (est["estimate"], rel)
+    assert est["m"] == 1024
+    assert est["nonzero"] + est["v_zero"] == 1024
+
+
+def test_hll_merge_equals_union(spark):
+    """Register-wise max of two halves == registers of the union (the
+    mergeability contract sketches live by)."""
+    from pangool_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"), (F.col("id") % 2).alias("h")
+    )
+    a = hll_registers(df.filter("h = 0"), "k", p=8)
+    b = hll_registers(df.filter("h = 1"), "k", p=8)
+    merged = hll_merge(a, b)
+    whole = hll_registers(df, "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    e_m = hll_estimate(merged, p=8).collect()[0]["estimate"]
+    e_w = hll_estimate(whole, p=8).collect()[0]["estimate"]
+    assert e_m == e_w
+
+
+def test_hll_linear_counting_small(spark):
+    """Tiny cardinality takes the linear-counting branch and is close."""
+    from pangool_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(30).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    row = hll_estimate(hll_registers(df, "k", p=10), p=10).collect()[0]
+    assert row["linear_counting"] is True
+    assert abs(row["estimate"] - 30) <= 3
+
+
+def test_hll_nulls_and_duplicates(spark):
+    """NULL keys are excluded; duplicates don't move the registers."""
+    from pangool_spark.operators.sketch import hll_registers
+
+    base = spark.range(100).select(
+        F.concat(F.lit("d"), F.col("id")).alias("k")
+    )
+    dups = base.union(base).union(
+        spark.range(5).select(F.lit(None).cast("string").alias("k"))
+    )
+    assert sorted(map(tuple, hll_registers(dups, "k", p=6).collect())) == sorted(
+        map(tuple, hll_registers(base, "k", p=6).collect())
+    )
+
+
+def test_hll_param_validation(spark):
+    from pangool_spark.operators.sketch import hll_estimate, hll_registers
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        hll_registers(df, "k", p=3)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_registers(df, "k", p=10), p=14)
+    with pytest.raises(ValueError):
+        hll_estimate(hll_registers(df, "k", p=10), p=10, rho_cap=45)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two classes, two sensitive values, hand-checked TV distances."""
+    from pangool_spark.operators.profile import t_closeness
+
+    # class A: 3×s1 + 1×s2 ; class B: 1×s1 + 3×s2 ; global: 4/4 split
+    rows = [("A", "s1")] * 3 + [("A", "s2")] + [("B", "s1")] + [("B", "s2")] * 3
+    df = spark.createDataFrame(rows, "k string, s string")
+    out = {r["k"]: r for r in t_closeness(df, ["k"], "s", t=0.3).collect()}
+    # TV(A) = 0.5*(|3/4-1/2| + |1/4-1/2|) = 0.25 ; same for B
+    assert out["A"]["tv"] == pytest.approx(0.25)
+    assert out["B"]["tv"] == pytest.approx(0.25)
+    assert out["A"]["close"] and out["B"]["close"]
+    assert out["A"]["class_size"] == 4
+
+
+def test_t_closeness_missing_value_pays_global_mass(spark):
+    """A class missing a sensitive value still pays its global share."""
+    from pangool_spark.operators.profile import t_closeness
+
+    rows = [("A", "s1")] * 2 + [("B", "s1"), ("B", "s2")]
+    df = spark.createDataFrame(rows, "k string, s string")
+    out = {r["k"]: r for r in t_closeness(df, ["k"], "s", t=0.1).collect()}
+    # global: s1=3/4, s2=1/4. A: s1=1, s2=0 → TV = 0.5*(1/4 + 1/4) = 0.25
+    assert out["A"]["tv"] == pytest.approx(0.25)
+    assert not out["A"]["close"]
+    # B: 1/2 each → TV = 0.5*(|1/2-3/4| + |1/2-1/4|) = 0.25
+    assert out["B"]["tv"] == pytest.approx(0.25)
+
+
+def test_t_closeness_null_is_a_value(spark):
+    """NULL sensitive and NULL quasi values form real cells (null-safe
+    join), matching GROUP BY semantics."""
+    from pangool_spark.operators.profile import t_closeness
+
+    rows = [("A", None), ("A", None), (None, "s1"), (None, None)]
+    df = spark.createDataFrame(rows, "k string, s string")
+    out = t_closeness(df, ["k"], "s", t=1.0).collect()
+    by_k = {r["k"]: r for r in out}
+    assert by_k["A"]["class_size"] == 2
+    assert by_k[None]["class_size"] == 2
+    # class A is pure-NULL sensitive; global NULL mass = 3/4
+    # TV(A) = 0.5*(|1 - 3/4| + |0 - 1/4|) = 0.25
+    assert by_k["A"]["tv"] == pytest.approx(0.25)
+
+
+def test_t_closeness_validation(spark):
+    from pangool_spark.operators.profile import t_closeness
+
+    df = spark.createDataFrame([("a", "b")], "k string, s string")
+    with pytest.raises(ValueError):
+        t_closeness(df, [], "s")
+    with pytest.raises(ValueError):
+        t_closeness(df, ["k"], "s", t=1.5)
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences
+
+
+def test_did_hand_computed(spark):
+    from pangool_spark.operators.stats import diff_in_diff
+
+    rows = [
+        # control pre mean 10, post mean 12 (trend +2)
+        (False, False, 10), (False, False, 10),
+        (False, True, 12), (False, True, 12),
+        # treated pre mean 20, post mean 27 (change +7 → DiD = +5)
+        (True, False, 20), (True, False, 20),
+        (True, True, 27), (True, True, 27),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y bigint")
+    out = diff_in_diff(df, "t", "p", "y").collect()
+    assert len(out) == 4
+    assert all(r["did"] == pytest.approx(5.0) for r in out)
+    means = {(r["treated"], r["post"]): r["mean"] for r in out}
+    assert means[(True, True)] == pytest.approx(27.0)
+    assert means[(False, False)] == pytest.approx(10.0)
+
+
+def test_did_empty_cell_yields_null(spark):
+    from pangool_spark.operators.stats import diff_in_diff
+
+    rows = [(False, False, 1), (False, True, 2), (True, True, 3)]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, y bigint")
+    out = diff_in_diff(df, "t", "p", "y").collect()
+    assert all(r["did"] is None for r in out)
+
+
+def test_did_rejects_float_metric(spark):
+    from pangool_spark.operators.stats import diff_in_diff
+
+    df = spark.createDataFrame([(True, True, 1.5)], "t boolean, p boolean, y double")
+    with pytest.raises(ValueError):
+        diff_in_diff(df, "t", "p", "y")
+
+
+# ---------------------------------------------------------------------------
+# SMD balance
+
+
+def test_smd_hand_computed(spark):
+    from pangool_spark.operators.stats import smd_balance
+
+    # treated: 1,3 (mean 2, var 2); control: 5,9 (mean 7, var 8)
+    rows = [
+        (True, "c1", 1), (True, "c1", 3),
+        (False, "c1", 5), (False, "c1", 9),
+    ]
+    df = spark.createDataFrame(rows, "arm boolean, cov string, y bigint")
+    row = smd_balance(df, "arm", "cov", "y").collect()[0]
+    assert row["mean_t"] == pytest.approx(2.0)
+    assert row["mean_c"] == pytest.approx(7.0)
+    assert row["smd"] == pytest.approx((2.0 - 7.0) / math.sqrt((2 + 8) / 2))
+
+
+def test_smd_degenerate_cases(spark):
+    from pangool_spark.operators.stats import smd_balance
+
+    # n_t = 1 → NULL; zero variance both arms → NULL
+    rows = [
+        (True, "single", 1), (False, "single", 2), (False, "single", 3),
+        (True, "flat", 5), (True, "flat", 5),
+        (False, "flat", 5), (False, "flat", 5),
+    ]
+    df = spark.createDataFrame(rows, "arm boolean, cov string, y bigint")
+    out = {r["cov"]: r for r in smd_balance(df, "arm", "cov", "y").collect()}
+    assert out["single"]["smd"] is None
+    assert out["flat"]["smd"] is None
