@@ -372,6 +372,19 @@ def histogram_quantile_sketch(
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return quantiles_from_bins(df.sparkSession, bins, w, quantiles)
+
+
+def quantiles_from_bins(spark, bins: DataFrame, bin_width: int, quantiles) -> DataFrame:
+    """The bracket algebra of ``histogram_quantile_sketch``, exposed over
+    an already-built ``(bin, cnt)`` relation so BATCH and STREAMING
+    quantiles share one code path (``streaming.ops.stream_quantile_
+    sketch`` folds micro-batches into a standing bin relation and calls
+    exactly this — stream==batch parity is structural, not re-derived).
+    Output (one row per q): ``q, n, bin, est_lo, est_hi``."""
+    from pyspark.sql import Window
+
+    w = int(bin_width)
     cum = bins.select(
         "bin",
         F.sum("cnt")
@@ -379,7 +392,6 @@ def histogram_quantile_sketch(
         .alias("cum"),
         F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
-    spark = df.sparkSession
     qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
     hit = (
         F.broadcast(qs)

@@ -1206,3 +1206,106 @@ def stream_unigram_drift(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_quantile_sketch(
+    stream: DataFrame,
+    value_col: str,
+    state_dir: str,
+    bin_width: int,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming quantile monitoring: each micro-batch's integer values
+    fold into a standing equi-width histogram on disk (constant state —
+    the bin relation, never the rows), and after every batch the monitor
+    emits the ACCUMULATED stream's quantile brackets — "what are live
+    P50/P95/P99 so far" with the hard one-bin error bound of
+    ``sketch.histogram_quantile_sketch``.
+
+    The per-batch report is computed by calling ``sketch.quantiles_
+    from_bins`` on the standing bin relation — the SAME expressions the
+    batch operator runs, so stream-maintained and batch-recomputed
+    quantiles are IDENTICAL by construction (the parity test pins it per
+    prefix). State handling and exactly-once follow
+    ``stream_histogram_drift``: only a genuinely missing state dir
+    counts as first batch; the standing histogram carries
+    ``last_batch_id`` and a replayed micro-batch (retry after a failure
+    between the histogram overwrite and the checkpoint commit) skips the
+    fold instead of double-counting; the quantile rows land in
+    ``{state_dir}/_Q/batch_id=N`` with overwrite, so a replay rewrites
+    (not duplicates) its report.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1], got {quantiles!r}")
+    if dict(stream.dtypes).get(value_col) not in {
+        "tinyint", "smallint", "int", "bigint"
+    }:
+        raise ValueError(
+            f"stream_quantile_sketch: {value_col!r} must be integer-typed "
+            "— rescale upstream (cents, millis)"
+        )
+    import os as _os
+
+    from pangool_spark.operators.sketch import quantiles_from_bins
+
+    w = int(bin_width)
+    qs = tuple(float(q) for q in quantiles)
+    hist_dir = _os.path.join(state_dir, "hist")
+    q_dir = _os.path.join(state_dir, "_Q")
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_bins = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.floor(F.col(value_col).cast("bigint") / F.lit(w))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if _hadoop_path_exists(spark, hist_dir):
+            standing = spark.read.parquet(hist_dir)
+            applied = standing.agg(F.max("last_batch_id")).collect()[0][0]
+            if applied is not None and int(batch_id) <= int(applied):
+                # replay of an already-folded batch: the histogram
+                # already includes these rows — skip the fold, just
+                # rewrite this batch's quantile report below.
+                merged_df = standing.select("bin", "cnt")
+            else:
+                merged = (
+                    standing.select("bin", "cnt")
+                    .unionByName(batch_bins)
+                    .groupBy("bin")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+                rows = merged.collect()
+                merged_df = spark.createDataFrame(rows, merged.schema)
+                merged_df.withColumn(
+                    "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+                ).coalesce(1).write.mode("overwrite").parquet(hist_dir)
+        else:
+            merged_df = batch_bins
+            merged_df.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+            ).coalesce(1).write.mode("overwrite").parquet(hist_dir)
+
+        # per-batch partition dir + overwrite: a replayed batch REWRITES
+        # its report instead of appending a duplicate (idempotent)
+        quantiles_from_bins(spark, merged_df, w, qs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(q_dir, f"batch_id={int(batch_id)}"))
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
