@@ -860,6 +860,12 @@ def t_closeness(
     cells = df.groupBy(*keys, s.alias("__s__")).agg(
         F.count(F.lit(1)).alias("__c__")
     )
+    # cells is the |classes|·|domain|-bounded contingency relation and
+    # every downstream relation (classes, domain, total, grid) derives
+    # from it — localCheckpoint it so Catalyst doesn't inline the same
+    # subtree four times and rescan the ROW table once per derivation
+    # (the kcore/ktruss lineage pattern; one scan of df total).
+    cells = cells.localCheckpoint(eager=True)
     classes = cells.groupBy(*keys).agg(F.sum("__c__").alias("class_size"))
     dom = cells.groupBy("__s__").agg(F.sum("__c__").alias("__cs__"))
     n_total = dom.agg(F.sum("__cs__").alias("__n__"))
