@@ -592,3 +592,117 @@ def skyline_2d(
         (clean[x_col] == sky[x_col]) & (clean[y_col] == sky["__e__"]),
         "left_semi",
     )
+
+
+def range_partition_plan(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: int = 8,
+    bin_width: int = 1,
+) -> DataFrame:
+    """Range-partitioner planning: EXACT balanced cut points over
+    ``value_col`` and the per-bucket balance report — what
+    ``RangePartitioner`` does with a sample, done exactly, for the
+    layouts where "roughly balanced" isn't enough (sort-merge bucketing,
+    global-sort file layout, shard sizing). Cut ``i`` is the exact
+    lower-quantile at ``i/num_partitions`` (smallest value whose
+    cumulative count ≥ ceil(q·n) — the ``histogram_quantile_sketch``
+    definition); bucket(v) = #cuts < v, so ties land LOW and duplicate
+    cuts surface as empty buckets (unsplittable skew made visible
+    instead of papered over).
+
+    The 100 TB shape: three linear scans of the rows (bin histogram,
+    candidate-bin local rank, final bucket count) and only
+    aggregate-sized shuffles. The exact refinement uses the histogram AS
+    THE PARTITIONER (the two-phase classic, cf.
+    ``histogram_quantiles_lineitem``): the true cut provably lies in the
+    sketch's chosen bin, so only rows of ≤ num_partitions−1 candidate
+    bins get a local rank — never a global prefix pass over all distinct
+    values. The num_partitions−1 cut values are collected to the driver
+    (bounded by construction, ≤ 1024) to build the codegen'd bucket
+    expression — exactly what a real range partitioner broadcasts.
+
+    ``value_col`` must be integer-typed (cents/units). NULL values are
+    excluded. Output: one row per non-empty bucket —
+    (bucket, n_rows, frac, lo, hi) with lo/hi the observed min/max.
+    """
+    from pangool_spark.operators.sketch import quantiles_from_bins
+
+    k = int(num_partitions)
+    if not 2 <= k <= 1024:
+        raise ValueError(f"num_partitions must be in [2, 1024], got {k}")
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"range_partition_plan needs an integer value column, got "
+            f"{value_col}: {vt!r} — rescale to cents/units"
+        )
+    w = int(bin_width)
+    c = F.col(value_col).cast("bigint")
+    rows = df.filter(c.isNotNull()).select(c.alias("__c__"))
+    qs = tuple(i / k for i in range(1, k))
+    from pyspark.sql import Window
+
+    # phase 1: |bins|-sized histogram, checkpointed (one row scan, and
+    # brackets/cum bases both derive from it without a rescan)
+    bins = (
+        rows.groupBy(
+            F.floor(F.col("__c__") / F.lit(w)).cast("bigint").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    sk = quantiles_from_bins(df.sparkSession, bins, w, qs)
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", (F.sum("cnt").over(wcum) - F.col("cnt")).alias("__base__")
+    )
+    targets = sk.join(cum, "bin").select(
+        "q",
+        "bin",
+        "__base__",
+        F.ceil(F.col("q") * F.col("n")).alias("__r__"),
+    )
+    # phase 2: local rank inside candidate bins only (second row scan,
+    # broadcast-pruned map-side)
+    in_bin = rows.withColumn(
+        "bin", F.floor(F.col("__c__") / F.lit(w)).cast("bigint")
+    ).join(F.broadcast(targets), "bin")
+    per_val = in_bin.groupBy("q", "__base__", "__r__", "__c__").agg(
+        F.count(F.lit(1)).alias("__lc__")
+    )
+    wloc = Window.partitionBy("q").orderBy("__c__").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cuts_df = (
+        per_val.withColumn("__cum__", F.col("__base__") + F.sum("__lc__").over(wloc))
+        .filter(F.col("__cum__") >= F.col("__r__"))
+        .groupBy("q")
+        .agg(F.min("__c__").alias("cut"))
+    )
+    # k-1 scalars, bounded by construction — the partitioner broadcast
+    cut_vals = sorted(r["cut"] for r in cuts_df.collect())
+    bucket = F.lit(0)
+    for cv in cut_vals:
+        bucket = bucket + F.when(F.col("__c__") > F.lit(cv), 1).otherwise(0)
+    total = rows.agg(F.count(F.lit(1)).alias("__n__"))
+    return (
+        rows.select(bucket.cast("bigint").alias("bucket"), "__c__")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__c__").alias("lo"),
+            F.max("__c__").alias("hi"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__n__").cast("double"))
+            .alias("frac"),
+            "lo",
+            "hi",
+        )
+    )

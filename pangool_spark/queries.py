@@ -12239,6 +12239,57 @@ def smd_balance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smd_balance(rows, "treated", "covariate", "y").orderBy("covariate")
 
 
+@query(
+    "range_bounds_lineitem",
+    """
+    WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    vals AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY c),
+    cum AS (
+      SELECT c, SUM(cnt) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM vals
+    ), grid AS (SELECT unnest(generate_series(1, 7)) AS i),
+    cuts AS (
+      SELECT i, (SELECT MIN(c) FROM cum, tot
+                 WHERE cum.cum >= CEIL(CAST(i AS DOUBLE) / 8.0 * tot.n)) AS cut
+      FROM grid
+    ), b AS (
+      SELECT CAST((SELECT COUNT(*) FROM cuts WHERE cuts.cut < cents.c)
+                  AS BIGINT) AS bucket, c
+      FROM cents
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n) AS DOUBLE) AS frac,
+           MIN(c) AS lo, MAX(c) AS hi
+    FROM b, tot GROUP BY bucket ORDER BY bucket
+    """,
+)
+def range_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning over the extended price (cents): 8
+    EXACTLY balanced buckets — cut i is the exact lower-quantile at i/8,
+    refined two-phase with the bin histogram as the partitioner — plus
+    the per-bucket balance report (count, fraction, observed min/max)
+    that verifies the cuts actually split eighths. The layout sibling of
+    ``zorder_layout_lineitem``: this is how you size sort-merge buckets
+    or global-sort output files before paying for the shuffle. See
+    ``operators.partitioning.range_partition_plan``."""
+    from pangool_spark.operators.partitioning import range_partition_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.round(F.col("l_extendedprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return range_partition_plan(
+        cents, "cents", num_partitions=8, bin_width=100_000
+    ).orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #

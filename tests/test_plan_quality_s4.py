@@ -14,6 +14,9 @@ QUERIES_AND_BOUNDS = {
     "t_closeness_customers": 5,
     "did_events": 1,  # ONE partial-combined (treated, post) aggregate
     "smd_balance_events": 1,  # ONE melt + per-covariate aggregate
+    # bin histogram + candidate-bin local rank + final bucket count;
+    # every exchange is aggregate-sized
+    "range_bounds_lineitem": 4,
 }
 
 

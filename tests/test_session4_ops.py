@@ -218,3 +218,51 @@ def test_smd_degenerate_cases(spark):
     out = {r["cov"]: r for r in smd_balance(df, "arm", "cov", "y").collect()}
     assert out["single"]["smd"] is None
     assert out["flat"]["smd"] is None
+
+
+# ---------------------------------------------------------------------------
+# range partition planning
+
+
+def test_range_plan_balances_eighths(spark):
+    from pangool_spark.operators.partitioning import range_partition_plan
+
+    df = spark.range(8000).select((F.col("id") * 17 % 100000).alias("v"))
+    out = range_partition_plan(df, "v", num_partitions=8, bin_width=1000)
+    rows = sorted(out.collect())
+    assert sum(r["n_rows"] for r in rows) == 8000
+    for r in rows:
+        assert abs(r["frac"] - 0.125) < 0.01, rows
+    # buckets are contiguous, non-overlapping ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] < b["lo"]
+
+
+def test_range_plan_skew_surfaces_as_empty_buckets(spark):
+    """One value holding >half the mass: duplicate cuts collapse, ties
+    land low, and the hot value's bucket visibly exceeds 1/k."""
+    from pangool_spark.operators.partitioning import range_partition_plan
+
+    rows = [(5,)] * 900 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "v bigint")
+    out = {r["bucket"]: r for r in
+           range_partition_plan(df, "v", num_partitions=4).collect()}
+    assert len(out) < 4  # collapsed cuts → missing buckets
+    hot = max(out.values(), key=lambda r: r["n_rows"])
+    assert hot["n_rows"] >= 900
+    assert hot["lo"] <= 5 <= hot["hi"]
+
+
+def test_range_plan_validation(spark):
+    import pytest
+
+    from pangool_spark.operators.partitioning import range_partition_plan
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        range_partition_plan(df, "v")
+    df2 = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        range_partition_plan(df2, "v", num_partitions=1)
+    with pytest.raises(ValueError):
+        range_partition_plan(df2, "v", bin_width=0)
