@@ -921,3 +921,104 @@ def t_closeness(
             (F.col("tv") <= F.lit(float(t))).alias("close"),
         )
     )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Population Stability Index between two dataset versions over
+    equi-width bins — the credit-risk industry's standard drift gauge
+    (rule of thumb: <0.1 stable, 0.1-0.25 shifting, >0.25 broken):
+
+        PSI = Σ_bins (p_B(bin) − p_A(bin)) · ln(p_B(bin)/p_A(bin))
+
+    with A the expected/reference side and B the actual. Empty bins are
+    add-1 smoothed over the JOINT bin set (the ``unigram_kl`` contract —
+    raw PSI is undefined at zero counts): ``p = (c+1)/(n+B)``.
+
+    Cross-engine determinism (the TV/KL playbook): per-bin counts are
+    exact ints; each probability is ONE double division of exact ints;
+    the single ln per bin takes the exact-int cross ratio
+    ``(c_b+1)(n_a+B) / ((c_a+1)(n_b+B))`` — products ≤ n·B stay under
+    2⁵³ for any realistic bin count; per-bin terms are rounded to 9dp
+    and the total accumulates as a QUANTIZED integer sum
+    (order-independent, hash-stable).
+
+    Output: one row per joint bin — (bin, n_a, n_b, psi_term,
+    psi_total) with the total repeated per row (the woe_iv relation
+    shape). Raises in-plan when one side is empty (drift vs nothing is
+    undefined); two empty sides yield an empty relation.
+    """
+    if bin_width < 1:
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
+    for side, d in (("A", df_a), ("B", df_b)):
+        if dict(d.dtypes).get(value_col) not in {
+            "tinyint", "smallint", "int", "bigint"
+        }:
+            raise ValueError(
+                f"psi_drift side {side}: {value_col!r} must be "
+                f"integer-typed — rescale upstream (cents, millis)"
+            )
+
+    def bins(d: DataFrame, out: str) -> DataFrame:
+        return (
+            d.filter(F.col(value_col).isNotNull())
+            .groupBy(
+                F.floor(F.col(value_col).cast("bigint") / F.lit(int(bin_width)))
+                .cast("bigint")
+                .alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joint = (
+        bins(df_a, "n_a")
+        .join(bins(df_b, "n_b"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()  # |bins| rows
+    tot_a = F.sum("n_a").over(w)
+    tot_b = F.sum("n_b").over(w)
+    n_bins = F.count(F.lit(1)).over(w)
+    p_a = (F.col("n_a") + F.lit(1)).cast("double") / (tot_a + n_bins).cast(
+        "double"
+    )
+    p_b = (F.col("n_b") + F.lit(1)).cast("double") / (tot_b + n_bins).cast(
+        "double"
+    )
+    ratio = (
+        (F.col("n_b") + F.lit(1)) * (tot_a + n_bins)
+    ).cast("double") / ((F.col("n_a") + F.lit(1)) * (tot_b + n_bins)).cast(
+        "double"
+    )
+    term = F.round((p_b - p_a) * F.log(ratio), 9)
+    with_terms = joint.select(
+        "bin",
+        "n_a",
+        "n_b",
+        tot_a.alias("__ta__"),
+        tot_b.alias("__tb__"),
+        term.alias("psi_term"),
+    )
+    wq = Window.partitionBy()
+    total = F.sum(
+        F.round(F.col("psi_term") * F.lit(1000000000.0)).cast("bigint")
+    ).over(wq) / F.lit(1000000000.0)
+    # in-plan guard (the histogram_tv_drift pattern): PSI vs an empty
+    # side is undefined — fail the job, don't return a junk number
+    guarded = F.when(
+        (F.col("__ta__") == 0) | (F.col("__tb__") == 0),
+        F.raise_error(
+            F.lit("psi_drift: empty side — drift is undefined")
+        ).cast("double"),
+    ).otherwise(total)
+    return with_terms.select(
+        "bin", "n_a", "n_b", "psi_term", guarded.alias("psi_total")
+    )

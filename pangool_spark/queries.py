@@ -12290,6 +12290,69 @@ def range_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+@query(
+    "psi_drift_orders",
+    """
+    WITH a AS (
+      SELECT CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 1000000)
+                  AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ), b AS (
+      SELECT CAST(FLOOR(CAST(round(o_totalprice * 100) AS BIGINT) / 1000000)
+                  AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+        AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1
+    ), j AS (
+      SELECT COALESCE(a.bin, b.bin) AS bin,
+             CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin
+    ), t AS (
+      SELECT bin, n_a, n_b,
+             SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb,
+             COUNT(*) OVER () AS nb
+      FROM j
+    ), terms AS (
+      SELECT bin, n_a, n_b,
+             ROUND((CAST(n_b + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)
+                    - CAST(n_a + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE))
+                   * ln(CAST((n_b + 1) * (ta + nb) AS DOUBLE)
+                        / CAST((n_a + 1) * (tb + nb) AS DOUBLE)), 9)
+               AS psi_term
+      FROM t
+    )
+    SELECT bin, n_a, n_b, psi_term,
+           CAST(SUM(CAST(round(psi_term * 1000000000.0) AS BIGINT)) OVER ()
+                AS DOUBLE) / 1000000000.0 AS psi_total
+    FROM terms
+    """,
+)
+def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between pre-1998 and 1998+ order totals
+    over $10k cent bins — the credit-risk drift gauge completing the
+    drift family (TV: ``histogram_drift_orders``; KL: ``unigram_kl_docs``).
+    Add-1 smoothing over the joint bin set; one ln per bin over the
+    exact-int cross ratio; the total accumulates as a quantized integer
+    sum, so the whole relation hash-verifies cross-engine. See
+    ``operators.profile.psi_drift``."""
+    from pangool_spark.operators.profile import psi_drift
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderdate",
+    )
+    a = base.filter(F.col("o_orderdate") < "1998-01-01").select("cents")
+    b = base.filter(F.col("o_orderdate") >= "1998-01-01").select("cents")
+    return psi_drift(a, b, "cents", bin_width=1000000).orderBy("bin")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #

@@ -266,3 +266,51 @@ def test_range_plan_validation(spark):
         range_partition_plan(df2, "v", num_partitions=1)
     with pytest.raises(ValueError):
         range_partition_plan(df2, "v", bin_width=0)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+
+
+def test_psi_identical_sides_is_zero(spark):
+    from pangool_spark.operators.profile import psi_drift
+
+    df = spark.createDataFrame([(i % 10,) for i in range(100)], "v bigint")
+    rows = psi_drift(df, df, "v", bin_width=2).collect()
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert rows[0]["psi_total"] == 0.0
+
+
+def test_psi_shift_is_positive_and_hand_checked(spark):
+    import math
+
+    from pangool_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([(0,)] * 30 + [(10,)] * 10, "v bigint")
+    b = spark.createDataFrame([(0,)] * 10 + [(10,)] * 30, "v bigint")
+    rows = {r["bin"]: r for r in psi_drift(a, b, "v", bin_width=10).collect()}
+    # joint bins = {0, 1}; smoothed p_a(0) = 31/42, p_b(0) = 11/42
+    pa0, pb0 = 31 / 42, 11 / 42
+    expect0 = round((pb0 - pa0) * math.log((11 * 42) / (31 * 42)), 9)
+    assert rows[0]["psi_term"] == pytest.approx(expect0, abs=1e-9)
+    assert rows[0]["psi_total"] > 0.25  # "broken" territory by the rule of thumb
+
+
+def test_psi_empty_side_raises_in_plan(spark):
+    from pangool_spark.operators.profile import psi_drift
+
+    a = spark.createDataFrame([(1,)], "v bigint")
+    b = spark.createDataFrame([], "v bigint")
+    with pytest.raises(Exception, match="psi_drift: empty side"):
+        psi_drift(a, b, "v", bin_width=1).collect()
+
+
+def test_psi_validation(spark):
+    from pangool_spark.operators.profile import psi_drift
+
+    d = spark.createDataFrame([(1.0,)], "v double")
+    i = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        psi_drift(d, i, "v", bin_width=1)
+    with pytest.raises(ValueError):
+        psi_drift(i, i, "v", bin_width=0)
