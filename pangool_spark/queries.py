@@ -12473,8 +12473,14 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-sum ratio doubles — raking_customers — quantized-IPF weight
 # doubles — and scd2_apply_events (timestamp-interval relation, the
 # equivalence oracle); the float-heavy ones join the floats-first
-# front). Rotate all 31 into the r11 window front (they fit with 19
-# slots to spare for new work); any r10 red rows preempt.
+# front), PLUS the 6 round-10 session-4 additions (hll_distinct_lineitem
+# — the portable-HLL estimate doubles and the ln linear-counting branch,
+# floats-first — psi_drift_orders — quantized-ln PSI terms —
+# t_closeness_customers — decimal-ratio TV doubles — did_events /
+# smd_balance_events — exact-sum IEEE contrast doubles —
+# range_bounds_lineitem — integer cuts + one frac double). Rotate all
+# 37 into the r11 window front (they fit with 13 slots to spare for new
+# work); any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
