@@ -305,6 +305,14 @@ EXTENDED = [
     "cuped_orders",
     "raking_customers",
     "scd2_apply_events",
+    # round-10 session-4 additions: portable HLL, governance t-closeness,
+    # causal readouts, range-partitioner planning, PSI drift
+    "hll_distinct_lineitem",
+    "t_closeness_customers",
+    "did_events",
+    "smd_balance_events",
+    "range_bounds_lineitem",
+    "psi_drift_orders",
 ]
 
 RUNS_PER_QUERY = 3
