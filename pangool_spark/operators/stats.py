@@ -2031,3 +2031,158 @@ def smd_balance(
             (mean_t - mean_c) / F.sqrt(pooled),
         ).alias("smd"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimate with right-censoring —
+    ``kaplan_meier``'s additive sibling (and the better-behaved curve
+    for comparing hazards or feeding Cox-style models):
+    ``H(t) = Σ_{u ≤ t} d_u / n_u``.
+
+    Same contract and machinery as ``kaplan_meier`` (integer durations,
+    bounded distinct-duration count, one partial-combined subject pass,
+    windows only over the per-duration relation). The cumulative sum
+    accumulates QUANTIZED per-duration terms (``round(d/n · 1e9)``
+    BIGINTs), so the curve is order-independent and hash-stable
+    cross-engine — the woe_iv/psi total pattern, here as a running sum.
+
+    NULL durations/events are dropped. Output: one row per duration
+    with ≥1 observed event — (t, n_risk, n_events, cum_hazard).
+    """
+    dt = dict(df.dtypes).get(duration_col)
+    if dt not in _INT_TYPES:
+        raise ValueError(
+            f"duration_col must be integer-typed, got {dt!r} — bucket "
+            "continuous durations upstream"
+        )
+    rows = df.filter(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
+    per_t = rows.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("__c__"),
+        F.sum(
+            F.when(F.col(event_col).cast("int") != 0, 1).otherwise(0)
+        ).alias("n_events"),
+    )
+    total = per_t.agg(F.sum("__c__").alias("__total__"))
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("__total__")
+            - F.coalesce(F.sum("__c__").over(w_before), F.lit(0)),
+        )
+        .withColumn(
+            "__q__",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_risk").cast("double")
+                * F.lit(1000000000.0)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "cum_hazard",
+            F.sum("__q__").over(w_upto).cast("double") / F.lit(1000000000.0),
+        )
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        "t", "n_risk", "n_events", "cum_hazard"
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    scale: int = 1000,
+    bin_width: int = 100,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the eval
+    triad behind a reliability diagram: ``brier ≈ reliability −
+    resolution + uncertainty``. Reliability is miscalibration (0 is
+    perfect), resolution is how much the bins separate the base rate
+    (bigger is better), uncertainty is the label entropy ``ō(1−ō)`` the
+    model can't remove. The identity is exact only when forecasts are
+    constant within bins; the within-bin variance it drops is reported
+    as ``residual`` so nothing is hidden.
+
+    ``score_col`` is an integer forecast on [0, scale] (quantize
+    upstream: 1000 = probability in millis); ``label_col`` must be 0/1.
+    One exact-int global aggregate (n, Σy, Σ(score − scale·y)²) + one
+    |bins|-sized aggregate; every output is a fixed IEEE chain over
+    exact ints, with the cross-bin sums accumulated as QUANTIZED
+    integers (the woe_iv/psi pattern) — fully value-oracle-able.
+    Rows with NULL/out-of-range scores or non-binary labels are
+    excluded. Output: one row — (n, n_bins, brier, reliability,
+    resolution, uncertainty, residual).
+    """
+    if dict(df.dtypes).get(score_col) not in _INT_TYPES:
+        raise ValueError(
+            f"score_col must be integer-typed, got "
+            f"{dict(df.dtypes).get(score_col)!r} — quantize upstream"
+        )
+    if scale < 1 or bin_width < 1 or bin_width > scale:
+        raise ValueError(
+            f"need 1 <= bin_width <= scale, got {bin_width}/{scale}"
+        )
+    s = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    rows = df.filter(y.isin(0, 1) & s.isNotNull() & (s >= 0) & (s <= scale))
+    glob = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("__pos__"),
+        F.sum((s - F.lit(scale) * y) * (s - F.lit(scale) * y)).alias("__sse__"),
+    )
+    bins = rows.groupBy(
+        F.floor(s / F.lit(int(bin_width))).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("__nb__"),
+        F.sum(y).alias("__posb__"),
+        F.sum(s).alias("__sb__"),
+    )
+    g = bins.crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    obar = F.col("__pos__").cast("double") / nd
+    nbd = F.col("__nb__").cast("double")
+    pbar_b = F.col("__sb__").cast("double") / (F.lit(float(scale)) * nbd)
+    obar_b = F.col("__posb__").cast("double") / nbd
+    share = nbd / nd
+    rel_t = (pbar_b - obar_b) * (pbar_b - obar_b) * share
+    res_t = (obar_b - obar) * (obar_b - obar) * share
+    q = lambda col: F.round(col * F.lit(1000000000.0)).cast("bigint")  # noqa: E731
+    out = g.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("__pos__").alias("__pos__"),
+        F.max("__sse__").alias("__sse__"),
+        (F.sum(q(rel_t)).cast("double") / F.lit(1000000000.0)).alias(
+            "reliability"
+        ),
+        (F.sum(q(res_t)).cast("double") / F.lit(1000000000.0)).alias(
+            "resolution"
+        ),
+    )
+    nd2 = F.col("n").cast("double")
+    obar2 = F.col("__pos__").cast("double") / nd2
+    brier = F.col("__sse__").cast("double") / (
+        F.lit(float(scale) * float(scale)) * nd2
+    )
+    unc = obar2 * (F.lit(1.0) - obar2)
+    return out.select(
+        "n",
+        "n_bins",
+        brier.alias("brier"),
+        "reliability",
+        "resolution",
+        unc.alias("uncertainty"),
+        (
+            brier
+            - (F.col("reliability") - F.col("resolution") + unc)
+        ).alias("residual"),
+    )

@@ -12353,6 +12353,156 @@ def psi_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(a, b, "cents", bin_width=1000000).orderBy("bin")
 
 
+@query(
+    "nelson_aalen_events",
+    """
+    WITH w AS (
+      SELECT user_id, event_type, CAST(ts AS DATE) AS d
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-05'
+    ),
+    f AS (SELECT user_id, min(d) AS first FROM w GROUP BY 1),
+    p AS (
+      SELECT user_id, min(d) AS firstp FROM w
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ul AS (
+      SELECT f.user_id,
+             CASE WHEN p.user_id IS NOT NULL
+                  THEN date_diff('day', f.first, p.firstp)
+                  ELSE date_diff('day', f.first, DATE '2024-01-04') END AS t,
+             CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM f LEFT JOIN p USING (user_id)
+    ),
+    per_t AS (SELECT t, COUNT(*) AS c, SUM(ev) AS n_events FROM ul GROUP BY 1),
+    tot AS (SELECT SUM(c) AS total FROM per_t),
+    risk AS (
+      SELECT t, n_events,
+             tot.total - COALESCE(SUM(c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+      FROM per_t, tot
+    ),
+    curve AS (
+      SELECT t, n_events, n_risk,
+             SUM(CAST(round(CAST(n_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE)
+                            * 1000000000.0) AS BIGINT)) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS qsum
+      FROM risk
+    )
+    SELECT CAST(t AS INT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(qsum AS DOUBLE) / 1000000000.0 AS cum_hazard
+    FROM curve WHERE n_events > 0
+    """,
+)
+def nelson_aalen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for the same time-to-conversion
+    cohort as ``kaplan_meier_events`` (first event -> first purchase,
+    right-censored at the window end) — the additive survival view whose
+    quantized running sum is order-independent and hash-stable. See
+    ``stats.nelson_aalen``."""
+    from pangool_spark.operators.stats import nelson_aalen
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("date") < F.lit("2024-01-05").cast("date")
+    )
+    f = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("first"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("firstp"))
+    )
+    ul = f.join(p, "user_id", "left").select(
+        F.when(
+            F.col("firstp").isNotNull(),
+            F.datediff(F.col("firstp"), F.col("first")),
+        )
+        .otherwise(
+            F.datediff(F.lit("2024-01-04").cast("date"), F.col("first"))
+        )
+        .alias("t"),
+        F.when(F.col("firstp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return nelson_aalen(ul, "t", "ev")
+
+
+@query(
+    "brier_events",
+    """
+    WITH rows_ AS (
+      SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+             CAST(round(value * 100) AS BIGINT) % 1001 AS s
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), kept AS (
+      SELECT y, s FROM rows_ WHERE s IS NOT NULL AND s BETWEEN 0 AND 1000
+    ), g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM((s - 1000 * y) * (s - 1000 * y)) AS BIGINT) AS sse
+      FROM kept
+    ), bins AS (
+      SELECT CAST(FLOOR(s / 100.0) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(y) AS BIGINT) AS posb,
+             CAST(SUM(s) AS BIGINT) AS sb
+      FROM kept GROUP BY 1
+    ), agg AS (
+      SELECT MAX(g.n) AS n, CAST(COUNT(*) AS BIGINT) AS n_bins,
+             MAX(g.pos) AS pos, MAX(g.sse) AS sse,
+             CAST(SUM(CAST(round(
+               ((CAST(sb AS DOUBLE) / (CAST(1000.0 AS DOUBLE) * CAST(nb AS DOUBLE))
+                 - CAST(posb AS DOUBLE) / CAST(nb AS DOUBLE))
+                * (CAST(sb AS DOUBLE) / (CAST(1000.0 AS DOUBLE) * CAST(nb AS DOUBLE))
+                   - CAST(posb AS DOUBLE) / CAST(nb AS DOUBLE))
+                * (CAST(nb AS DOUBLE) / CAST(g.n AS DOUBLE)))
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0
+               AS reliability,
+             CAST(SUM(CAST(round(
+               ((CAST(posb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+                * (CAST(posb AS DOUBLE) / CAST(nb AS DOUBLE)
+                   - CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE))
+                * (CAST(nb AS DOUBLE) / CAST(g.n AS DOUBLE)))
+               * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0
+               AS resolution
+      FROM bins, g
+    )
+    SELECT n, n_bins,
+           CAST(sse AS DOUBLE) / (CAST(1000000.0 AS DOUBLE)
+                                  * CAST(n AS DOUBLE)) AS brier,
+           reliability, resolution,
+           (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(1.0 AS DOUBLE)
+                - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS uncertainty,
+           (CAST(sse AS DOUBLE) / (CAST(1000000.0 AS DOUBLE)
+                                   * CAST(n AS DOUBLE)))
+           - (reliability - resolution
+              + (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))) AS residual
+    FROM agg
+    """,
+)
+def brier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition for a pseudo-forecast on the
+    events stream (score = value cents mod 1001 as millis-probability,
+    label = user-id residue class): reliability / resolution /
+    uncertainty with the within-bin residual reported — the eval triad
+    behind ``calibration_events``'s reliability diagram. Exact-int sums,
+    quantized cross-bin accumulation. See
+    ``stats.brier_decomposition``."""
+    from pangool_spark.operators.stats import brier_decomposition
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("user_id") % 3 == 0, 1).otherwise(0).alias("y"),
+        (F.round(F.col("value") * 100).cast("bigint") % 1001).alias("s"),
+    )
+    return brier_decomposition(ev, "y", "s", scale=1000, bin_width=100)
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #

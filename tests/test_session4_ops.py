@@ -314,3 +314,96 @@ def test_psi_validation(spark):
         psi_drift(d, i, "v", bin_width=1)
     with pytest.raises(ValueError):
         psi_drift(i, i, "v", bin_width=0)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from pangool_spark.operators.stats import nelson_aalen
+
+    # t=1: 4 at risk, 1 event → 1/4 ; t=2: 3 at risk (1 censored at 1? no —
+    # censor leaves at its own t), rows: events at 1,2 + censored at 2,3
+    rows = [(1, 1), (2, 1), (2, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "t int, ev int")
+    out = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_risk"] == 4 and out[1]["n_events"] == 1
+    assert out[1]["cum_hazard"] == pytest.approx(0.25)
+    # t=2: 3 at risk, 1 event → H = 1/4 + 1/3
+    assert out[2]["n_risk"] == 3
+    assert out[2]["cum_hazard"] == pytest.approx(0.25 + 1 / 3, abs=1e-8)
+
+
+def test_nelson_aalen_vs_km_risk_sets(spark):
+    """NA and KM must agree on the risk-set bookkeeping."""
+    from pangool_spark.operators.stats import kaplan_meier, nelson_aalen
+
+    rows = [(i % 7 + 1, i % 3 != 0) for i in range(60)]
+    df = spark.createDataFrame(rows, "t int, ev boolean")
+    km = {r["t"]: r for r in kaplan_meier(df, "t", "ev").collect()}
+    na = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(km) == set(na)
+    for t in km:
+        assert km[t]["n_risk"] == na[t]["n_risk"]
+        assert km[t]["n_events"] == na[t]["n_events"]
+    # hazard increments are -ln-ish of survival factors: H >= -ln(S) bound-free
+    # sanity: cumulative hazard strictly increases with t
+    ts = sorted(na)
+    hs = [na[t]["cum_hazard"] for t in ts]
+    assert all(b > a for a, b in zip(hs, hs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+
+
+def test_brier_perfect_and_base_rate(spark):
+    from pangool_spark.operators.stats import brier_decomposition
+
+    # perfect forecaster: score == 1000*y → brier 0, reliability 0,
+    # resolution == uncertainty
+    rows = [(1, 1000)] * 30 + [(0, 0)] * 70
+    df = spark.createDataFrame(rows, "y int, s bigint")
+    r = brier_decomposition(df, "y", "s").collect()[0]
+    assert r["brier"] == 0.0
+    assert r["reliability"] == pytest.approx(0.0, abs=1e-9)
+    assert r["resolution"] == pytest.approx(r["uncertainty"], abs=1e-9)
+    assert r["uncertainty"] == pytest.approx(0.3 * 0.7)
+
+    # constant base-rate forecaster: score = 300 always → resolution 0,
+    # brier == uncertainty (+ tiny reliability from 300 vs 0.3 exact)
+    rows2 = [(1, 300)] * 30 + [(0, 300)] * 70
+    df2 = spark.createDataFrame(rows2, "y int, s bigint")
+    r2 = brier_decomposition(df2, "y", "s").collect()[0]
+    assert r2["resolution"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["reliability"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["brier"] == pytest.approx(r2["uncertainty"], abs=1e-9)
+
+
+def test_brier_identity_residual_small(spark):
+    """Murphy identity: brier = rel - res + unc + residual, with the
+    residual equal to the within-bin forecast variance (small here)."""
+    from pangool_spark.operators.stats import brier_decomposition
+
+    rows = [(i % 2, (i * 37) % 1001) for i in range(500)]
+    df = spark.createDataFrame(rows, "y int, s bigint")
+    r = brier_decomposition(df, "y", "s").collect()[0]
+    lhs = r["brier"]
+    rhs = r["reliability"] - r["resolution"] + r["uncertainty"] + r["residual"]
+    assert lhs == pytest.approx(rhs, abs=1e-9)
+    assert 0 <= r["residual"] < 0.01  # within-bin variance of width-100 bins
+
+
+def test_brier_validation_and_filtering(spark):
+    from pangool_spark.operators.stats import brier_decomposition
+
+    df = spark.createDataFrame([(1, 0.5)], "y int, s double")
+    with pytest.raises(ValueError):
+        brier_decomposition(df, "y", "s")
+    # out-of-range scores and non-binary labels are dropped
+    rows = [(1, 500), (0, 500), (2, 500), (1, 2000), (1, -5), (None, 500)]
+    df2 = spark.createDataFrame(rows, "y int, s bigint")
+    r = brier_decomposition(df2, "y", "s").collect()[0]
+    assert r["n"] == 2
