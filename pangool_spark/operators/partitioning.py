@@ -626,6 +626,55 @@ def range_partition_plan(
     excluded. Output: one row per non-empty bucket —
     (bucket, n_rows, frac, lo, hi) with lo/hi the observed min/max.
     """
+    vt = dict(df.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"range_partition_plan needs an integer value column, got "
+            f"{value_col}: {vt!r} — rescale to cents/units"
+        )
+    c = F.col(value_col).cast("bigint")
+    rows = df.filter(c.isNotNull()).select(c.alias("__c__"))
+    cut_vals = exact_quantile_cuts(rows, "__c__", num_partitions, bin_width)
+    bucket = F.lit(0)
+    for cv in cut_vals:
+        bucket = bucket + F.when(F.col("__c__") > F.lit(cv), 1).otherwise(0)
+    total = rows.agg(F.count(F.lit(1)).alias("__n__"))
+    return (
+        rows.select(bucket.cast("bigint").alias("bucket"), "__c__")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__c__").alias("lo"),
+            F.max("__c__").alias("hi"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__n__").cast("double"))
+            .alias("frac"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+def exact_quantile_cuts(
+    df: DataFrame,
+    value_col: str,
+    num_partitions: int,
+    bin_width: int = 1,
+) -> "list[int]":
+    """The k−1 EXACT lower-quantile cut values at i/k over an integer
+    column, refined two-phase (bin histogram as the partitioner — the
+    ``range_partition_plan`` engine, exposed for any operator that needs
+    a value-balanced bucketing: uplift deciles, shard sizing, equi-depth
+    layout). Returns the SORTED python list (≤ 1023 scalars — the
+    partitioner-broadcast contract); duplicates mean unsplittable skew
+    at that quantile. Two linear scans, aggregate-sized shuffles only.
+    """
+    from pyspark.sql import Window
+
     from pangool_spark.operators.sketch import quantiles_from_bins
 
     k = int(num_partitions)
@@ -636,15 +685,14 @@ def range_partition_plan(
     vt = dict(df.dtypes).get(value_col)
     if vt not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
-            f"range_partition_plan needs an integer value column, got "
+            f"exact_quantile_cuts needs an integer value column, got "
             f"{value_col}: {vt!r} — rescale to cents/units"
         )
     w = int(bin_width)
-    c = F.col(value_col).cast("bigint")
-    rows = df.filter(c.isNotNull()).select(c.alias("__c__"))
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("bigint").alias("__c__")
+    )
     qs = tuple(i / k for i in range(1, k))
-    from pyspark.sql import Window
-
     # phase 1: |bins|-sized histogram, checkpointed (one row scan, and
     # brackets/cum bases both derive from it without a rescan)
     bins = (
@@ -677,32 +725,11 @@ def range_partition_plan(
         Window.unboundedPreceding, 0
     )
     cuts_df = (
-        per_val.withColumn("__cum__", F.col("__base__") + F.sum("__lc__").over(wloc))
+        per_val.withColumn(
+            "__cum__", F.col("__base__") + F.sum("__lc__").over(wloc)
+        )
         .filter(F.col("__cum__") >= F.col("__r__"))
         .groupBy("q")
         .agg(F.min("__c__").alias("cut"))
     )
-    # k-1 scalars, bounded by construction — the partitioner broadcast
-    cut_vals = sorted(r["cut"] for r in cuts_df.collect())
-    bucket = F.lit(0)
-    for cv in cut_vals:
-        bucket = bucket + F.when(F.col("__c__") > F.lit(cv), 1).otherwise(0)
-    total = rows.agg(F.count(F.lit(1)).alias("__n__"))
-    return (
-        rows.select(bucket.cast("bigint").alias("bucket"), "__c__")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("__c__").alias("lo"),
-            F.max("__c__").alias("hi"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            "n_rows",
-            (F.col("n_rows").cast("double") / F.col("__n__").cast("double"))
-            .alias("frac"),
-            "lo",
-            "hi",
-        )
-    )
+    return sorted(int(r["cut"]) for r in cuts_df.collect())

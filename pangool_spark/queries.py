@@ -12503,6 +12503,85 @@ def brier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brier_decomposition(ev, "y", "s", scale=1000, bin_width=100)
 
 
+@query(
+    "uplift_deciles_events",
+    """
+    WITH kept AS (
+      SELECT (user_id % 2 = 0) AS t,
+             CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS y,
+             CAST(round(value * 100) AS BIGINT) % 1001 AS s
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kept),
+    vals AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM kept GROUP BY s),
+    cum AS (
+      SELECT s, SUM(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM vals
+    ), grid AS (SELECT unnest(generate_series(1, 9)) AS i),
+    cuts AS (
+      SELECT i, (SELECT MIN(s) FROM cum, tot
+                 WHERE cum.cum >= CEIL(CAST(i AS DOUBLE) / 10.0 * tot.n))
+               AS cut
+      FROM grid
+    ), b AS (
+      SELECT t, y,
+             CAST(9 - (SELECT COUNT(*) FROM cuts WHERE cuts.cut < kept.s)
+                  AS BIGINT) AS bucket
+      FROM kept
+    ), per AS (
+      SELECT bucket,
+             CAST(COUNT(*) FILTER (t) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (NOT t) AS BIGINT) AS n_c,
+             CAST(COALESCE(SUM(y) FILTER (t), 0) AS BIGINT) AS conv_t,
+             CAST(COALESCE(SUM(y) FILTER (NOT t), 0) AS BIGINT) AS conv_c
+      FROM b GROUP BY bucket
+    ), cum2 AS (
+      SELECT *, SUM(n_t) OVER w AS cnt, SUM(n_c) OVER w AS cnc,
+             SUM(conv_t) OVER w AS cct, SUM(conv_c) OVER w AS ccc
+      FROM per
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT bucket, n_t, n_c, conv_t, conv_c,
+           (CASE WHEN n_t > 0
+                 THEN CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) END
+            - CASE WHEN n_c > 0
+                   THEN CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) END)
+             AS uplift,
+           (CASE WHEN cnt > 0
+                 THEN CAST(cct AS DOUBLE) / CAST(cnt AS DOUBLE) END
+            - CASE WHEN cnc > 0
+                   THEN CAST(ccc AS DOUBLE) / CAST(cnc AS DOUBLE) END)
+             AS cum_uplift
+    FROM cum2 ORDER BY bucket
+    """,
+)
+def uplift_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table for a pseudo-campaign on the events stream
+    (treated = even user ids, response = event-id residue, targeting
+    score = value cents mod 1001): per exact-quantile decile of the
+    score, the treated-minus-control response gap and the cumulative gap
+    from the top decile down — the Qini view the AUC family can't give.
+    Deciles come from ``partitioning.exact_quantile_cuts`` (two-phase,
+    never an ntile window over rows). See ``ml.uplift_deciles``."""
+    from pangool_spark.operators.ml import uplift_deciles
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("t"),
+        F.when(F.col("event_id") % 5 == 0, 1).otherwise(0).alias("y"),
+        (F.round(F.col("value") * 100).cast("bigint") % 1001).alias("s"),
+    )
+    return uplift_deciles(
+        ev, "t", "y", "s", n_buckets=10, bin_width=50
+    ).orderBy("bucket")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #

@@ -407,3 +407,49 @@ def test_brier_validation_and_filtering(spark):
     df2 = spark.createDataFrame(rows, "y int, s bigint")
     r = brier_decomposition(df2, "y", "s").collect()[0]
     assert r["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# uplift deciles
+
+
+def test_uplift_finds_the_responsive_decile(spark):
+    """Treatment moves ONLY high-score units; the top decile shows the
+    uplift, the cumulative column dilutes toward the overall effect."""
+    from pangool_spark.operators.ml import uplift_deciles
+
+    rows = []
+    for i in range(1000):
+        score = i  # 0..999
+        treated = i % 2 == 0
+        # responders: treated units with score >= 900 convert at 100%,
+        # everyone else at 0%
+        y = 1 if (treated and score >= 900) else 0
+        rows.append((treated, y, score))
+    df = spark.createDataFrame(rows, "t boolean, y int, s bigint")
+    out = {r["bucket"]: r for r in
+           uplift_deciles(df, "t", "y", "s", n_buckets=10).collect()}
+    assert out[0]["uplift"] == pytest.approx(1.0)  # top decile: all treated convert
+    assert all(out[b]["uplift"] == 0.0 for b in out if b >= 2)
+    # cumulative uplift decreases as non-responsive deciles fold in
+    assert out[9]["cum_uplift"] < out[0]["cum_uplift"]
+    # exact balanced deciles on a uniform score
+    assert all(out[b]["n_t"] + out[b]["n_c"] == 100 for b in out)
+
+
+def test_uplift_null_arm_yields_null(spark):
+    from pangool_spark.operators.ml import uplift_deciles
+
+    # control-only data → uplift NULL everywhere
+    rows = [(False, i % 2, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "t boolean, y int, s bigint")
+    out = uplift_deciles(df, "t", "y", "s", n_buckets=5).collect()
+    assert all(r["uplift"] is None for r in out)
+
+
+def test_uplift_validation(spark):
+    from pangool_spark.operators.ml import uplift_deciles
+
+    df = spark.createDataFrame([(True, 1, 0.5)], "t boolean, y int, s double")
+    with pytest.raises(ValueError):
+        uplift_deciles(df, "t", "y", "s")
