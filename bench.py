@@ -313,6 +313,9 @@ EXTENDED = [
     "smd_balance_events",
     "range_bounds_lineitem",
     "psi_drift_orders",
+    "nelson_aalen_events",
+    "brier_events",
+    "uplift_deciles_events",
 ]
 
 RUNS_PER_QUERY = 3

@@ -630,6 +630,11 @@ def kaplan_meier(
             F.when(F.col(event_col).cast("int") != 0, 1).otherwise(0)
         ).alias("n_events"),
     )
+    # per_t is the |distinct durations|-bounded curve relation and both
+    # the total and the windows derive from it — localCheckpoint it so
+    # Catalyst doesn't inline the subject scan twice (the t_closeness
+    # lesson: the broadcast-total branch re-derives the whole subtree).
+    per_t = per_t.localCheckpoint(eager=True)
     total = per_t.agg(F.sum("__c__").alias("__total__"))
     w_before = (
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
@@ -2068,6 +2073,11 @@ def nelson_aalen(
             F.when(F.col(event_col).cast("int") != 0, 1).otherwise(0)
         ).alias("n_events"),
     )
+    # per_t is the |distinct durations|-bounded curve relation and both
+    # the total and the windows derive from it — localCheckpoint it so
+    # Catalyst doesn't inline the subject scan twice (the t_closeness
+    # lesson: the broadcast-total branch re-derives the whole subtree).
+    per_t = per_t.localCheckpoint(eager=True)
     total = per_t.agg(F.sum("__c__").alias("__total__"))
     w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)

@@ -17,6 +17,14 @@ QUERIES_AND_BOUNDS = {
     # bin histogram + candidate-bin local rank + final bucket count;
     # every exchange is aggregate-sized
     "range_bounds_lineitem": 4,
+    # two bin aggregates; the joint window runs on the |bins| relation
+    "psi_drift_orders": 3,
+    # first-event + first-purchase aggregates + the per-duration regroup
+    "nelson_aalen_events": 4,
+    # one global aggregate + one |bins| aggregate
+    "brier_events": 2,
+    # cut refinement (2 aggregate exchanges) + final bucket aggregate
+    "uplift_deciles_events": 5,
 }
 
 
