@@ -12707,9 +12707,14 @@ def uplift_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floats-first — psi_drift_orders — quantized-ln PSI terms —
 # t_closeness_customers — decimal-ratio TV doubles — did_events /
 # smd_balance_events — exact-sum IEEE contrast doubles —
-# range_bounds_lineitem — integer cuts + one frac double). Rotate all
-# 37 into the r11 window front (they fit with 13 slots to spare for new
-# work); any r10 red rows preempt.
+# range_bounds_lineitem — integer cuts + one frac double —
+# nelson_aalen_events — quantized-hazard doubles — brier_events —
+# decomposition doubles — uplift_deciles_events — rate-gap doubles —
+# psi_drift_orders listed above). That is 40 backlog queries — ten more
+# than one 50-slot window can also absorb alongside new work: fill the
+# r11 window entirely from this backlog (floats-first as listed), push
+# any overflow to r12, and add NO window-displacing registrations until
+# it drains; any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",
