@@ -453,3 +453,22 @@ def test_uplift_validation(spark):
     df = spark.createDataFrame([(True, 1, 0.5)], "t boolean, y int, s double")
     with pytest.raises(ValueError):
         uplift_deciles(df, "t", "y", "s")
+
+
+def test_t_closeness_multi_key_quasi(spark):
+    """Composite quasi-identifier: classes form on the key TUPLE."""
+    from pangool_spark.operators.profile import t_closeness
+
+    rows = [
+        ("a", 1, "s1"), ("a", 1, "s1"),
+        ("a", 2, "s2"), ("a", 2, "s2"),
+    ]
+    df = spark.createDataFrame(rows, "k1 string, k2 int, s string")
+    out = {(r["k1"], r["k2"]): r for r in
+           t_closeness(df, ["k1", "k2"], "s", t=0.6).collect()}
+    assert set(out) == {("a", 1), ("a", 2)}
+    # each class is pure in one of two global 50/50 values → TV = 0.5
+    for r in out.values():
+        assert r["class_size"] == 2
+        assert r["tv"] == pytest.approx(0.5)
+        assert r["close"]
