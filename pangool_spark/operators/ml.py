@@ -845,3 +845,134 @@ def uplift_deciles(
             "cum_uplift"
         ),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Confusion-matrix classification report — the basic supervised-eval
+    relation the AUC/PR/calibration family sits on top of: per class,
+    TP/FP/FN counts with precision/recall/F1, plus overall accuracy,
+    macro-F1, and the multi-class Matthews correlation (Gorodkin's R_K,
+    Comput Biol Chem 2004) repeated on every row so the relation is
+    self-contained (the ``diff_in_diff`` convention).
+
+    One contingency pass: ``groupBy(label, pred).count`` produces the
+    ≤C² cell relation (localCheckpointed — the t_closeness lesson: every
+    marginal below derives from it, and Catalyst would otherwise inline
+    the full scan per marginal); marginals, the diagonal, and the
+    overall statistics are joins/windows over that tiny relation, so the
+    input scans once no matter how many classes. All counts are exact
+    int64; R_K's cross terms (c·s − Σp_k·t_k, s² − Σp_k², s² − Σt_k²)
+    are exact DECIMAL(38,0) products of the counts, so every double in
+    the output is a fixed IEEE chain over exact integers (two sqrts —
+    no other libm). Keep counts below 10¹⁹ (the decimal(19,0) cast).
+
+    Conventions: classes = union of observed labels and predictions;
+    precision/recall/F1 are 0.0 when their denominator is 0 (sklearn's
+    ``zero_division=0``); macro-F1 averages over the class union; MCC is
+    NULL when a denominator factor is 0 (single-class degenerate). NULL
+    label or prediction rows are dropped — a row that cannot be placed
+    in the matrix (``cohens_kappa`` instead treats NULL as a class; that
+    operator rates two labelers, this one scores a classifier against
+    ground truth).
+
+    Output: one row per class — (class, tp, fp, fn, support, precision,
+    recall, f1, accuracy, macro_f1, mcc).
+    """
+    types = dict(df.dtypes)
+    if types.get(label_col) != types.get(pred_col):
+        raise ValueError(
+            f"label/pred types differ: {types.get(label_col)!r} vs "
+            f"{types.get(pred_col)!r} — cast upstream"
+        )
+    cells = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("__a__"), F.col(pred_col).alias("__p__")
+        )
+        .agg(F.count(F.lit(1)).alias("__o__"))
+    )
+    # ≤C² rows; every marginal below is an aggregate OF this relation.
+    cells = cells.localCheckpoint(eager=True)
+    truth = cells.groupBy(F.col("__a__").alias("class")).agg(
+        F.sum("__o__").alias("support")
+    )
+    pred = cells.groupBy(F.col("__p__").alias("class")).agg(
+        F.sum("__o__").alias("__pk__")
+    )
+    diag = cells.filter(F.col("__a__") == F.col("__p__")).select(
+        F.col("__a__").alias("class"), F.col("__o__").alias("tp")
+    )
+    per = (
+        truth.join(pred, "class", "full_outer")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias(
+                "support"
+            ),
+            F.coalesce(F.col("__pk__"), F.lit(0)).cast("bigint").alias(
+                "__pk__"
+            ),
+        )
+        .select(
+            "class",
+            "tp",
+            (F.col("__pk__") - F.col("tp")).alias("fp"),
+            (F.col("support") - F.col("tp")).alias("fn"),
+            "support",
+            "__pk__",
+        )
+    )
+    w = Window.partitionBy()  # ≤C rows
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    s = F.sum(dec(F.col("support"))).over(w).cast("decimal(19,0)")
+    c = F.sum(dec(F.col("tp"))).over(w).cast("decimal(19,0)")
+    spt = F.sum(
+        (dec(F.col("__pk__")) * dec(F.col("support"))).cast("decimal(38,0)")
+    ).over(w)
+    spp = F.sum(
+        (dec(F.col("__pk__")) * dec(F.col("__pk__"))).cast("decimal(38,0)")
+    ).over(w)
+    stt = F.sum(
+        (dec(F.col("support")) * dec(F.col("support"))).cast("decimal(38,0)")
+    ).over(w)
+    num = ((c * s).cast("decimal(38,0)") - spt).cast("double")
+    f1fac = ((s * s).cast("decimal(38,0)") - spp).cast("double")
+    f2fac = ((s * s).cast("decimal(38,0)") - stt).cast("double")
+    zr = lambda n_, d_: F.when(  # noqa: E731
+        d_ > 0, n_.cast("double") / d_.cast("double")
+    ).otherwise(F.lit(0.0))
+    f1_col = zr(
+        F.lit(2) * F.col("tp"),
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+    )
+    return per.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        zr(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+        zr(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall"),
+        f1_col.alias("f1"),
+        (c.cast("double") / s.cast("double")).alias("accuracy"),
+        # quantize per-class F1 before the window sum: a raw double sum
+        # depends on row arrival order (the nelson_aalen convention)
+        (
+            F.sum(
+                F.round(f1_col * F.lit(1000000000.0)).cast("bigint")
+            ).over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+            / F.lit(1000000000.0)
+        ).alias("macro_f1"),
+        F.when(
+            (f1fac > 0) & (f2fac > 0),
+            num / (F.sqrt(f1fac) * F.sqrt(f2fac)),
+        ).alias("mcc"),
+    )

@@ -2196,3 +2196,207 @@ def brier_decomposition(
             - (F.col("reliability") - F.col("resolution") + unc)
         ).alias("residual"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with tie-aware mid-ranks —
+    the monotone-association test beside ``grouped_corr``'s Pearson:
+    rank both variables (average rank among ties), then Pearson over
+    the ranks. Robust to outliers and to any monotone rescaling, which
+    is why it is the drift/sanity correlation for heavy-tailed metrics.
+
+    Exactness: mid-ranks are held DOUBLED (``2·rank + ties − 1`` — an
+    exact int64, never a .5 float), and the Pearson sums over them are
+    exact DECIMAL(38,0); rho is one fixed IEEE chain (two sqrts) over
+    those exact integers, so the statistic is bit-identical
+    cross-engine. Keep 4·n⁴ < 10³⁸ per group (n ≤ ~10⁹ rows — the
+    doubled-rank fourth-moment bound). Both columns must be
+    integer-typed (bucket continuous metrics upstream — which also
+    gives ties real meaning); NULL x or y rows are dropped.
+
+    ONE hash exchange: both rank windows and the final aggregate share
+    the group partitioning (the y window re-sorts locally, no second
+    shuffle). rho is NULL when a group is constant in either variable
+    (no rank variance to correlate).
+
+    Output: (*group_cols, n, rho).
+    """
+    if not group_cols:
+        raise ValueError("spearman_corr needs at least one group column")
+    types = dict(df.dtypes)
+    for c in (x_col, y_col):
+        if types.get(c) not in _INT_TYPES:
+            raise ValueError(
+                f"{c} must be integer-typed, got {types.get(c)!r} — "
+                "bucket continuous metrics upstream"
+            )
+    rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def doubled_midrank(col: str, out: str):
+        w = Window.partitionBy(*group_cols).orderBy(col)
+        ties = Window.partitionBy(*group_cols).orderBy(col).rangeBetween(0, 0)
+        # rank() is the 1-based min-rank; avg rank among ties is
+        # rank + (ties-1)/2, so the doubled rank 2·rank + ties - 2 is an
+        # exact int64 (the -2 shifts the minimum to 1; any affine shift
+        # applied to BOTH variables cancels in rho)
+        return (
+            F.lit(2) * F.rank().over(w) + F.count(F.lit(1)).over(ties) - 2
+        ).cast("bigint").alias(out)
+
+    ranked = rows.select(
+        *group_cols,
+        doubled_midrank(x_col, "__rx__"),
+        doubled_midrank(y_col, "__ry__"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38("__rx__")).cast("decimal(38,0)").alias("__sx__"),
+        F.sum(d38("__ry__")).cast("decimal(38,0)").alias("__sy__"),
+        F.sum((d38("__rx__") * d38("__rx__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxx__"),
+        F.sum((d38("__ry__") * d38("__ry__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syy__"),
+        F.sum((d38("__rx__") * d38("__ry__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxy__"),
+    )
+    nn = F.col("n").cast("decimal(19,0)")
+    num = (
+        (nn * F.col("__sxy__")).cast("decimal(38,0)")
+        - (F.col("__sx__") * F.col("__sy__")).cast("decimal(38,0)")
+    ).cast("double")
+    vx = (
+        (nn * F.col("__sxx__")).cast("decimal(38,0)")
+        - (F.col("__sx__") * F.col("__sx__")).cast("decimal(38,0)")
+    ).cast("double")
+    vy = (
+        (nn * F.col("__syy__")).cast("decimal(38,0)")
+        - (F.col("__sy__") * F.col("__sy__")).cast("decimal(38,0)")
+    ).cast("double")
+    return g.select(
+        *group_cols,
+        "n",
+        F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))).alias(
+            "rho"
+        ),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    arm_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — the hypothesis test that
+    completes the ``kaplan_meier``/``nelson_aalen`` survival family: do
+    two arms share a survival curve? At each event time t the observed
+    arm-1 events d₁ₜ are compared against the hypergeometric expectation
+    e₁ₜ = dₜ·n₁ₜ/nₜ given the pooled risk set; the statistic is
+    ``chi2 = (Σ(d₁ₜ − e₁ₜ))² / ΣVₜ`` with the hypergeometric variance
+    ``Vₜ = dₜ·n₁ₜ·n₀ₜ·(nₜ−dₜ) / (nₜ²·(nₜ−1))``.
+
+    Same machinery contract as ``kaplan_meier``: integer durations with
+    a bounded distinct count, ONE partial-combined subject pass into the
+    per-duration relation (localCheckpointed — every total and window
+    below derives from it), risk sets via reverse cumulative counts.
+    Per-duration O−E and V terms are QUANTIZED (×10⁹ bigints) before
+    summing — order-independent and hash-stable cross-engine (the
+    nelson_aalen convention); each term itself is a fixed IEEE chain
+    over exact counts. The chi-square statistic is reported raw (no
+    p-value — that would drag the incomplete-gamma into the contract;
+    chi2 > 3.84 is the 5% line at 1 df).
+
+    ``arm_col`` must be 0/1; NULL arm/duration/event rows are dropped.
+    Output: ONE row — (n_1, n_0, observed_1, expected_1, chi2); chi2 is
+    NULL when the variance sum is 0 (degenerate risk sets).
+    """
+    dt = dict(df.dtypes).get(duration_col)
+    if dt not in _INT_TYPES:
+        raise ValueError(
+            f"duration_col must be integer-typed, got {dt!r} — bucket "
+            "continuous durations upstream"
+        )
+    arm = F.col(arm_col).cast("int")
+    rows = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & arm.isin(0, 1)
+    )
+    ev = F.col(event_col).cast("int") != 0
+    per_t = rows.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(arm == 1, 1).otherwise(0)).alias("__c1__"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).alias("__c0__"),
+        F.sum(F.when((arm == 1) & ev, 1).otherwise(0)).alias("__d1__"),
+        F.sum(F.when((arm == 0) & ev, 1).otherwise(0)).alias("__d0__"),
+    )
+    # tiny per-duration relation; totals and windows derive from it
+    per_t = per_t.localCheckpoint(eager=True)
+    totals = per_t.agg(
+        F.sum("__c1__").alias("__n1t__"), F.sum("__c0__").alias("__n0t__")
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__n1__",
+            F.col("__n1t__")
+            - F.coalesce(F.sum("__c1__").over(w_before), F.lit(0)),
+        )
+        .withColumn(
+            "__n0__",
+            F.col("__n0t__")
+            - F.coalesce(F.sum("__c0__").over(w_before), F.lit(0)),
+        )
+        .withColumn("__n__", F.col("__n1__") + F.col("__n0__"))
+        .withColumn("__d__", F.col("__d1__") + F.col("__d0__"))
+        .filter(F.col("__d__") > 0)
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    e1 = dbl("__d__") * dbl("__n1__") / dbl("__n__")
+    v = F.when(
+        F.col("__n__") > 1,
+        dbl("__d__")
+        * dbl("__n1__")
+        * dbl("__n0__")
+        * (dbl("__n__") - dbl("__d__"))
+        / (dbl("__n__") * dbl("__n__") * (dbl("__n__") - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    q = lambda col: F.round(col * F.lit(1000000000.0)).cast(  # noqa: E731
+        "bigint"
+    )
+    terms = at_risk.select(
+        F.col("__n1t__"),
+        F.col("__n0t__"),
+        F.col("__d1__"),
+        q(dbl("__d1__") - e1).alias("__qoe__"),
+        q(e1).alias("__qe1__"),
+        q(v).alias("__qv__"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("__n1t__").alias("n_1"),
+        F.max("__n0t__").alias("n_0"),
+        F.sum("__d1__").alias("observed_1"),
+        F.sum("__qe1__").alias("__sqe__"),
+        F.sum("__qoe__").alias("__soe__"),
+        F.sum("__qv__").alias("__sv__"),
+    )
+    oe = F.col("__soe__").cast("double") / F.lit(1000000000.0)
+    sv = F.col("__sv__").cast("double") / F.lit(1000000000.0)
+    return agg.select(
+        "n_1",
+        "n_0",
+        "observed_1",
+        (F.col("__sqe__").cast("double") / F.lit(1000000000.0)).alias(
+            "expected_1"
+        ),
+        F.when(F.col("__sv__") > 0, oe * oe / sv).alias("chi2"),
+    )
