@@ -2400,3 +2400,234 @@ def logrank_test(
         ),
         F.when(F.col("__sv__") > 0, oe * oe / sv).alias("chi2"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Stratified inverse-propensity-weighted average treatment effect
+    (Horvitz–Thompson 1952 / Rosenbaum–Rubin 1983): within each stratum
+    the propensity is the EXACT observed treatment share e_s = n_ts/n_s,
+    so the IPW estimator algebraically reduces to the stratified
+    difference of means — ``ATE = Σ_s (n_s/N)·(ȳ_ts − ȳ_cs)`` — the
+    adjustment that removes confounding carried by the stratum variable
+    (the ``cuped``/``diff_in_diff`` family's observational sibling).
+
+    ONE partial-combined aggregate produces exact int64 (n, Σy) per
+    (stratum, arm) as conditional sums; per-stratum means/diffs are
+    single divides. Each stratum's contribution n_s·(ȳ_ts − ȳ_cs) is
+    QUANTIZED (×10⁶ bigint) before the cross-stratum window sum — a raw
+    double sum would depend on row order (the nelson_aalen convention).
+    Strata with an empty arm carry no counterfactual and are EXCLUDED
+    from the estimate (diff/weight NULL, their n missing from N); the
+    ATE column is repeated on every row (the diff_in_diff convention).
+
+    ``treated_col`` is boolean; ``outcome_col`` must be integer-typed
+    (cents — the cuped contract; keep n_s·|diff|·10⁶ < 2⁶³). NULL
+    stratum/treated/outcome rows are dropped.
+
+    Output: (stratum, n_t, n_c, mean_t, mean_c, diff, weight, ate).
+    """
+    types = dict(df.dtypes)
+    if types.get(outcome_col) not in _INT_TYPES:
+        raise ValueError(
+            f"ipw_ate needs an integer outcome column, got "
+            f"{types.get(outcome_col)!r} — rescale to cents"
+        )
+    tr = F.col(treated_col)
+    y = F.col(outcome_col).cast("bigint")
+    g = (
+        df.filter(
+            F.col(stratum_col).isNotNull() & tr.isNotNull() & y.isNotNull()
+        )
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.when(tr, F.lit(1))).alias("n_t"),
+            F.count(F.when(~tr, F.lit(1))).alias("n_c"),
+            F.coalesce(F.sum(F.when(tr, y)), F.lit(0)).alias("__st__"),
+            F.coalesce(F.sum(F.when(~tr, y)), F.lit(0)).alias("__sc__"),
+        )
+    )
+    usable = (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    mean_t = F.col("__st__").cast("double") / F.col("n_t").cast("double")
+    mean_c = F.col("__sc__").cast("double") / F.col("n_c").cast("double")
+    n_s = F.col("n_t") + F.col("n_c")
+    q = F.when(
+        usable,
+        F.round(n_s.cast("double") * (mean_t - mean_c) * F.lit(1000000.0))
+        .cast("bigint"),
+    )
+    w = Window.partitionBy()  # |strata| rows
+    n_used = F.sum(F.when(usable, n_s)).over(w)
+    ate = (
+        F.sum(q).over(w).cast("double")
+        / F.lit(1000000.0)
+        / n_used.cast("double")
+    )
+    return g.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        F.when(F.col("n_t") > 0, mean_t).alias("mean_t"),
+        F.when(F.col("n_c") > 0, mean_c).alias("mean_c"),
+        F.when(usable, mean_t - mean_c).alias("diff"),
+        F.when(usable, n_s.cast("double") / n_used.cast("double")).alias(
+            "weight"
+        ),
+        ate.alias("ate"),
+    )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treated_col: str,
+    value_col: str,
+    probs: "Sequence[float]" = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects — the distributional view the mean-
+    contrast family (``diff_in_diff``/``ipw_ate``) can't give: at each
+    probability p, QTE(p) = Q_treated(p) − Q_control(p), showing WHERE
+    in the outcome distribution the treatment moves mass (a treatment
+    can leave the mean flat while compressing the tails).
+
+    ONE partial-combined aggregate: both arms' quantile grids come from
+    conditional exact ``percentile`` aggregates (value→count map state —
+    bounded by the distinct-value count, so quantize/bucket the metric
+    upstream; cents of a bounded metric is fine). The linear
+    interpolation runs on DOUBLE casts of the integer values and is
+    bit-identical to DuckDB's quantile_cont on the same grid (the
+    windowed_quantiles precedent). NULL treated/value rows are dropped.
+    If EITHER arm is empty the contrast is undefined and the relation is
+    EMPTY (documented, not NULL-padded).
+
+    Output: one row per probability — (p, n_t, n_c, q_t, q_c, qte).
+    """
+    if not probs:
+        raise ValueError("quantile_treatment_effects needs probabilities")
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got "
+            f"{types.get(value_col)!r} — quantize upstream"
+        )
+    tr = F.col(treated_col)
+    y = F.col(value_col).cast("bigint").cast("double")
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = df.filter(tr.isNotNull() & F.col(value_col).isNotNull()).agg(
+        F.count(F.when(tr, F.lit(1))).alias("n_t"),
+        F.count(F.when(~tr, F.lit(1))).alias("n_c"),
+        F.percentile(F.when(tr, y), parr).alias("__qt__"),
+        F.percentile(F.when(~tr, y), parr).alias("__qc__"),
+    )
+    ex = agg.select(
+        "n_t",
+        "n_c",
+        F.posexplode(F.arrays_zip(F.col("__qt__"), F.col("__qc__"))).alias(
+            "__i__", "__z__"
+        ),
+    )
+    return ex.select(
+        F.element_at(parr, F.col("__i__") + 1).alias("p"),
+        "n_t",
+        "n_c",
+        F.col("__z__.__qt__").alias("q_t"),
+        F.col("__z__.__qc__").alias("q_c"),
+        (F.col("__z__.__qt__") - F.col("__z__.__qc__")).alias("qte"),
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_days: int = 7,
+) -> DataFrame:
+    """Scaled forecast-accuracy scores for the seasonal-naive forecaster
+    — ``backtest_seasonal_naive``'s MAE/bias completed with the three
+    scale-free scores the forecasting literature actually compares on:
+    MASE (Hyndman–Koehler IJF 2006: seasonal-naive MAE scaled by the
+    one-step naive MAE — >1 means the 'model' loses to last-value
+    carry-forward), sMAPE, and WAPE.
+
+    Per key, daily totals aggregate once (exact int64 — ``value_col``
+    must be integer-typed); the season-lag and 1-lag predictions are two
+    co-partitioned self-equi-joins on (key, day−lag). Error sums are
+    exact ints; per-day sMAPE ratios are QUANTIZED (×10⁹) before the
+    mean (order-independent — the nelson_aalen convention); MASE/WAPE
+    are fixed divides over exact sums. Keys with no season-matched day
+    are absent; MASE is NULL when the naive scale is 0, WAPE when
+    Σ|y| = 0. NULL timestamps/values are dropped.
+
+    Output: (*group_cols, n_days, mase, smape, wape).
+    """
+    if season_days < 2:
+        raise ValueError(
+            f"season_days must be >= 2 (1 would make MASE tautologically "
+            f"1), got {season_days}"
+        )
+    if not group_cols:
+        raise ValueError("forecast_accuracy needs a group column")
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got {types.get(value_col)!r} "
+            "— rescale upstream (e.g. money to cents)"
+        )
+    rows = df.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    daily = rows.groupBy(
+        *group_cols, F.col(ts_col).cast("date").alias("__d__")
+    ).agg(F.sum(F.col(value_col).cast("bigint")).alias("__v__"))
+    daily = daily.localCheckpoint(eager=True)
+
+    def lagged(days: int, out: str) -> DataFrame:
+        return daily.select(
+            *group_cols,
+            F.date_add(F.col("__d__"), days).alias("__d__"),
+            F.col("__v__").alias(out),
+        )
+
+    season = daily.join(lagged(season_days, "__ps__"), [*group_cols, "__d__"])
+    es = F.col("__v__") - F.col("__ps__")
+    smape_day = F.when(
+        F.abs(F.col("__v__")) + F.abs(F.col("__ps__")) > 0,
+        F.lit(2.0)
+        * F.abs(es).cast("double")
+        / (F.abs(F.col("__v__")) + F.abs(F.col("__ps__"))).cast("double"),
+    ).otherwise(F.lit(0.0))
+    s_agg = season.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(es)).alias("__saes__"),
+        F.sum(F.abs(F.col("__v__"))).alias("__say__"),
+        F.sum(
+            F.round(smape_day * F.lit(1000000000.0)).cast("bigint")
+        ).alias("__qsm__"),
+    )
+    one = daily.join(lagged(1, "__p1__"), [*group_cols, "__d__"])
+    o_agg = one.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n1__"),
+        F.sum(F.abs(F.col("__v__") - F.col("__p1__"))).alias("__sae1__"),
+    )
+    j = s_agg.join(o_agg, list(group_cols), "left")
+    mae_s = F.col("__saes__").cast("double") / F.col("n_days").cast("double")
+    mae_1 = F.col("__sae1__").cast("double") / F.col("__n1__").cast("double")
+    return j.select(
+        *group_cols,
+        "n_days",
+        F.when(
+            F.col("__n1__").isNotNull() & (F.col("__sae1__") > 0),
+            mae_s / mae_1,
+        ).alias("mase"),
+        (
+            F.col("__qsm__").cast("double")
+            / F.lit(1000000000.0)
+            / F.col("n_days").cast("double")
+        ).alias("smape"),
+        F.when(
+            F.col("__say__") > 0,
+            F.col("__saes__").cast("double") / F.col("__say__").cast("double"),
+        ).alias("wape"),
+    )

@@ -12862,6 +12862,195 @@ def logrank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logrank_test(ul, "arm", "t", "ev")
 
 
+@query(
+    "ipw_ate_events",
+    """
+    WITH rows_ AS (
+      SELECT event_type AS stratum,
+             ((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               & 2147483647) % 2 = 0) AS tr,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+    ), g AS (
+      SELECT stratum,
+             CAST(COUNT(*) FILTER (tr) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (NOT tr) AS BIGINT) AS n_c,
+             CAST(COALESCE(SUM(y) FILTER (tr), 0) AS BIGINT) AS st,
+             CAST(COALESCE(SUM(y) FILTER (NOT tr), 0) AS BIGINT) AS sc
+      FROM rows_ GROUP BY 1
+    ), q AS (
+      SELECT *,
+             CASE WHEN n_t > 0 AND n_c > 0 THEN
+               CAST(round(CAST(n_t + n_c AS DOUBLE)
+                          * (CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE)
+                             - CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE))
+                          * 1000000.0) AS BIGINT)
+             END AS qd,
+             CASE WHEN n_t > 0 AND n_c > 0 THEN n_t + n_c END AS nu
+      FROM g
+    )
+    SELECT stratum, n_t, n_c,
+           CASE WHEN n_t > 0
+                THEN CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE) END AS mean_t,
+           CASE WHEN n_c > 0
+                THEN CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE) END AS mean_c,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE)
+                     - CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE) END AS diff,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN CAST(n_t + n_c AS DOUBLE)
+                     / CAST(SUM(nu) OVER () AS DOUBLE) END AS weight,
+           CAST(SUM(qd) OVER () AS DOUBLE) / 1000000.0
+             / CAST(SUM(nu) OVER () AS DOUBLE) AS ate
+    FROM q ORDER BY stratum
+    """,
+)
+def ipw_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-propensity IPW average treatment effect of an
+    md5-assigned pseudo-treatment on event value (cents), stratified by
+    event type — the observational-causal completion of the
+    did/cuped/smd family: within-stratum exact treatment shares make the
+    IPW estimator the stratified difference of means, with per-stratum
+    contributions quantized before the cross-stratum fold. See
+    ``operators.stats.ipw_ate``."""
+    from pangool_spark.operators.stats import ipw_ate
+
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(2147483647))
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("stratum"),
+        (h % 2 == 0).alias("tr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return ipw_ate(ev, "stratum", "tr", "y").orderBy("stratum")
+
+
+@query(
+    "qte_events",
+    """
+    WITH kept AS (
+      SELECT (user_id % 2 = 0) AS tr,
+             CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS y
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    ), g AS (
+      SELECT CAST(COUNT(*) FILTER (tr) AS BIGINT) AS n_t,
+             CAST(COUNT(*) FILTER (NOT tr) AS BIGINT) AS n_c,
+             quantile_cont(y, 0.1) FILTER (tr) AS qt_0,
+             quantile_cont(y, 0.1) FILTER (NOT tr) AS qc_0,
+             quantile_cont(y, 0.25) FILTER (tr) AS qt_1,
+             quantile_cont(y, 0.25) FILTER (NOT tr) AS qc_1,
+             quantile_cont(y, 0.5) FILTER (tr) AS qt_2,
+             quantile_cont(y, 0.5) FILTER (NOT tr) AS qc_2,
+             quantile_cont(y, 0.75) FILTER (tr) AS qt_3,
+             quantile_cont(y, 0.75) FILTER (NOT tr) AS qc_3,
+             quantile_cont(y, 0.9) FILTER (tr) AS qt_4,
+             quantile_cont(y, 0.9) FILTER (NOT tr) AS qc_4
+      FROM kept
+    )
+    SELECT CAST(0.1 AS DOUBLE) AS p, n_t, n_c, qt_0 AS q_t, qc_0 AS q_c, qt_0 - qc_0 AS qte FROM g
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE) AS p, n_t, n_c, qt_1 AS q_t, qc_1 AS q_c, qt_1 - qc_1 AS qte FROM g
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE) AS p, n_t, n_c, qt_2 AS q_t, qc_2 AS q_c, qt_2 - qc_2 AS qte FROM g
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE) AS p, n_t, n_c, qt_3 AS q_t, qc_3 AS q_c, qt_3 - qc_3 AS qte FROM g
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE) AS p, n_t, n_c, qt_4 AS q_t, qc_4 AS q_c, qt_4 - qc_4 AS qte FROM g
+    ORDER BY p
+""",
+)
+def qte_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects for the did_events A/B assignment
+    (treated = even user ids, outcome = value cents): per probability
+    P10/P25/P50/P75/P90, the treated-minus-control quantile gap — the
+    distributional contrast a mean effect can mask entirely. Both arms'
+    grids come from ONE conditional exact-percentile aggregate whose
+    interpolation bit-matches quantile_cont. See
+    ``operators.stats.quantile_treatment_effects``."""
+    from pangool_spark.operators.stats import quantile_treatment_effects
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("tr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    return quantile_treatment_effects(
+        ev, "tr", "y", (0.1, 0.25, 0.5, 0.75, 0.9)
+    ).orderBy("p")
+
+
+@query(
+    "forecast_accuracy_events",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dd,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), season AS (
+      SELECT a.event_type, a.v, b.v AS ps
+      FROM d a JOIN d b ON a.event_type = b.event_type
+                       AND b.dd = a.dd - INTERVAL 7 DAY
+    ), sagg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(v - ps)) AS BIGINT) AS saes,
+             CAST(SUM(ABS(v)) AS BIGINT) AS say,
+             CAST(SUM(CAST(round((CASE WHEN ABS(v) + ABS(ps) > 0
+                   THEN 2.0 * CAST(ABS(v - ps) AS DOUBLE)
+                        / CAST(ABS(v) + ABS(ps) AS DOUBLE)
+                   ELSE 0.0 END) * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS qsm
+      FROM season GROUP BY 1
+    ), one AS (
+      SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS sae1
+      FROM d a JOIN d b ON a.event_type = b.event_type
+                       AND b.dd = a.dd - INTERVAL 1 DAY
+      GROUP BY 1
+    )
+    SELECT s.event_type, n_days,
+           CASE WHEN sae1 > 0
+                THEN (CAST(saes AS DOUBLE) / CAST(n_days AS DOUBLE))
+                     / (CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           END AS mase,
+           CAST(qsm AS DOUBLE) / 1000000000.0 / CAST(n_days AS DOUBLE)
+             AS smape,
+           CASE WHEN say > 0
+                THEN CAST(saes AS DOUBLE) / CAST(say AS DOUBLE) END AS wape
+    FROM sagg s LEFT JOIN one ON s.event_type = one.event_type
+    ORDER BY s.event_type
+    """,
+)
+def forecast_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE / sMAPE / WAPE of the seasonal-naive (lag-7) forecaster on
+    daily per-type revenue — the scale-free forecast scores that let
+    types of different volume be compared on one axis (MASE > 1 = the
+    seasonal carry loses to plain last-value carry). Exact integer error
+    sums, quantized per-day sMAPE terms, two co-partitioned lag
+    self-joins on the daily relation. See
+    ``operators.stats.forecast_accuracy``."""
+    from pangool_spark.operators.stats import forecast_accuracy
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return forecast_accuracy(
+        ev, ["event_type"], "ts", "cents", season_days=7
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
