@@ -897,6 +897,28 @@ def classification_report(
     )
     # ≤C² rows; every marginal below is an aggregate OF this relation.
     cells = cells.localCheckpoint(eager=True)
+    return confusion_report_from_cells(cells, "__a__", "__p__", "__o__")
+
+
+def confusion_report_from_cells(
+    cells: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    count_col: str = "n",
+) -> DataFrame:
+    """Expression half of ``classification_report``: the per-class
+    report derived from an ALREADY-AGGREGATED (label, pred, count) cell
+    relation. Split out so incremental maintainers (the
+    ``stream_confusion_monitor`` fold) emit their snapshots through the
+    IDENTICAL expressions — stream == batch parity is then structural,
+    not coincidental (the ``plan_from_counts`` pattern). Same output
+    contract as ``classification_report``.
+    """
+    cells = cells.select(
+        F.col(label_col).alias("__a__"),
+        F.col(pred_col).alias("__p__"),
+        F.col(count_col).cast("bigint").alias("__o__"),
+    )
     truth = cells.groupBy(F.col("__a__").alias("class")).agg(
         F.sum("__o__").alias("support")
     )

@@ -1619,3 +1619,62 @@ def collocations(
     return scored.orderBy(
         F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
     ).limit(top_k)
+
+
+def textrank_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 3,
+    min_count: int = 2,
+    top_k: int = 25,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) over the
+    whole corpus: tokens are vertices, co-occurrence within ±``window``
+    positions is an (undirected) edge, and PageRank centrality ranks the
+    keywords — the graph-centrality keyword scorer beside the frequency
+    family (tf_idf picks DISTINCTIVE terms, collocations picks PAIRS,
+    TextRank picks terms central to the corpus's co-occurrence topology).
+
+    Pure composition of two already-oracled kernels: the map-side pair
+    stream from ``cooccurrence_pairs`` (corpus text never shuffles;
+    pairs with n < ``min_count`` are pruned as noise edges, self-loops
+    from repeated tokens dropped), symmetrized into a directed edge list
+    (both directions — undirected TextRank), then ``graph.pagerank``'s
+    deterministic fixed-iteration update (decimal(38,18) contribution
+    sums — bit-identical ranks cross-engine). Top-k by rank with the
+    term itself as tie-break.
+
+    Output: (term, rank), ``top_k`` rows, rank DESC.
+    """
+    from pangool_spark.operators.graph import pagerank
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pairs = cooccurrence_pairs(
+        df, id_col=id_col, text_col=text_col, window=window,
+        min_count=min_count,
+    ).filter(F.col("term_a") != F.col("term_b"))
+    edges = pairs.select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("term_b").alias("src"), F.col("term_a").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=iterations)
+    # ranks are rounded to 12dp BEFORE the top-k order: the raw doubles
+    # can differ by an ulp across engines (double→decimal(38,18)
+    # contribution casts round from the shortest-string repr in Spark
+    # vs the full binary in DuckDB), and an ulp at the boundary would
+    # flip which term the LIMIT admits — quantized ranks make the
+    # ordering and the hash both engine-stable (the grouped_moments
+    # convention; magnitudes are ≤1 so 12dp is far above ulp noise)
+    return (
+        ranks.select(
+            F.col("node").alias("term"), F.round(F.col("rank"), 12).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("term").asc())
+        .limit(top_k)
+    )

@@ -13051,6 +13051,90 @@ def forecast_accuracy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@query(
+    "textrank_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(toklist) AS term,
+             generate_subscripts(toklist, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS toklist
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT least(a.term, b.term) AS term_a,
+             greatest(a.term, b.term) AS term_b
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+      WHERE a.term <> b.term
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    e AS (
+      SELECT term_a AS s, term_b AS d FROM pairs
+      UNION
+      SELECT term_b AS s, term_a AS d FROM pairs
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT s, count(*) AS deg FROM e GROUP BY 1),
+    links AS (SELECT e.s, e.d, deg.deg FROM e JOIN deg ON e.s = deg.s),
+    r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+    c1 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r0 r ON l.s = r.node GROUP BY 1
+    ),
+    r1 AS (
+      SELECT n2.node,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+               + 0.85::DOUBLE * COALESCE(CAST(c1.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c1 ON n2.node = c1.node
+    ),
+    c2 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r1 r ON l.s = r.node GROUP BY 1
+    ),
+    r2 AS (
+      SELECT n2.node,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+               + 0.85::DOUBLE * COALESCE(CAST(c2.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c2 ON n2.node = c2.node
+    ),
+    c3 AS (
+      SELECT l.d AS node,
+             sum(CAST(r.rank / l.deg AS DECIMAL(38,18))) AS csum
+      FROM links l JOIN r2 r ON l.s = r.node GROUP BY 1
+    ),
+    r3 AS (
+      SELECT n2.node,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+               + 0.85::DOUBLE * COALESCE(CAST(c3.csum AS DOUBLE), 0.0) AS rank
+      FROM nodes n2 LEFT JOIN c3 ON n2.node = c3.node
+    )
+    SELECT node AS term, round(rank, 12) AS rank FROM r3
+    ORDER BY round(rank, 12) DESC, term ASC LIMIT 25
+    """,
+)
+def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords: co-occurrence-graph PageRank centrality
+    over the documents table — a pure composition of two already-oracled
+    kernels (``text.cooccurrence_pairs``'s map-side pair stream +
+    ``graph.pagerank``'s decimal-sum deterministic update), oracled
+    end-to-end through the unrolled 3-iteration SQL replica. See
+    ``operators.text.textrank_keywords``."""
+    from pangool_spark.operators.text import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, window=2, iterations=3, min_count=2, top_k=25
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #

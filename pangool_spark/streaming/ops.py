@@ -1309,3 +1309,98 @@ def stream_quantile_sketch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_confusion_monitor(
+    stream: DataFrame,
+    label_col: str,
+    pred_col: str,
+    state_dir: str,
+    checkpoint_dir: "str | None" = None,
+    trigger_once: bool = True,
+):
+    """Streaming model-quality monitor: each micro-batch's (label,
+    prediction) pairs fold into a standing confusion-cell table and the
+    monitor emits the live classification report — per-class
+    precision/recall/F1, accuracy, macro-F1, MCC — after every batch.
+    'Is the deployed classifier drifting' as a stream job, the
+    label-feedback companion of ``stream_histogram_drift``'s feature
+    view.
+
+    The report is computed by the SAME expression half as the batch
+    operator (``ml.confusion_report_from_cells``), so the
+    stream-maintained report after batch N is bit-identical to
+    ``classification_report`` over the union of batches 0..N — the
+    stream == batch parity test pins it structurally.
+
+    State handling follows ``stream_mixture_monitor``: constant state
+    (≤C² cell rows, never the events), only a genuinely missing state
+    dir counts as first batch, the fold is idempotent-by-batch_id (a
+    replayed micro-batch skips the fold and rewrites — not duplicates —
+    its report partition at ``{state_dir}/_REPORT/batch_id=N``), and
+    NULL labels/predictions are dropped (the batch operator's
+    contract).
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    import os as _os
+
+    from pangool_spark.operators.ml import confusion_report_from_cells
+
+    cells_dir = _os.path.join(state_dir, "cells")
+    report_dir = _os.path.join(state_dir, "_REPORT")
+
+    def _fold(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_cells = (
+            batch_df.filter(
+                F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+            )
+            .groupBy(
+                F.col(label_col).alias("label"),
+                F.col(pred_col).alias("pred"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if _hadoop_path_exists(spark, cells_dir):
+            standing = spark.read.parquet(cells_dir)
+            applied = (
+                standing.agg(F.max("last_batch_id")).collect()[0][0]
+                if "last_batch_id" in standing.columns
+                else None
+            )
+            if applied is not None and int(batch_id) <= int(applied):
+                # replay of an already-folded batch: state already
+                # includes these rows — just rewrite the report below
+                merged_df = standing.select("label", "pred", "n")
+            else:
+                merged = (
+                    standing.select("label", "pred", "n")
+                    .unionByName(batch_cells)
+                    .groupBy("label", "pred")
+                    .agg(F.sum("n").alias("n"))
+                )
+                rows = merged.collect()
+                merged_df = spark.createDataFrame(rows, merged.schema)
+                merged_df.withColumn(
+                    "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+                ).coalesce(1).write.mode("overwrite").parquet(cells_dir)
+        else:
+            merged_df = batch_cells
+            merged_df.withColumn(
+                "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+            ).coalesce(1).write.mode("overwrite").parquet(cells_dir)
+
+        report = confusion_report_from_cells(
+            merged_df, "label", "pred", "n"
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(report_dir, f"batch_id={int(batch_id)}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
