@@ -1663,6 +1663,13 @@ def textrank_keywords(
             F.col("term_b").alias("src"), F.col("term_a").alias("dst")
         )
     )
+    # the edge list is the bounded vocab-pair relation; checkpoint it so
+    # pagerank's per-iteration joins re-derive from HERE, not from the
+    # corpus — without this Catalyst inlines the pair-stream subtree
+    # into every iteration and the corpus scans O(iterations·joins)
+    # times (measured: 28 parquet scans for 3 iterations — the
+    # t_closeness/kcore lineage lesson)
+    edges = edges.localCheckpoint(eager=True)
     ranks = pagerank(edges, iterations=iterations)
     # ranks are rounded to 12dp BEFORE the top-k order: the raw doubles
     # can differ by an ulp across engines (double→decimal(38,18)
