@@ -2210,19 +2210,25 @@ def spearman_corr(
     the ranks. Robust to outliers and to any monotone rescaling, which
     is why it is the drift/sanity correlation for heavy-tailed metrics.
 
-    Exactness: mid-ranks are held DOUBLED (``2·rank + ties − 1`` — an
-    exact int64, never a .5 float), and the Pearson sums over them are
-    exact DECIMAL(38,0); rho is one fixed IEEE chain (two sqrts) over
-    those exact integers, so the statistic is bit-identical
-    cross-engine. Keep 4·n⁴ < 10³⁸ per group (n ≤ ~10⁹ rows — the
-    doubled-rank fourth-moment bound). Both columns must be
-    integer-typed (bucket continuous metrics upstream — which also
-    gives ties real meaning); NULL x or y rows are dropped.
+    No per-row ranking pass (the ``mann_whitney_u`` design): a row's
+    mid-rank depends only on its VALUE, so ranks are computed on the
+    per-group DISTINCT-value relations (windows over |values| rows,
+    never over subjects) and every Pearson sum is value-cell algebra —
+    Σrₓr_y = Σ_cells c·r(x)·r(y) over the (x, y) contingency cells.
+    The heavy work is ONE parallel (group, x, y) cell aggregate; a
+    per-group row window would instead sort whole groups in single
+    tasks (measured 230s at the 100× probe vs 6.9s for this shape).
+    Both columns must be integer-typed (bucket continuous metrics
+    upstream — which also gives ties real meaning and bounds the cell
+    relation); NULL x or y rows are dropped.
 
-    ONE hash exchange: both rank windows and the final aggregate share
-    the group partitioning (the y window re-sorts locally, no second
-    shuffle). rho is NULL when a group is constant in either variable
-    (no rank variance to correlate).
+    Exactness: mid-ranks are held DOUBLED (``2·cum_before + ties`` —
+    an exact int64, never a .5 float; the uniform −1 shift vs the
+    textbook 2·avg_rank cancels in rho), and the Pearson sums are exact
+    DECIMAL(38,0); rho is one fixed IEEE chain (two sqrts) over those
+    exact integers — bit-identical cross-engine. Keep 4·n⁴ < 10³⁸ per
+    group (n ≤ ~10⁹ rows). rho is NULL when a group is constant in
+    either variable (no rank variance to correlate).
 
     Output: (*group_cols, n, rho).
     """
@@ -2236,35 +2242,65 @@ def spearman_corr(
                 "bucket continuous metrics upstream"
             )
     rows = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-
-    def doubled_midrank(col: str, out: str):
-        w = Window.partitionBy(*group_cols).orderBy(col)
-        ties = Window.partitionBy(*group_cols).orderBy(col).rangeBetween(0, 0)
-        # rank() is the 1-based min-rank; avg rank among ties is
-        # rank + (ties-1)/2, so the doubled rank 2·rank + ties - 2 is an
-        # exact int64 (the -2 shifts the minimum to 1; any affine shift
-        # applied to BOTH variables cancels in rho)
-        return (
-            F.lit(2) * F.rank().over(w) + F.count(F.lit(1)).over(ties) - 2
-        ).cast("bigint").alias(out)
-
-    ranked = rows.select(
+    cells = rows.groupBy(
         *group_cols,
-        doubled_midrank(x_col, "__rx__"),
-        doubled_midrank(y_col, "__ry__"),
-    )
-    d38 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        F.col(x_col).alias("__x__"),
+        F.col(y_col).alias("__y__"),
+    ).agg(F.count(F.lit(1)).alias("__c__"))
+    # the bounded cell relation feeds BOTH value-rank branches and the
+    # final join — checkpoint it so Catalyst doesn't inline the full
+    # corpus aggregate into each branch (3 corpus scans measured at the
+    # 100× probe without this; the t_closeness lesson)
+    cells = cells.localCheckpoint(eager=True)
+    # value-rank tables: windows over the per-group DISTINCT-value
+    # relations only (bounded by value cardinality, the MW-U contract)
+    def value_ranks(col: str, out: str) -> DataFrame:
+        vals = cells.groupBy(*group_cols, col).agg(
+            F.sum("__c__").alias("__cv__")
+        )
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return vals.select(
+            *group_cols,
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__cv__").over(w), F.lit(0))
+                + F.col("__cv__")
+            ).cast("bigint").alias(out),
+        )
+
+    ranked = cells.join(
+        value_ranks("__x__", "__rx__"), [*group_cols, "__x__"]
+    ).join(value_ranks("__y__", "__ry__"), [*group_cols, "__y__"])
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    cnt = F.col("__c__").cast("decimal(19,0)")
     g = ranked.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(d38("__rx__")).cast("decimal(38,0)").alias("__sx__"),
-        F.sum(d38("__ry__")).cast("decimal(38,0)").alias("__sy__"),
-        F.sum((d38("__rx__") * d38("__rx__")).cast("decimal(38,0)"))
+        F.sum("__c__").alias("n"),
+        F.sum((cnt * d19("__rx__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sx__"),
+        F.sum((cnt * d19("__ry__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sy__"),
+        F.sum(
+            (cnt * (d19("__rx__") * d19("__rx__")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        )
         .cast("decimal(38,0)")
         .alias("__sxx__"),
-        F.sum((d38("__ry__") * d38("__ry__")).cast("decimal(38,0)"))
+        F.sum(
+            (cnt * (d19("__ry__") * d19("__ry__")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        )
         .cast("decimal(38,0)")
         .alias("__syy__"),
-        F.sum((d38("__rx__") * d38("__ry__")).cast("decimal(38,0)"))
+        F.sum(
+            (cnt * (d19("__rx__") * d19("__ry__")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+        )
         .cast("decimal(38,0)")
         .alias("__sxy__"),
     )

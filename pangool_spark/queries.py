@@ -13263,11 +13263,17 @@ def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range_bounds_lineitem — integer cuts + one frac double —
 # nelson_aalen_events — quantized-hazard doubles — brier_events —
 # decomposition doubles — uplift_deciles_events — rate-gap doubles —
-# psi_drift_orders listed above). That is 40 backlog queries — ten more
-# than one 50-slot window can also absorb alongside new work: fill the
-# r11 window entirely from this backlog (floats-first as listed), push
-# any overflow to r12, and add NO window-displacing registrations until
-# it drains; any r10 red rows preempt.
+# psi_drift_orders listed above), PLUS the 7 round-10 session-5
+# additions (classification_report_events — P/R/F1/MCC doubles,
+# floats-first — spearman_events — rank-correlation doubles —
+# logrank_events — quantized O−E/variance doubles — ipw_ate_events —
+# quantized-fold ATE doubles — qte_events — quantile_cont-interpolated
+# doubles — forecast_accuracy_events — MASE/sMAPE/WAPE doubles —
+# textrank_docs — pagerank-rank doubles, 12dp-quantized). That is 47
+# backlog queries — only three fit beside the 50-slot window's tail:
+# fill the r11 window entirely from this backlog (floats-first as
+# listed), push any overflow to r12, and add NO window-displacing
+# registrations until it drains; any r10 red rows preempt.
 _WINDOW_FRONT = [
     # float / libm / statistics oracles (highest cross-engine risk)
     "acf_events",

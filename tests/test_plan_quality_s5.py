@@ -12,8 +12,11 @@ QUERIES_AND_BOUNDS = {
     # one contingency aggregate feeds checkpointed cells; marginals +
     # the class regroup are aggregates OF that tiny relation
     "classification_report_events": 3,
-    # ONE group exchange shared by both rank windows and the aggregate
-    "spearman_events": 1,
+    # post-checkpoint: two value-rank windows + two joins + the final
+    # aggregate, all over the materialized ≤|cells| relation (the one
+    # corpus-sized exchange is the cells aggregate BEHIND the
+    # checkpoint — gated by the scan test below)
+    "spearman_events": 5,
     # cohort collapses into the checkpointed per-duration relation;
     # downstream is windows + one global aggregate over <=31 rows
     "logrank_events": 1,
@@ -65,7 +68,10 @@ def test_textrank_corpus_never_rescans(plans):
 
 
 def test_single_scan_aggregate_shapes(plans):
-    """The conditional-aggregate shapes must not rescan events per arm."""
-    assert plans["spearman_events"].count("Scan parquet") == 1
+    """The conditional-aggregate shapes must not rescan events per arm;
+    spearman's cell checkpoint must hide the corpus from every branch
+    (3 corpus aggregates at the 100× probe before the fix, 0 scans
+    after — the join-branch inlining lesson)."""
+    assert plans["spearman_events"].count("Scan parquet") == 0
     assert plans["ipw_ate_events"].count("Scan parquet") == 1
     assert plans["qte_events"].count("Scan parquet") == 1
