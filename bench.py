@@ -316,6 +316,17 @@ EXTENDED = [
     "nelson_aalen_events",
     "brier_events",
     "uplift_deciles_events",
+    # round-10 session-5 additions: classifier report, rank correlation,
+    # survival test, causal estimators, forecast scores, TextRank
+    "classification_report_events",
+    "spearman_events",
+    "logrank_events",
+    "ipw_ate_events",
+    "qte_events",
+    "forecast_accuracy_events",
+    "textrank_docs",
+    "cmh_events",
+    "ratio_delta_events",
 ]
 
 RUNS_PER_QUERY = 3

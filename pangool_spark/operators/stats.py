@@ -2498,10 +2498,13 @@ def ipw_ate(
     )
     w = Window.partitionBy()  # |strata| rows
     n_used = F.sum(F.when(usable, n_s)).over(w)
-    ate = (
+    # guard the fold: with NO usable stratum n_used is NULL/0 and ANSI
+    # double division would throw rather than yield NULL
+    ate = F.when(
+        n_used > 0,
         F.sum(q).over(w).cast("double")
         / F.lit(1000000.0)
-        / n_used.cast("double")
+        / n_used.cast("double"),
     )
     return g.select(
         "stratum",
@@ -2666,4 +2669,194 @@ def forecast_accuracy(
             F.col("__say__") > 0,
             F.col("__saes__").cast("double") / F.col("__say__").cast("double"),
         ).alias("wape"),
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    arm_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test + Mantel–Haenszel common odds ratio
+    — association between a binary arm and a binary outcome CONTROLLING
+    for a stratum variable (Mantel & Haenszel, JNCI 1959): the
+    categorical sibling of ``ipw_ate`` (which contrasts means) and the
+    stratified answer to Simpson's paradox. Per stratum s with 2×2
+    cells (a=exposed-positive, b=exposed-negative, c=unexposed-positive,
+    d=unexposed-negative, n=a+b+c+d):
+
+        chi2_cmh = (Σ_s (a_s − E_s))² / Σ_s V_s,
+        E_s = (a+b)(a+c)/n,  V_s = (a+b)(c+d)(a+c)(b+d) / (n²(n−1)),
+        OR_MH = Σ_s(a_s·d_s/n_s) / Σ_s(b_s·c_s/n_s).
+
+    ONE conditional aggregate produces the exact 2×2 int64 cells per
+    stratum; the per-stratum E/V/OR terms are fixed IEEE chains over
+    exact counts, QUANTIZED (×10⁹) before the cross-stratum sums (the
+    nelson_aalen convention — order-independent, hash-stable). The
+    statistic is reported raw (chi2 at 1 df; no p-value — the logrank
+    contract). Degenerate strata (n ≤ 1) contribute nothing; strata
+    with an empty margin contribute V = 0 and their E term still folds
+    (the standard treatment). NULL stratum/arm/outcome rows are
+    dropped; ``arm_col``/``outcome_col`` must be boolean.
+
+    Output: ONE row — (n_strata, n, exposed_pos, expected_pos, chi2,
+    or_mh); chi2 NULL when ΣV = 0, or_mh NULL when the denominator sum
+    is 0.
+    """
+    arm, out = F.col(arm_col), F.col(outcome_col)
+    rows = df.filter(
+        F.col(stratum_col).isNotNull() & arm.isNotNull() & out.isNotNull()
+    )
+    g = rows.groupBy(F.col(stratum_col).alias("__s__")).agg(
+        F.sum(F.when(arm & out, 1).otherwise(0)).alias("__a__"),
+        F.sum(F.when(arm & ~out, 1).otherwise(0)).alias("__b__"),
+        F.sum(F.when(~arm & out, 1).otherwise(0)).alias("__c__"),
+        F.sum(F.when(~arm & ~out, 1).otherwise(0)).alias("__d__"),
+    )
+    a, b = F.col("__a__"), F.col("__b__")
+    c, d = F.col("__c__"), F.col("__d__")
+    n = (a + b + c + d).cast("double")
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    e = (dbl(a + b)) * (dbl(a + c)) / n
+    v = F.when(
+        a + b + c + d > 1,
+        (dbl(a + b)) * (dbl(c + d)) * (dbl(a + c)) * (dbl(b + d))
+        / (n * n * (n - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    q = lambda col: F.round(col * F.lit(1000000000.0)).cast(  # noqa: E731
+        "bigint"
+    )
+    terms = g.filter(a + b + c + d > 0).select(
+        F.col("__a__"),
+        (a + b + c + d).alias("__n__"),
+        q(dbl(a) - e).alias("__qoe__"),
+        q(e).alias("__qe__"),
+        q(v).alias("__qv__"),
+        q(dbl(a) * dbl(d) / n).alias("__qad__"),
+        q(dbl(b) * dbl(c) / n).alias("__qbc__"),
+    )
+    agg = terms.groupBy().agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("__n__").alias("n"),
+        F.sum("__a__").alias("exposed_pos"),
+        F.sum("__qe__").alias("__sqe__"),
+        F.sum("__qoe__").alias("__soe__"),
+        F.sum("__qv__").alias("__sv__"),
+        F.sum("__qad__").alias("__sad__"),
+        F.sum("__qbc__").alias("__sbc__"),
+    )
+    oe = F.col("__soe__").cast("double") / F.lit(1000000000.0)
+    sv = F.col("__sv__").cast("double") / F.lit(1000000000.0)
+    return agg.select(
+        "n_strata",
+        "n",
+        "exposed_pos",
+        (F.col("__sqe__").cast("double") / F.lit(1000000000.0)).alias(
+            "expected_pos"
+        ),
+        F.when(F.col("__sv__") > 0, oe * oe / sv).alias("chi2"),
+        F.when(
+            F.col("__sbc__") > 0,
+            F.col("__sad__").cast("double") / F.col("__sbc__").cast("double"),
+        ).alias("or_mh"),
+    )
+
+
+def ratio_metric_delta(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    unit_col: str,
+    num_col: str,
+    den_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (Deng et al.
+    KDD'18's ratio-metric treatment): metrics like revenue-per-event or
+    clicks-per-view are ratios of per-UNIT sums, and treating their
+    per-row mean as i.i.d. understates the variance because the
+    denominator varies per unit. Per group:
+
+        R = Σx/Σy,  Var(R) ≈ (σ²_x − 2R·σ_xy + R²·σ²_y) / (n·ȳ²),
+
+    with per-unit totals (x_u, y_u), sample (co)variances over units,
+    and the CI R ± z·√Var.
+
+    Two partial-combined aggregates: per (group, unit) exact int64
+    sums, then per group the five exact power sums (n, Σx, Σy, Σx²,
+    Σy², Σxy) as DECIMAL(38,0) — the whole CI is a fixed IEEE chain
+    (one sqrt) over exact integers. Both metric columns must be
+    integer-typed (cents/counts); keep per-group Σx·Σy and the power
+    sums under 10³⁸. NULL unit rows are dropped; NULL metric values
+    count as 0 for their unit (a unit with no numerator events still
+    has denominator exposure). Groups with n ≤ 1 units or Σy = 0 or
+    zero denominator mean emit NULL se/CI.
+
+    Output: (*group_cols, n_units, ratio, se, ci_lo, ci_hi).
+    """
+    if not group_cols:
+        raise ValueError("ratio_metric_delta needs a group column")
+    types = dict(df.dtypes)
+    for c in (num_col, den_col):
+        if types.get(c) not in _INT_TYPES:
+            raise ValueError(
+                f"{c} must be integer-typed, got {types.get(c)!r} — "
+                "rescale to cents/counts"
+            )
+    units = (
+        df.filter(F.col(unit_col).isNotNull())
+        .groupBy(*group_cols, F.col(unit_col).alias("__u__"))
+        .agg(
+            F.coalesce(F.sum(F.col(num_col).cast("bigint")), F.lit(0)).alias(
+                "__x__"
+            ),
+            F.coalesce(F.sum(F.col(den_col).cast("bigint")), F.lit(0)).alias(
+                "__y__"
+            ),
+        )
+    )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    g = units.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(d19("__x__")).cast("decimal(38,0)").alias("__sx__"),
+        F.sum(d19("__y__")).cast("decimal(38,0)").alias("__sy__"),
+        F.sum((d19("__x__") * d19("__x__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxx__"),
+        F.sum((d19("__y__") * d19("__y__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__syy__"),
+        F.sum((d19("__x__") * d19("__y__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__sxy__"),
+    )
+    nn = F.col("n_units").cast("double")
+    sx, sy = F.col("__sx__").cast("double"), F.col("__sy__").cast("double")
+    sxx = F.col("__sxx__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    sxy = F.col("__sxy__").cast("double")
+    ratio = sx / sy
+    ybar = sy / nn
+    var_x = (sxx - sx * sx / nn) / (nn - F.lit(1.0))
+    var_y = (syy - sy * sy / nn) / (nn - F.lit(1.0))
+    cov = (sxy - sx * sy / nn) / (nn - F.lit(1.0))
+    var_r = (
+        (var_x - F.lit(2.0) * ratio * cov + ratio * ratio * var_y)
+        / (nn * ybar * ybar)
+    )
+    # ANSI mode throws on /0 even for doubles, and `&` does not
+    # short-circuit — the var_r divisions must sit under a NESTED when
+    # so they only evaluate once n_units > 1 and Σy > 0 hold
+    ok = (F.col("n_units") > 1) & (F.col("__sy__") > 0)
+    guarded = lambda expr: F.when(  # noqa: E731
+        ok, F.when(var_r >= 0, expr)
+    )
+    se = guarded(F.sqrt(var_r))
+    return g.select(
+        *group_cols,
+        "n_units",
+        F.when(F.col("__sy__") > 0, ratio).alias("ratio"),
+        se.alias("se"),
+        guarded(ratio - F.lit(float(z)) * F.sqrt(var_r)).alias("ci_lo"),
+        guarded(ratio + F.lit(float(z)) * F.sqrt(var_r)).alias("ci_hi"),
     )

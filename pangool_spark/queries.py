@@ -13135,6 +13135,173 @@ def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cmh_events",
+    """
+    WITH rows_ AS (
+      SELECT event_type AS s, (user_id % 2 = 0) AS arm,
+             (event_id % 5 = 0) AS outc
+      FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL
+    ), g AS (
+      SELECT s,
+             CAST(COUNT(*) FILTER (arm AND outc) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (arm AND NOT outc) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (NOT arm AND outc) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (NOT arm AND NOT outc) AS BIGINT) AS d
+      FROM rows_ GROUP BY s
+    ), terms AS (
+      SELECT a, a + b + c + d AS n,
+             CAST(round((CAST(a AS DOUBLE)
+                         - CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                           / CAST(a + b + c + d AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS qoe,
+             CAST(round((CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                         / CAST(a + b + c + d AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS qe,
+             CAST(round((CASE WHEN a + b + c + d > 1
+                   THEN CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                        / (CAST(a + b + c + d AS DOUBLE)
+                           * CAST(a + b + c + d AS DOUBLE)
+                           * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                   ELSE 0.0 END) * 1000000000.0) AS BIGINT) AS qv,
+             CAST(round((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                         / CAST(a + b + c + d AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS qad,
+             CAST(round((CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                         / CAST(a + b + c + d AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS qbc
+      FROM g WHERE a + b + c + d > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS exposed_pos,
+           CAST(SUM(qe) AS DOUBLE) / 1000000000.0 AS expected_pos,
+           CASE WHEN SUM(qv) > 0
+                THEN (CAST(SUM(qoe) AS DOUBLE) / 1000000000.0)
+                     * (CAST(SUM(qoe) AS DOUBLE) / 1000000000.0)
+                     / (CAST(SUM(qv) AS DOUBLE) / 1000000000.0)
+           END AS chi2,
+           CASE WHEN SUM(qbc) > 0
+                THEN CAST(SUM(qad) AS DOUBLE) / CAST(SUM(qbc) AS DOUBLE)
+           END AS or_mh
+    FROM terms
+    """,
+)
+def cmh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel association test between the A/B
+    assignment (even user ids) and a binary response (event-id residue),
+    controlling for event type — the stratified 2x2 answer to Simpson's
+    paradox, with the Mantel-Haenszel common odds ratio; the categorical
+    sibling of ipw_ate_events over the same strata. Exact per-stratum
+    cells, quantized O-E / variance / OR terms (the logrank machinery
+    over strata instead of event times). See
+    ``operators.stats.cmh_test``."""
+    from pangool_spark.operators.stats import cmh_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("s"),
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        (F.col("event_id") % 5 == 0).alias("outc"),
+    )
+    return cmh_test(ev, "s", "arm", "outc")
+
+
+@query(
+    "ratio_delta_events",
+    """
+    WITH units AS (
+      SELECT (user_id % 2 = 0) AS arm, user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM units GROUP BY arm
+    )
+    SELECT arm, n_units,
+           CASE WHEN sy > 0 THEN CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) END
+             AS ratio,
+           CASE WHEN n_units > 1 AND sy > 0
+                AND (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n_units AS DOUBLE))
+                    / (CAST(n_units AS DOUBLE) - 1.0)
+                  - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * ((CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n_units AS DOUBLE))
+                       / (CAST(n_units AS DOUBLE) - 1.0))
+                  + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * ((CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n_units AS DOUBLE))
+                       / (CAST(n_units AS DOUBLE) - 1.0)) >= 0
+                THEN sqrt((
+                  (CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n_units AS DOUBLE))
+                  / (CAST(n_units AS DOUBLE) - 1.0)
+                  - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * ((CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n_units AS DOUBLE))
+                       / (CAST(n_units AS DOUBLE) - 1.0))
+                  + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                    * ((CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                          / CAST(n_units AS DOUBLE))
+                       / (CAST(n_units AS DOUBLE) - 1.0))
+                ) / (CAST(n_units AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n_units AS DOUBLE))))
+           END AS se
+    FROM g ORDER BY arm
+    """,
+)
+def ratio_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for the ratio metric revenue-per-event
+    per A/B arm (numerator = per-user purchase cents, denominator =
+    per-user event count): the variance a naive per-row mean understates
+    because the denominator varies per unit. Two partial-combined
+    aggregates; the SE is a fixed IEEE chain (one sqrt) over exact
+    DECIMAL power sums. See ``operators.stats.ratio_metric_delta``."""
+    from pangool_spark.operators.stats import ratio_metric_delta
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        F.col("user_id").alias("u"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).otherwise(F.lit(0)).alias("x"),
+        F.lit(1).alias("y"),
+    )
+    return (
+        ratio_metric_delta(ev, ["arm"], "u", "x", "y")
+        .select("arm", "n_units", "ratio", "se")
+        .orderBy("arm")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -13269,8 +13436,10 @@ def textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # logrank_events — quantized O−E/variance doubles — ipw_ate_events —
 # quantized-fold ATE doubles — qte_events — quantile_cont-interpolated
 # doubles — forecast_accuracy_events — MASE/sMAPE/WAPE doubles —
-# textrank_docs — pagerank-rank doubles, 12dp-quantized). That is 47
-# backlog queries — only three fit beside the 50-slot window's tail:
+# textrank_docs — pagerank-rank doubles, 12dp-quantized — cmh_events —
+# quantized O−E/OR doubles — ratio_delta_events — delta-method SE
+# doubles). That is 49 backlog queries — only one fits beside the
+# 50-slot window's tail:
 # fill the r11 window entirely from this backlog (floats-first as
 # listed), push any overflow to r12, and add NO window-displacing
 # registrations until it drains; any r10 red rows preempt.

@@ -24,6 +24,9 @@ QUERIES_AND_BOUNDS = {
     "qte_events": 1,  # ONE conditional percentile aggregate
     # daily aggregate (checkpointed) + two lag equi-joins + two finals
     "forecast_accuracy_events": 4,
+    "cmh_events": 1,  # ONE per-stratum conditional 2x2 aggregate
+    # per-(arm, unit) totals + per-arm power sums: two exchanges
+    "ratio_delta_events": 2,
     # pagerank iterations over the CHECKPOINTED vocab-pair edge list:
     # aggregate-sized exchanges only; the corpus itself never rescans
     "textrank_docs": 30,
@@ -75,3 +78,5 @@ def test_single_scan_aggregate_shapes(plans):
     assert plans["spearman_events"].count("Scan parquet") == 0
     assert plans["ipw_ate_events"].count("Scan parquet") == 1
     assert plans["qte_events"].count("Scan parquet") == 1
+    assert plans["cmh_events"].count("Scan parquet") == 1
+    assert plans["ratio_delta_events"].count("Scan parquet") == 1

@@ -146,3 +146,13 @@ def test_forecast_accuracy_short_series_absent_and_validation(spark):
     )
     with pytest.raises(ValueError, match="integer-typed"):
         forecast_accuracy(dbl, ["k"], "ts", "v")
+
+
+def test_ipw_ate_no_usable_stratum_yields_null(spark):
+    from pangool_spark.operators.stats import ipw_ate
+
+    # every stratum single-armed: the estimate is undefined, not a /0
+    rows = [("s1", True, 10), ("s2", False, 20)]
+    df = spark.createDataFrame(rows, "s string, tr boolean, y bigint")
+    for r in ipw_ate(df, "s", "tr", "y").collect():
+        assert r.ate is None and r.diff is None
