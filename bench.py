@@ -327,6 +327,8 @@ EXTENDED = [
     "textrank_docs",
     "cmh_events",
     "ratio_delta_events",
+    "krippendorff_events",
+    "eb_rate_parts",
 ]
 
 RUNS_PER_QUERY = 3

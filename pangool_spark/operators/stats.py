@@ -2860,3 +2860,187 @@ def ratio_metric_delta(
         guarded(ratio - F.lit(float(z)) * F.sqrt(var_r)).alias("ci_lo"),
         guarded(ratio + F.lit(float(z)) * F.sqrt(var_r)).alias("ci_hi"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data (Krippendorff, Content
+    Analysis 2004) — the agreement coefficient that handles ANY number
+    of raters per unit and missing ratings, which is the real shape of
+    label-QA data (``cohens_kappa`` requires exactly two aligned
+    raters). Rater identity is irrelevant for alpha; the input is one
+    row per (unit, assigned value).
+
+        D_o = Σ_u Σ_v n_uv·(m_u − n_uv)/(m_u − 1)   (observed disagreement)
+        D_e = (N² − Σ_v n_v²)/(N − 1)               (expected by chance)
+        alpha = 1 − D_o/D_e
+
+    with m_u the ratings on unit u (units with m_u < 2 are unpairable
+    and dropped), n_uv the count of value v on unit u, N = Σ m_u over
+    pairable units, n_v the value marginals over pairable units.
+
+    One (unit, value) contingency aggregate; per-unit disagreement
+    terms are exact rationals QUANTIZED (×10⁹) before the global sum
+    (the nelson_aalen convention); D_e is exact DECIMAL(38) integer
+    algebra. NULL units are dropped; NULL VALUES are kept as a real
+    category (a rater abstaining with an explicit null label is
+    information — pre-filter upstream if not). alpha is NULL when
+    D_e = 0 (every pairable rating identical).
+
+    Output: ONE row — (n_units, n_ratings, d_o, d_e, alpha).
+    """
+    rows = df.filter(F.col(unit_col).isNotNull())
+    uv = rows.groupBy(
+        F.col(unit_col).alias("__u__"),
+        F.col(value_col).alias("__v__"),
+    ).agg(F.count(F.lit(1)).alias("__nuv__"))
+    # per-unit totals ride a window on the (unit, value) relation —
+    # same partitioning, no second corpus pass
+    w_u = Window.partitionBy("__u__")
+    uv = uv.withColumn("__mu__", F.sum("__nuv__").over(w_u)).filter(
+        F.col("__mu__") >= 2
+    )
+    # the pairable (unit, value) relation feeds BOTH the disagreement
+    # aggregate and the value marginals — checkpoint it so the corpus
+    # scans once, not per branch (the t_closeness lesson)
+    uv = uv.localCheckpoint(eager=True)
+    q = F.round(
+        F.col("__nuv__").cast("double")
+        * (F.col("__mu__") - F.col("__nuv__")).cast("double")
+        / (F.col("__mu__") - F.lit(1)).cast("double")
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    per_v = uv.groupBy("__v__").agg(F.sum("__nuv__").alias("__nv__"))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    marg = per_v.agg(
+        F.sum(d19("__nv__")).cast("decimal(19,0)").alias("__N__"),
+        F.sum((d19("__nv__") * d19("__nv__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__snv2__"),
+    )
+    do_agg = uv.groupBy().agg(
+        F.countDistinct("__u__").alias("n_units"),
+        F.sum(q).alias("__qdo__"),
+    )
+    j = do_agg.crossJoin(F.broadcast(marg))
+    n_big = F.col("__N__")
+    de = (
+        (n_big * n_big).cast("decimal(38,0)") - F.col("__snv2__")
+    ).cast("double") / (n_big.cast("double") - F.lit(1.0))
+    d_o = F.col("__qdo__").cast("double") / F.lit(1000000000.0)
+    return j.select(
+        "n_units",
+        F.col("__N__").cast("bigint").alias("n_ratings"),
+        d_o.alias("d_o"),
+        F.when(n_big > 1, de).alias("d_e"),
+        F.when((n_big > 1) & (de > 0), F.lit(1.0) - d_o / de).alias(
+            "alpha"
+        ),
+    )
+
+
+def eb_rate_shrinkage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    success_col: str,
+    trial_col: str,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage (beta-binomial, method of moments
+    — the Robinson 'batting average' recipe): per-key success rates
+    k_i/n_i are noisy exactly where n_i is small, so fit a Beta(α, β)
+    prior to the OBSERVED rate distribution and report the posterior
+    mean ``(k_i + α)/(n_i + α + β)`` — small-sample keys shrink toward
+    the global rate, high-volume keys keep their own. The standard
+    smoothing for CTRs, defect rates, and per-source quality scores
+    before ranking by them.
+
+    Moments: with m and v the sample mean/variance of the per-key rates
+    (keys with n_i ≥ ``min_trials``), ``c = m(1−m)/v − 1``, α = m·c,
+    β = (1−m)·c. Per-key rates are QUANTIZED (×10⁶ int64 — 6dp is far
+    inside shrinkage noise, and it keeps Σq² below 2⁵³ up to ~9M keys,
+    past which 128-bit-int→double conversion diverges between engines)
+    so the moment sums are exact integers and α/β a fixed IEEE chain —
+    hash-stable cross-engine. Degenerate fits (v = 0 or c ≤ 0 — rates tighter than
+    a binomial allows, nothing to shrink) emit the raw rates with NULL
+    alpha/beta/shrunk (stated, not hidden).
+
+    ``success_col``/``trial_col`` must be integer-typed per-key totals
+    (aggregate upstream); rows with NULL/zero trials below
+    ``min_trials`` are excluded from BOTH the fit and the output.
+
+    Output: (*key_cols, successes, trials, rate, alpha, beta, shrunk).
+    """
+    if min_trials < 1:
+        raise ValueError(f"min_trials must be >= 1, got {min_trials}")
+    types = dict(df.dtypes)
+    for c in (success_col, trial_col):
+        if types.get(c) not in _INT_TYPES:
+            raise ValueError(
+                f"{c} must be integer-typed, got {types.get(c)!r}"
+            )
+    keys = (
+        df.filter(
+            F.col(trial_col).isNotNull()
+            & (F.col(trial_col) >= min_trials)
+            & F.col(success_col).isNotNull()
+        )
+        .select(
+            *key_cols,
+            F.col(success_col).cast("bigint").alias("__k__"),
+            F.col(trial_col).cast("bigint").alias("__n__"),
+        )
+    )
+    qrate = F.round(
+        F.col("__k__").cast("double")
+        / F.col("__n__").cast("double")
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    keys = keys.withColumn("__qr__", qrate)
+    # the per-key relation feeds BOTH the moment fit and the scored
+    # output — checkpoint it so the upstream (often a full-table
+    # aggregate) runs once, not per branch
+    keys = keys.localCheckpoint(eager=True)
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = keys.agg(
+        F.count(F.lit(1)).alias("__nk__"),
+        F.sum(d19("__qr__")).cast("decimal(38,0)").alias("__sr__"),
+        F.sum((d19("__qr__") * d19("__qr__")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("__srr__"),
+    )
+    nk = F.col("__nk__").cast("double")
+    m = F.col("__sr__").cast("double") / F.lit(1000000.0) / nk
+    v = F.when(
+        F.col("__nk__") > 1,
+        (
+            F.col("__srr__").cast("double") / F.lit(1.0e12)
+            - (F.col("__sr__").cast("double") / F.lit(1000000.0))
+            * (F.col("__sr__").cast("double") / F.lit(1000000.0))
+            / nk
+        )
+        / (nk - F.lit(1.0)),
+    )
+    c = F.when((v.isNotNull()) & (v > 0), m * (F.lit(1.0) - m) / v - F.lit(1.0))
+    alpha = F.when(c > 0, m * c)
+    beta = F.when(c > 0, (F.lit(1.0) - m) * c)
+    fit = mom.select(alpha.alias("__alpha__"), beta.alias("__beta__"))
+    out = keys.crossJoin(F.broadcast(fit))
+    rate = F.col("__k__").cast("double") / F.col("__n__").cast("double")
+    a, b = F.col("__alpha__"), F.col("__beta__")
+    return out.select(
+        *key_cols,
+        F.col("__k__").alias("successes"),
+        F.col("__n__").alias("trials"),
+        rate.alias("rate"),
+        a.alias("alpha"),
+        b.alias("beta"),
+        F.when(
+            a.isNotNull(),
+            (F.col("__k__").cast("double") + a)
+            / (F.col("__n__").cast("double") + a + b),
+        ).alias("shrunk"),
+    )

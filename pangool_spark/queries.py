@@ -13302,6 +13302,159 @@ def ratio_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "krippendorff_events",
+    """
+    WITH uv AS (
+      SELECT user_id AS u, event_type AS v, CAST(COUNT(*) AS BIGINT) AS nuv
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT *, SUM(nuv) OVER (PARTITION BY u) AS mu FROM uv
+    ), p AS (SELECT * FROM m WHERE mu >= 2),
+    perv AS (SELECT v, CAST(SUM(nuv) AS BIGINT) AS nv FROM p GROUP BY 1),
+    marg AS (
+      SELECT CAST(SUM(nv) AS HUGEINT) AS n_,
+             CAST(SUM(CAST(nv AS HUGEINT) * nv) AS HUGEINT) AS snv2
+      FROM perv
+    ),
+    do_ AS (
+      SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_units,
+             CAST(SUM(CAST(round(CAST(nuv AS DOUBLE)
+                    * CAST(mu - nuv AS DOUBLE)
+                    / CAST(mu - 1 AS DOUBLE) * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS qdo
+      FROM p
+    )
+    SELECT n_units, CAST(n_ AS BIGINT) AS n_ratings,
+           CAST(qdo AS DOUBLE) / 1000000000.0 AS d_o,
+           CASE WHEN n_ > 1
+                THEN CAST(n_ * n_ - snv2 AS DOUBLE)
+                     / (CAST(n_ AS DOUBLE) - 1.0) END AS d_e,
+           CASE WHEN n_ > 1 AND CAST(n_ * n_ - snv2 AS DOUBLE)
+                                / (CAST(n_ AS DOUBLE) - 1.0) > 0
+                THEN 1.0 - (CAST(qdo AS DOUBLE) / 1000000000.0)
+                     / (CAST(n_ * n_ - snv2 AS DOUBLE)
+                        / (CAST(n_ AS DOUBLE) - 1.0))
+           END AS alpha
+    FROM do_, marg
+    """,
+)
+def krippendorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha treating each user's events as repeated
+    nominal ratings of that user (unit = user, value = event type):
+    the any-number-of-raters, missing-data-tolerant agreement
+    coefficient past cohens_kappa's two-aligned-raters contract — the
+    label-QA statistic for real multi-annotator data. One contingency
+    pass, quantized per-unit disagreement, exact-int chance term. See
+    ``operators.stats.krippendorff_alpha``."""
+    from pangool_spark.operators.stats import krippendorff_alpha
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("u"), F.col("event_type").alias("v"))
+    return krippendorff_alpha(ev, "u", "v")
+
+
+@query(
+    "eb_rate_parts",
+    """
+    WITH k AS (
+      SELECT l_partkey,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS kk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), kept AS (
+      SELECT *, CAST(round(CAST(kk AS DOUBLE) / CAST(n AS DOUBLE)
+                           * 1000000.0) AS BIGINT) AS qr
+      FROM k WHERE n >= 5
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(qr) AS BIGINT) AS sr,
+             CAST(SUM(qr * qr) AS BIGINT) AS srr
+      FROM kept
+    ), fit AS (
+      SELECT
+        CASE WHEN nk > 1
+             AND (CAST(srr AS DOUBLE) / 1000000000000.0
+                  - (CAST(sr AS DOUBLE) / 1000000.0)
+                    * (CAST(sr AS DOUBLE) / 1000000.0)
+                    / CAST(nk AS DOUBLE)) / (CAST(nk AS DOUBLE) - 1.0) > 0
+             AND (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
+                 * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                          / CAST(nk AS DOUBLE))
+                 / ((CAST(srr AS DOUBLE) / 1000000000000.0
+                     - (CAST(sr AS DOUBLE) / 1000000.0)
+                       * (CAST(sr AS DOUBLE) / 1000000.0)
+                       / CAST(nk AS DOUBLE))
+                    / (CAST(nk AS DOUBLE) - 1.0)) - 1.0 > 0
+             THEN (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
+                  * ((CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
+                     * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                              / CAST(nk AS DOUBLE))
+                     / ((CAST(srr AS DOUBLE) / 1000000000000.0
+                         - (CAST(sr AS DOUBLE) / 1000000.0)
+                           * (CAST(sr AS DOUBLE) / 1000000.0)
+                           / CAST(nk AS DOUBLE))
+                        / (CAST(nk AS DOUBLE) - 1.0)) - 1.0)
+        END AS alpha,
+        CASE WHEN nk > 1
+             AND (CAST(srr AS DOUBLE) / 1000000000000.0
+                  - (CAST(sr AS DOUBLE) / 1000000.0)
+                    * (CAST(sr AS DOUBLE) / 1000000.0)
+                    / CAST(nk AS DOUBLE)) / (CAST(nk AS DOUBLE) - 1.0) > 0
+             AND (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
+                 * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                          / CAST(nk AS DOUBLE))
+                 / ((CAST(srr AS DOUBLE) / 1000000000000.0
+                     - (CAST(sr AS DOUBLE) / 1000000.0)
+                       * (CAST(sr AS DOUBLE) / 1000000.0)
+                       / CAST(nk AS DOUBLE))
+                    / (CAST(nk AS DOUBLE) - 1.0)) - 1.0 > 0
+             THEN (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                         / CAST(nk AS DOUBLE))
+                  * ((CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
+                     * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                              / CAST(nk AS DOUBLE))
+                     / ((CAST(srr AS DOUBLE) / 1000000000000.0
+                         - (CAST(sr AS DOUBLE) / 1000000.0)
+                           * (CAST(sr AS DOUBLE) / 1000000.0)
+                           / CAST(nk AS DOUBLE))
+                        / (CAST(nk AS DOUBLE) - 1.0)) - 1.0)
+        END AS beta
+      FROM mom
+    )
+    SELECT l_partkey, kk AS successes, n AS trials,
+           CAST(kk AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           alpha, beta,
+           CASE WHEN alpha IS NOT NULL
+                THEN (CAST(kk AS DOUBLE) + alpha)
+                     / (CAST(n AS DOUBLE) + alpha + beta) END AS shrunk
+    FROM kept, fit ORDER BY l_partkey
+    """,
+)
+def eb_rate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates (beta-binomial
+    method of moments): parts with few lineitem observations shrink
+    toward the corpus return rate, high-volume parts keep their own —
+    the standard smoothing before ranking keys by a noisy rate (CTR /
+    defect-rate shape). Quantized-rate moment sums, fixed IEEE fit,
+    posterior mean per key. See ``operators.stats.eb_rate_shrinkage``."""
+    from pangool_spark.operators.stats import eb_rate_shrinkage
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("bigint").alias("kk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        eb_rate_shrinkage(per_part, ["l_partkey"], "kk", "n", min_trials=5)
+        .orderBy("l_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -13438,8 +13591,9 @@ def ratio_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles — forecast_accuracy_events — MASE/sMAPE/WAPE doubles —
 # textrank_docs — pagerank-rank doubles, 12dp-quantized — cmh_events —
 # quantized O−E/OR doubles — ratio_delta_events — delta-method SE
-# doubles). That is 49 backlog queries — only one fits beside the
-# 50-slot window's tail:
+# doubles — krippendorff_events — quantized-disagreement doubles —
+# eb_rate_parts — EB-fit doubles). That is 51 backlog queries — one
+# full window plus one slot of overflow to r12:
 # fill the r11 window entirely from this backlog (floats-first as
 # listed), push any overflow to r12, and add NO window-displacing
 # registrations until it drains; any r10 red rows preempt.

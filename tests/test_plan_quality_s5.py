@@ -25,6 +25,10 @@ QUERIES_AND_BOUNDS = {
     # daily aggregate (checkpointed) + two lag equi-joins + two finals
     "forecast_accuracy_events": 4,
     "cmh_events": 1,  # ONE per-stratum conditional 2x2 aggregate
+    # post-checkpoint: disagreement + marginal aggregates over the
+    # materialized pairable (unit, value) relation
+    "krippendorff_events": 3,
+    "eb_rate_parts": 1,  # moment fit + broadcast join over checkpointed keys
     # per-(arm, unit) totals + per-arm power sums: two exchanges
     "ratio_delta_events": 2,
     # pagerank iterations over the CHECKPOINTED vocab-pair edge list:
@@ -80,3 +84,6 @@ def test_single_scan_aggregate_shapes(plans):
     assert plans["qte_events"].count("Scan parquet") == 1
     assert plans["cmh_events"].count("Scan parquet") == 1
     assert plans["ratio_delta_events"].count("Scan parquet") == 1
+    # checkpointed intermediates: the corpus must not re-derive per branch
+    assert plans["krippendorff_events"].count("Scan parquet") == 0
+    assert plans["eb_rate_parts"].count("Scan parquet") == 0
