@@ -2473,6 +2473,11 @@ def ipw_ate(
             f"ipw_ate needs an integer outcome column, got "
             f"{types.get(outcome_col)!r} — rescale to cents"
         )
+    if types.get(treated_col) != "boolean":
+        raise ValueError(
+            f"treated_col must be boolean, got "
+            f"{types.get(treated_col)!r} — cast upstream"
+        )
     tr = F.col(treated_col)
     y = F.col(outcome_col).cast("bigint")
     g = (
@@ -2551,6 +2556,11 @@ def quantile_treatment_effects(
         raise ValueError(
             f"value_col must be integer-typed, got "
             f"{types.get(value_col)!r} — quantize upstream"
+        )
+    if types.get(treated_col) != "boolean":
+        raise ValueError(
+            f"treated_col must be boolean, got "
+            f"{types.get(treated_col)!r} — cast upstream"
         )
     tr = F.col(treated_col)
     y = F.col(value_col).cast("bigint").cast("double")
@@ -2704,6 +2714,13 @@ def cmh_test(
     or_mh); chi2 NULL when ΣV = 0, or_mh NULL when the denominator sum
     is 0.
     """
+    types = dict(df.dtypes)
+    for c in (arm_col, outcome_col):
+        if types.get(c) != "boolean":
+            raise ValueError(
+                f"{c} must be boolean, got {types.get(c)!r} — cast "
+                "upstream (0/1 ints do not survive the ~/& algebra)"
+            )
     arm, out = F.col(arm_col), F.col(outcome_col)
     rows = df.filter(
         F.col(stratum_col).isNotNull() & arm.isNotNull() & out.isNotNull()

@@ -1670,6 +1670,12 @@ def textrank_keywords(
     # times (measured: 28 parquet scans for 3 iterations — the
     # t_closeness/kcore lineage lesson)
     edges = edges.localCheckpoint(eager=True)
+    if not edges.take(1):
+        # sparse/tiny corpora can prune every edge at min_count — "no
+        # keywords" is an EMPTY relation, not pagerank's 1/0 teleport
+        return df.sparkSession.createDataFrame(
+            [], "term string, rank double"
+        )
     ranks = pagerank(edges, iterations=iterations)
     # ranks are rounded to 12dp BEFORE the top-k order: the raw doubles
     # can differ by an ulp across engines (double→decimal(38,18)

@@ -1337,7 +1337,10 @@ def stream_confusion_monitor(
     (≤C² cell rows, never the events), only a genuinely missing state
     dir counts as first batch, the fold is idempotent-by-batch_id (a
     replayed micro-batch skips the fold and rewrites — not duplicates —
-    its report partition at ``{state_dir}/_REPORT/batch_id=N``), and
+    its report partition at ``{state_dir}/_REPORT/batch_id=N``; batch
+    ids are only genuine replays when a ``checkpoint_dir`` is set — a
+    checkpoint-less re-run renumbers from 0, so NEW files in that run
+    are skipped as replays too; pass a checkpoint in production), and
     NULL labels/predictions are dropped (the batch operator's
     contract).
 

@@ -138,3 +138,21 @@ def test_ratio_delta_degenerate_groups(spark):
             spark.createDataFrame([("g", "u", 1.0, 1)], "g string, u string, x double, y bigint"),
             ["g"], "u", "x", "y",
         )
+
+
+def test_cmh_and_causal_validate_boolean_columns(spark):
+    from pangool_spark.operators.stats import (
+        cmh_test,
+        ipw_ate,
+        quantile_treatment_effects,
+    )
+
+    ints = spark.createDataFrame(
+        [("s", 1, 1, 5)], "s string, arm int, outc int, y bigint"
+    )
+    with pytest.raises(ValueError, match="must be boolean"):
+        cmh_test(ints, "s", "arm", "outc")
+    with pytest.raises(ValueError, match="must be boolean"):
+        ipw_ate(ints, "s", "arm", "y")
+    with pytest.raises(ValueError, match="must be boolean"):
+        quantile_treatment_effects(ints, "arm", "y")

@@ -40,3 +40,16 @@ def test_textrank_validates_top_k(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="top_k"):
         textrank_keywords(df, top_k=0)
+
+
+def test_textrank_empty_edge_list_returns_empty_relation(spark):
+    from pangool_spark.operators.text import textrank_keywords
+
+    # every pair occurs once -> min_count=2 prunes all edges; "no
+    # keywords" must be an empty relation, not a ZeroDivisionError
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "three four")], "doc_id bigint, text string"
+    )
+    out = textrank_keywords(df, top_k=5, min_count=2)
+    assert out.columns == ["term", "rank"]
+    assert out.count() == 0
