@@ -329,6 +329,8 @@ EXTENDED = [
     "ratio_delta_events",
     "krippendorff_events",
     "eb_rate_parts",
+    "power_analysis_events",
+    "padding_efficiency_docs",
 ]
 
 RUNS_PER_QUERY = 3

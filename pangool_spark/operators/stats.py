@@ -3061,3 +3061,69 @@ def eb_rate_shrinkage(
             / (F.col("__n__").cast("double") + a + b),
         ).alias("shrunk"),
     )
+
+
+# two-sided alpha=0.05 and power=0.80 normal quantiles, written as exact
+# double literals so both engines compute the identical chain (erfinv
+# stays out of the contract — the logrank no-libm rule)
+_Z_ALPHA_050 = 1.959963984540054
+_Z_POWER_080 = 0.8416212335729143
+
+
+def power_analysis(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    rel_mde: float = 0.02,
+) -> DataFrame:
+    """Two-sample A/B sample-size planning from observed variance — the
+    DESIGN step the analysis family (welch/cuped/did/ratio_delta)
+    assumes already happened: per group, the units per arm needed to
+    detect a ``rel_mde`` relative lift of the mean at two-sided α=0.05
+    and 80% power, ``n = 2·(z_α + z_β)²·σ² / (rel_mde·μ)²`` (Lehr's
+    standard normal-approximation formula).
+
+    ONE partial-combined aggregate yields exact int64 (n, Σy, Σy²);
+    mean, sample variance, and the requirement are a fixed IEEE chain
+    over them with the z quantiles as exact double literals (no erfinv
+    in the contract). ``value_col`` must be integer-typed (cents);
+    keep Σy² under 2⁵³ per group (the smd contract). NULL values are
+    dropped. n_required is NULL when the group has n ≤ 1, zero
+    variance, or zero mean (no effect size to scale by).
+
+    Output: (*group_cols, n_obs, mean, variance, n_required).
+    """
+    if not 0 < rel_mde < 1:
+        raise ValueError(f"rel_mde must be in (0, 1), got {rel_mde}")
+    types = dict(df.dtypes)
+    if types.get(value_col) not in _INT_TYPES:
+        raise ValueError(
+            f"value_col must be integer-typed, got "
+            f"{types.get(value_col)!r} — rescale to cents"
+        )
+    y = F.col(value_col).cast("bigint")
+    g = (
+        df.filter(y.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(y).alias("__sy__"),
+            F.sum(y * y).alias("__syy__"),
+        )
+    )
+    n = F.col("n_obs").cast("double")
+    sy = F.col("__sy__").cast("double")
+    syy = F.col("__syy__").cast("double")
+    mean = sy / n
+    var = (syy - sy * sy / n) / (n - F.lit(1.0))
+    z2 = F.lit((_Z_ALPHA_050 + _Z_POWER_080) ** 2)
+    delta = F.lit(float(rel_mde)) * mean
+    n_req = F.ceil(F.lit(2.0) * z2 * var / (delta * delta))
+    ok = (F.col("n_obs") > 1) & (F.col("__sy__") != 0)
+    return g.select(
+        *group_cols,
+        "n_obs",
+        mean.alias("mean"),
+        F.when(F.col("n_obs") > 1, var).alias("variance"),
+        F.when(ok, F.when(var > 0, n_req)).alias("n_required"),
+    )

@@ -1691,3 +1691,72 @@ def textrank_keywords(
         .orderBy(F.col("rank").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_edges: "tuple[int, ...]" = (64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Length-bucketed batching waste report — the audit view of the
+    padding problem ``pack_sequences`` solves: if documents are batched
+    by length bucket and padded to the bucket edge, how many token
+    slots does each bucket burn on padding? The report that sizes
+    bucket edges BEFORE a 100 TB tokenization run commits to them.
+
+    Per bucket (smallest edge ≥ the doc's whitespace-token count;
+    longer docs fall into an overflow bucket padded to the bucket's own
+    max length): doc count, real tokens, padded capacity, waste, and
+    the fill efficiency — plus the corpus-wide efficiency repeated per
+    row (the ``diff_in_diff`` self-contained-relation convention). All
+    counts are exact int64 from ONE aggregate over the token-count
+    projection (map-side, no explode); efficiency is a single divide.
+    Empty docs count into the smallest bucket with zero tokens.
+
+    Output: (bucket_edge, n_docs, tokens, capacity, waste, efficiency,
+    overall_efficiency) — bucket_edge is the pad-to length; the
+    overflow bucket reports its realized pad-to length.
+    """
+    if not bucket_edges or list(bucket_edges) != sorted(set(bucket_edges)):
+        raise ValueError(
+            f"bucket_edges must be strictly increasing, got {bucket_edges}"
+        )
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    ).cast("bigint")
+    edge = F.lit(None).cast("bigint")
+    for e in sorted(bucket_edges, reverse=True):
+        edge = F.when(toks <= e, F.lit(int(e)).cast("bigint")).otherwise(edge)
+    rows = df.select(
+        toks.alias("__len__"),
+        F.coalesce(edge, F.lit(None)).alias("__edge__"),  # NULL = overflow
+    )
+    per = rows.groupBy("__edge__").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__len__").alias("tokens"),
+        F.max("__len__").alias("__maxlen__"),
+    )
+    pad_to = F.coalesce(F.col("__edge__"), F.col("__maxlen__"))
+    per = per.select(
+        pad_to.alias("bucket_edge"),
+        "n_docs",
+        "tokens",
+        (F.col("n_docs") * pad_to).alias("capacity"),
+    )
+    w = Window.partitionBy()  # ≤|edges|+1 rows
+    return per.select(
+        "bucket_edge",
+        "n_docs",
+        "tokens",
+        "capacity",
+        (F.col("capacity") - F.col("tokens")).alias("waste"),
+        F.when(
+            F.col("capacity") > 0,
+            F.col("tokens").cast("double") / F.col("capacity").cast("double"),
+        ).alias("efficiency"),
+        F.when(
+            F.sum("capacity").over(w) > 0,
+            F.sum("tokens").over(w).cast("double")
+            / F.sum("capacity").over(w).cast("double"),
+        ).alias("overall_efficiency"),
+    )

@@ -13455,6 +13455,110 @@ def eb_rate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "power_analysis_events",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS syy
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_obs,
+           CAST(sy AS DOUBLE) / CAST(n_obs AS DOUBLE) AS mean,
+           CASE WHEN n_obs > 1
+                THEN (CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                        / CAST(n_obs AS DOUBLE))
+                     / (CAST(n_obs AS DOUBLE) - 1.0) END AS variance,
+           CASE WHEN n_obs > 1 AND sy <> 0
+                AND (CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n_obs AS DOUBLE))
+                    / (CAST(n_obs AS DOUBLE) - 1.0) > 0
+                THEN CAST(CEIL(2.0 * 7.848879734349088
+                     * ((CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n_obs AS DOUBLE))
+                        / (CAST(n_obs AS DOUBLE) - 1.0))
+                     / ((0.02 * (CAST(sy AS DOUBLE) / CAST(n_obs AS DOUBLE)))
+                        * (0.02 * (CAST(sy AS DOUBLE)
+                                   / CAST(n_obs AS DOUBLE)))))
+                     AS BIGINT)
+           END AS n_required
+    FROM g ORDER BY event_type
+""",
+)
+def power_analysis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size plan per event type: units per arm needed to
+    detect a 2% lift of the mean value (cents) at two-sided alpha=0.05
+    and 80% power, from the observed variance — the DESIGN step the
+    welch/cuped/did analysis family assumes already happened. Exact-int
+    moment sums, z quantiles as exact double literals (no erfinv in
+    the contract). See ``operators.stats.power_analysis``."""
+    from pangool_spark.operators.stats import power_analysis
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return power_analysis(ev, ["event_type"], "cents", rel_mde=0.02).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "padding_efficiency_docs",
+    """
+    WITH d AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS l
+      FROM documents
+    ), b AS (
+      SELECT l, CASE WHEN l <= 64 THEN 64 WHEN l <= 128 THEN 128
+                     WHEN l <= 256 THEN 256 WHEN l <= 512 THEN 512
+                     WHEN l <= 1024 THEN 1024 END AS edge
+      FROM d
+    ), per AS (
+      SELECT edge, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(l) AS BIGINT) AS tokens,
+             CAST(MAX(l) AS BIGINT) AS maxlen
+      FROM b GROUP BY edge
+    ), cap AS (
+      SELECT COALESCE(edge, maxlen) AS bucket_edge, n_docs, tokens,
+             n_docs * COALESCE(edge, maxlen) AS capacity
+      FROM per
+    )
+    SELECT bucket_edge, n_docs, tokens, capacity,
+           capacity - tokens AS waste,
+           CASE WHEN capacity > 0
+                THEN CAST(tokens AS DOUBLE) / CAST(capacity AS DOUBLE)
+           END AS efficiency,
+           CASE WHEN SUM(capacity) OVER () > 0
+                THEN CAST(SUM(tokens) OVER () AS DOUBLE)
+                     / CAST(SUM(capacity) OVER () AS DOUBLE)
+           END AS overall_efficiency
+    FROM cap ORDER BY bucket_edge
+    """,
+)
+def padding_efficiency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching waste over the corpus: if docs batch by
+    whitespace-token bucket (64/128/256/512/1024, overflow pads to its
+    own max), how many token slots burn on padding per bucket, and what
+    is the corpus-wide fill efficiency — the report that sizes bucket
+    edges before pack_sequences commits a 100 TB tokenization run to
+    them. ONE map-side token-count projection + one aggregate. See
+    ``operators.text.padding_efficiency``."""
+    from pangool_spark.operators.text import padding_efficiency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_efficiency(docs).orderBy("bucket_edge")
+
+
 # ---------------------------------------------------------------------------
 # driver-window ordering
 #
@@ -13592,8 +13696,10 @@ def eb_rate_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # textrank_docs — pagerank-rank doubles, 12dp-quantized — cmh_events —
 # quantized O−E/OR doubles — ratio_delta_events — delta-method SE
 # doubles — krippendorff_events — quantized-disagreement doubles —
-# eb_rate_parts — EB-fit doubles). That is 51 backlog queries — one
-# full window plus one slot of overflow to r12:
+# eb_rate_parts — EB-fit doubles — power_analysis_events —
+# variance/ceil doubles — padding_efficiency_docs — efficiency
+# doubles). That is 53 backlog queries — one full window plus three
+# slots of overflow to r12:
 # fill the r11 window entirely from this backlog (floats-first as
 # listed), push any overflow to r12, and add NO window-displacing
 # registrations until it drains; any r10 red rows preempt.

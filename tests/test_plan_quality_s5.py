@@ -25,6 +25,8 @@ QUERIES_AND_BOUNDS = {
     # daily aggregate (checkpointed) + two lag equi-joins + two finals
     "forecast_accuracy_events": 4,
     "cmh_events": 1,  # ONE per-stratum conditional 2x2 aggregate
+    "power_analysis_events": 1,  # ONE moment aggregate per group
+    "padding_efficiency_docs": 1,  # ONE bucket aggregate; window on <=6 rows
     # post-checkpoint: disagreement + marginal aggregates over the
     # materialized pairable (unit, value) relation
     "krippendorff_events": 3,
@@ -87,3 +89,5 @@ def test_single_scan_aggregate_shapes(plans):
     # checkpointed intermediates: the corpus must not re-derive per branch
     assert plans["krippendorff_events"].count("Scan parquet") == 0
     assert plans["eb_rate_parts"].count("Scan parquet") == 0
+    assert plans["power_analysis_events"].count("Scan parquet") == 1
+    assert plans["padding_efficiency_docs"].count("Scan parquet") == 1
