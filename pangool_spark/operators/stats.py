@@ -25,12 +25,38 @@ double, and Spark and DuckDB round the excess differently.
 
 from __future__ import annotations
 
+import functools
+import operator as _operator
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, keys: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join on ``keys`` with NULL-safe equality per key. GROUP BY
+    keeps NULL as a regular key value everywhere in this module, so a
+    join that reassembles per-group branches must too — the plain
+    list-of-names join form compiles to ``=`` and silently drops
+    NULL-keyed groups (the t_closeness lesson, applied to joins).
+    Output keeps ONE copy of each key (left side), mirroring the
+    list-of-names form it replaces."""
+    l, r = left.alias("__jl__"), right.alias("__jr__")
+    cond = functools.reduce(
+        _operator.and_,
+        [
+            F.col(f"__jl__.{k}").eqNullSafe(F.col(f"__jr__.{k}"))
+            for k in keys
+        ],
+    )
+    keep = [c for c in right.columns if c not in set(keys)]
+    return l.join(r, cond, how).select(
+        "__jl__.*", *[F.col(f"__jr__.{c}") for c in keep]
+    )
 
 
 def grouped_linreg(
@@ -2021,9 +2047,22 @@ def smd_balance(
     n_t, n_c = F.col("n_t").cast("double"), F.col("n_c").cast("double")
     s_t, s_c = F.col("__st__").cast("double"), F.col("__sc__").cast("double")
     ss_t, ss_c = F.col("__sst__").cast("double"), F.col("__ssc__").cast("double")
-    mean_t, mean_c = s_t / n_t, s_c / n_c
-    v_t = (ss_t - s_t * s_t / n_t) / (F.col("n_t") - F.lit(1)).cast("double")
-    v_c = (ss_c - s_c * s_c / n_c) / (F.col("n_c") - F.lit(1)).cast("double")
+    # Every division sits under an F.when on its own denominator (the
+    # ratio_metric_delta idiom): ANSI throws on double /0 and a flat `&`
+    # predicate does NOT short-circuit, so an empty or n=1 arm must make
+    # the branch NULL before the division is ever evaluated.
+    mean_t = F.when(F.col("n_t") > 0, s_t / n_t)
+    mean_c = F.when(F.col("n_c") > 0, s_c / n_c)
+    v_t = F.when(
+        F.col("n_t") > 1,
+        (ss_t - s_t * s_t / n_t) / (F.col("n_t") - F.lit(1)).cast("double"),
+    )
+    v_c = F.when(
+        F.col("n_c") > 1,
+        (ss_c - s_c * s_c / n_c) / (F.col("n_c") - F.lit(1)).cast("double"),
+    )
+    # NULL v_t/v_c (an arm with n ≤ 1) propagates through pooled, so the
+    # single `pooled > 0` guard below covers both documented NULL cases.
     pooled = (v_t + v_c) / F.lit(2).cast("double")
     return g.select(
         group_col,
@@ -2031,10 +2070,7 @@ def smd_balance(
         "n_c",
         mean_t.alias("mean_t"),
         mean_c.alias("mean_c"),
-        F.when(
-            (F.col("n_t") > 1) & (F.col("n_c") > 1) & (pooled > 0),
-            (mean_t - mean_c) / F.sqrt(pooled),
-        ).alias("smd"),
+        F.when(pooled > 0, (mean_t - mean_c) / F.sqrt(pooled)).alias("smd"),
     )
 
 
@@ -2272,9 +2308,13 @@ def spearman_corr(
             ).cast("bigint").alias(out),
         )
 
-    ranked = cells.join(
-        value_ranks("__x__", "__rx__"), [*group_cols, "__x__"]
-    ).join(value_ranks("__y__", "__ry__"), [*group_cols, "__y__"])
+    ranked = _join_null_safe(
+        _join_null_safe(
+            cells, value_ranks("__x__", "__rx__"), [*group_cols, "__x__"]
+        ),
+        value_ranks("__y__", "__ry__"),
+        [*group_cols, "__y__"],
+    )
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     cnt = F.col("__c__").cast("decimal(19,0)")
     g = ranked.groupBy(*group_cols).agg(
@@ -2639,7 +2679,9 @@ def forecast_accuracy(
             F.col("__v__").alias(out),
         )
 
-    season = daily.join(lagged(season_days, "__ps__"), [*group_cols, "__d__"])
+    season = _join_null_safe(
+        daily, lagged(season_days, "__ps__"), [*group_cols, "__d__"]
+    )
     es = F.col("__v__") - F.col("__ps__")
     smape_day = F.when(
         F.abs(F.col("__v__")) + F.abs(F.col("__ps__")) > 0,
@@ -2655,12 +2697,12 @@ def forecast_accuracy(
             F.round(smape_day * F.lit(1000000000.0)).cast("bigint")
         ).alias("__qsm__"),
     )
-    one = daily.join(lagged(1, "__p1__"), [*group_cols, "__d__"])
+    one = _join_null_safe(daily, lagged(1, "__p1__"), [*group_cols, "__d__"])
     o_agg = one.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n1__"),
         F.sum(F.abs(F.col("__v__") - F.col("__p1__"))).alias("__sae1__"),
     )
-    j = s_agg.join(o_agg, list(group_cols), "left")
+    j = _join_null_safe(s_agg, o_agg, list(group_cols), "left")
     mae_s = F.col("__saes__").cast("double") / F.col("n_days").cast("double")
     mae_1 = F.col("__sae1__").cast("double") / F.col("__n1__").cast("double")
     return j.select(
@@ -2977,11 +3019,16 @@ def eb_rate_shrinkage(
 
     Moments: with m and v the sample mean/variance of the per-key rates
     (keys with n_i ≥ ``min_trials``), ``c = m(1−m)/v − 1``, α = m·c,
-    β = (1−m)·c. Per-key rates are QUANTIZED (×10⁶ int64 — 6dp is far
-    inside shrinkage noise, and it keeps Σq² below 2⁵³ up to ~9M keys,
-    past which 128-bit-int→double conversion diverges between engines)
-    so the moment sums are exact integers and α/β a fixed IEEE chain —
-    hash-stable cross-engine. Degenerate fits (v = 0 or c ≤ 0 — rates tighter than
+    β = (1−m)·c. Per-key rates are QUANTIZED (×10⁴ int64) so the moment
+    sums are exact integers and α/β a fixed IEEE chain — hash-stable
+    cross-engine. The cross-engine exactness condition is on the SUM,
+    not the count alone: ``nk · max(qr)² < 2⁵³`` (128-bit-int→double
+    conversion above 2⁵³ can differ by 1 ulp between engines). At the
+    4dp quantum that holds to ~9·10⁷ keys even at rate 1.0 and ~1.4·10⁹
+    keys at rates ≤ 0.25; 4dp rate precision shifts the fitted prior by
+    ≪ the shrinkage it applies (quantization variance (10⁻⁴)²/12 only
+    matters when v ≲ 10⁻⁷, where c ≤ 0 declares the fit degenerate
+    anyway). Degenerate fits (v = 0 or c ≤ 0 — rates tighter than
     a binomial allows, nothing to shrink) emit the raw rates with NULL
     alpha/beta/shrunk (stated, not hidden).
 
@@ -3014,7 +3061,7 @@ def eb_rate_shrinkage(
     qrate = F.round(
         F.col("__k__").cast("double")
         / F.col("__n__").cast("double")
-        * F.lit(1000000.0)
+        * F.lit(10000.0)
     ).cast("bigint")
     keys = keys.withColumn("__qr__", qrate)
     # the per-key relation feeds BOTH the moment fit and the scored
@@ -3030,13 +3077,13 @@ def eb_rate_shrinkage(
         .alias("__srr__"),
     )
     nk = F.col("__nk__").cast("double")
-    m = F.col("__sr__").cast("double") / F.lit(1000000.0) / nk
+    m = F.col("__sr__").cast("double") / F.lit(10000.0) / nk
     v = F.when(
         F.col("__nk__") > 1,
         (
-            F.col("__srr__").cast("double") / F.lit(1.0e12)
-            - (F.col("__sr__").cast("double") / F.lit(1000000.0))
-            * (F.col("__sr__").cast("double") / F.lit(1000000.0))
+            F.col("__srr__").cast("double") / F.lit(1.0e8)
+            - (F.col("__sr__").cast("double") / F.lit(10000.0))
+            * (F.col("__sr__").cast("double") / F.lit(10000.0))
             / nk
         )
         / (nk - F.lit(1.0)),

@@ -13366,7 +13366,7 @@ def krippendorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     ), kept AS (
       SELECT *, CAST(round(CAST(kk AS DOUBLE) / CAST(n AS DOUBLE)
-                           * 1000000.0) AS BIGINT) AS qr
+                           * 10000.0) AS BIGINT) AS qr
       FROM k WHERE n >= 5
     ), mom AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS nk,
@@ -13376,49 +13376,49 @@ def krippendorff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), fit AS (
       SELECT
         CASE WHEN nk > 1
-             AND (CAST(srr AS DOUBLE) / 1000000000000.0
-                  - (CAST(sr AS DOUBLE) / 1000000.0)
-                    * (CAST(sr AS DOUBLE) / 1000000.0)
+             AND (CAST(srr AS DOUBLE) / 100000000.0
+                  - (CAST(sr AS DOUBLE) / 10000.0)
+                    * (CAST(sr AS DOUBLE) / 10000.0)
                     / CAST(nk AS DOUBLE)) / (CAST(nk AS DOUBLE) - 1.0) > 0
-             AND (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
-                 * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+             AND (CAST(sr AS DOUBLE) / 10000.0 / CAST(nk AS DOUBLE))
+                 * (1.0 - CAST(sr AS DOUBLE) / 10000.0
                           / CAST(nk AS DOUBLE))
-                 / ((CAST(srr AS DOUBLE) / 1000000000000.0
-                     - (CAST(sr AS DOUBLE) / 1000000.0)
-                       * (CAST(sr AS DOUBLE) / 1000000.0)
+                 / ((CAST(srr AS DOUBLE) / 100000000.0
+                     - (CAST(sr AS DOUBLE) / 10000.0)
+                       * (CAST(sr AS DOUBLE) / 10000.0)
                        / CAST(nk AS DOUBLE))
                     / (CAST(nk AS DOUBLE) - 1.0)) - 1.0 > 0
-             THEN (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
-                  * ((CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
-                     * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+             THEN (CAST(sr AS DOUBLE) / 10000.0 / CAST(nk AS DOUBLE))
+                  * ((CAST(sr AS DOUBLE) / 10000.0 / CAST(nk AS DOUBLE))
+                     * (1.0 - CAST(sr AS DOUBLE) / 10000.0
                               / CAST(nk AS DOUBLE))
-                     / ((CAST(srr AS DOUBLE) / 1000000000000.0
-                         - (CAST(sr AS DOUBLE) / 1000000.0)
-                           * (CAST(sr AS DOUBLE) / 1000000.0)
+                     / ((CAST(srr AS DOUBLE) / 100000000.0
+                         - (CAST(sr AS DOUBLE) / 10000.0)
+                           * (CAST(sr AS DOUBLE) / 10000.0)
                            / CAST(nk AS DOUBLE))
                         / (CAST(nk AS DOUBLE) - 1.0)) - 1.0)
         END AS alpha,
         CASE WHEN nk > 1
-             AND (CAST(srr AS DOUBLE) / 1000000000000.0
-                  - (CAST(sr AS DOUBLE) / 1000000.0)
-                    * (CAST(sr AS DOUBLE) / 1000000.0)
+             AND (CAST(srr AS DOUBLE) / 100000000.0
+                  - (CAST(sr AS DOUBLE) / 10000.0)
+                    * (CAST(sr AS DOUBLE) / 10000.0)
                     / CAST(nk AS DOUBLE)) / (CAST(nk AS DOUBLE) - 1.0) > 0
-             AND (CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
-                 * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+             AND (CAST(sr AS DOUBLE) / 10000.0 / CAST(nk AS DOUBLE))
+                 * (1.0 - CAST(sr AS DOUBLE) / 10000.0
                           / CAST(nk AS DOUBLE))
-                 / ((CAST(srr AS DOUBLE) / 1000000000000.0
-                     - (CAST(sr AS DOUBLE) / 1000000.0)
-                       * (CAST(sr AS DOUBLE) / 1000000.0)
+                 / ((CAST(srr AS DOUBLE) / 100000000.0
+                     - (CAST(sr AS DOUBLE) / 10000.0)
+                       * (CAST(sr AS DOUBLE) / 10000.0)
                        / CAST(nk AS DOUBLE))
                     / (CAST(nk AS DOUBLE) - 1.0)) - 1.0 > 0
-             THEN (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+             THEN (1.0 - CAST(sr AS DOUBLE) / 10000.0
                          / CAST(nk AS DOUBLE))
-                  * ((CAST(sr AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE))
-                     * (1.0 - CAST(sr AS DOUBLE) / 1000000.0
+                  * ((CAST(sr AS DOUBLE) / 10000.0 / CAST(nk AS DOUBLE))
+                     * (1.0 - CAST(sr AS DOUBLE) / 10000.0
                               / CAST(nk AS DOUBLE))
-                     / ((CAST(srr AS DOUBLE) / 1000000000000.0
-                         - (CAST(sr AS DOUBLE) / 1000000.0)
-                           * (CAST(sr AS DOUBLE) / 1000000.0)
+                     / ((CAST(srr AS DOUBLE) / 100000000.0
+                         - (CAST(sr AS DOUBLE) / 10000.0)
+                           * (CAST(sr AS DOUBLE) / 10000.0)
                            / CAST(nk AS DOUBLE))
                         / (CAST(nk AS DOUBLE) - 1.0)) - 1.0)
         END AS beta

@@ -208,16 +208,24 @@ def test_smd_hand_computed(spark):
 def test_smd_degenerate_cases(spark):
     from pangool_spark.operators.stats import smd_balance
 
-    # n_t = 1 → NULL; zero variance both arms → NULL
+    # n_t = 1 → NULL; zero variance both arms → NULL; an all-one-arm
+    # covariate (empty control) must yield NULL mean_c/smd, not an ANSI
+    # /0 abort (the round-11 advisor finding: guard the division, don't
+    # rely on `&` short-circuiting — it doesn't)
     rows = [
         (True, "single", 1), (False, "single", 2), (False, "single", 3),
         (True, "flat", 5), (True, "flat", 5),
         (False, "flat", 5), (False, "flat", 5),
+        (True, "onearm", 1), (True, "onearm", 4), (True, "onearm", 9),
     ]
     df = spark.createDataFrame(rows, "arm boolean, cov string, y bigint")
     out = {r["cov"]: r for r in smd_balance(df, "arm", "cov", "y").collect()}
     assert out["single"]["smd"] is None
     assert out["flat"]["smd"] is None
+    one = out["onearm"]
+    assert one["n_c"] == 0
+    assert one["mean_c"] is None and one["smd"] is None
+    assert one["mean_t"] == pytest.approx(14.0 / 3.0)
 
 
 # ---------------------------------------------------------------------------

@@ -71,11 +71,11 @@ def test_krippendorff_degenerate_single_value(spark):
 
 def _ref_eb(keys, min_trials=1):
     kept = [(k, n) for k, n in keys if n >= min_trials]
-    qr = [round(k / n * 1e6) for k, n in kept]
+    qr = [round(k / n * 1e4) for k, n in kept]
     nk = len(qr)
     sr, srr = sum(qr), sum(q * q for q in qr)
-    m = sr / 1e6 / nk
-    v = (srr / 1e12 - (sr / 1e6) * (sr / 1e6) / nk) / (nk - 1.0)
+    m = sr / 1e4 / nk
+    v = (srr / 1e8 - (sr / 1e4) * (sr / 1e4) / nk) / (nk - 1.0)
     c = m * (1.0 - m) / v - 1.0
     alpha, beta = m * c, (1.0 - m) * c
     return alpha, beta, [

@@ -156,3 +156,25 @@ def test_ipw_ate_no_usable_stratum_yields_null(spark):
     df = spark.createDataFrame(rows, "s string, tr boolean, y bigint")
     for r in ipw_ate(df, "s", "tr", "y").collect():
         assert r.ate is None and r.diff is None
+
+
+def test_forecast_accuracy_null_group_key_preserved(spark):
+    """NULL group keys are regular GROUP BY values; the lag self-joins
+    must reassemble them too (round-11 advisor: plain `=` joins dropped
+    NULL-keyed groups). NULL-keyed series must score identically to a
+    named twin."""
+    from pangool_spark.operators.stats import forecast_accuracy
+
+    vs = [10, 12, 9, 14, 11, 13, 10, 11, 13, 8, 15, 10, 14, 9]
+    df = _daily(spark, {"a": vs, None: vs})
+    got = {
+        r.k: r
+        for r in forecast_accuracy(
+            df, ["k"], "ts", "v", season_days=7
+        ).collect()
+    }
+    assert set(got) == {"a", None}
+    assert got[None].n_days == got["a"].n_days
+    assert got[None].mase == pytest.approx(got["a"].mase, rel=1e-12)
+    assert got[None].smape == pytest.approx(got["a"].smape, rel=1e-12)
+    assert got[None].wape == pytest.approx(got["a"].wape, rel=1e-12)

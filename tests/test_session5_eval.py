@@ -248,3 +248,22 @@ def test_logrank_requires_integer_durations(spark):
     df = spark.createDataFrame([(1, 1.5, 1)], "arm int, t double, ev int")
     with pytest.raises(ValueError, match="integer-typed"):
         logrank_test(df, "arm", "t", "ev")
+
+
+def test_spearman_null_group_key_preserved(spark):
+    """GROUP BY keeps NULL as a key; the rank-table reassembly joins must
+    too (round-11 advisor: plain `=` joins silently dropped NULL-keyed
+    groups). The NULL group must come out with the same rho as an
+    identically-shaped named group."""
+    from pangool_spark.operators.stats import spearman_corr
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8]
+    rows = [("g", x, y) for x, y in zip(xs, ys)] + [
+        (None, x, y) for x, y in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r.g: r for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert set(got) == {"g", None}
+    assert got[None].n == len(xs)
+    assert got[None].rho == pytest.approx(got["g"].rho, abs=1e-15)
