@@ -13703,8 +13703,86 @@ def padding_efficiency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fill the r11 window entirely from this backlog (floats-first as
 # listed), push any overflow to r12, and add NO window-displacing
 # registrations until it drains; any r10 red rows preempt.
+# ROUND-11 ROTATION (the r10 verdict's item 1, executed — the
+# consolidation round): the r10 window went 50/50 full green, so all 50
+# rotate out to the back and the window is filled ENTIRELY from the
+# 53-query never-driver-checked backlog (mechanically recomputed:
+# catalog keys minus the union of CORRECTNESS_r01-r10 keys; matches the
+# judge's list). 50 go in below, floats-first per convention. NO new
+# window-displacing catalog queries this round. The 3 deferred to the
+# FRONT of the r12 window are the safest pure-integer shapes, every one
+# multiple-times green in local full-catalog sweeps and built from
+# already-driver-proven kernels (same 3 the r10 rotation already
+# deferred once — they remain the lowest-risk slots in the catalog):
+#   histogram_events        (int equi-width bins; equidepth sibling and
+#                            the r11 float sibling family all green)
+#   running_revenue_orders  (int running-sum window; window family
+#                            driver-green many times over)
+#   json_props_stats        (get_json_object + int counts)
+# R12 BUILDER: assuming this window goes green, the backlog is exactly
+# those 3 — put them first in the r12 window, then (r10 verdict item 5)
+# the batch paths of the newer streaming monitors
+# (stream_quantile_sketch / stream_confusion_monitor /
+# stream_unigram_drift) once registered as value-oracled queries.
 _WINDOW_FRONT = [
-    # float / libm / statistics oracles (highest cross-engine risk)
+    "poisson_bootstrap_events",
+    "covariance_embeddings",
+    "twap_events",
+    "chisq_customers",
+    "cohens_kappa_events",
+    "quantile_normalize_events",
+    "windowed_quantiles_events",
+    "cms_join_size_lineitem",
+    "mutual_info_events",
+    "feature_mi_orders",
+    "woe_iv_orders",
+    "token_entropy_docs",
+    "unigram_kl_docs",
+    "moments_events",
+    "zipf_fit_docs",
+    "mixture_temperature_docs",
+    "ranking_metrics_events",
+    "cuped_orders",
+    "raking_customers",
+    "hll_distinct_lineitem",
+    "psi_drift_orders",
+    "t_closeness_customers",
+    "did_events",
+    "smd_balance_events",
+    "nelson_aalen_events",
+    "brier_events",
+    "uplift_deciles_events",
+    "classification_report_events",
+    "spearman_events",
+    "logrank_events",
+    "ipw_ate_events",
+    "qte_events",
+    "forecast_accuracy_events",
+    "textrank_docs",
+    "cmh_events",
+    "ratio_delta_events",
+    "krippendorff_events",
+    "eb_rate_parts",
+    "power_analysis_events",
+    "padding_efficiency_docs",
+    "weighted_median_lineitem",
+    "histogram_quantiles_lineitem",
+    "range_bounds_lineitem",
+    "zorder_layout_lineitem",
+    "scd2_apply_events",
+    "mixture_plan_docs",
+    "dp_histogram_customers",
+    "windowed_dedup_events",
+    "plan_cache_replay_orders",
+    "melt_order_stats",
+]
+
+
+_ROTATED_PAST_WINDOW = [
+    # --- rotated out in round 11 (new this round) ---
+    # The entire r10 window: 50/50 green first try in
+    # CORRECTNESS_r10.json (every row rows+schema+hash), all stay
+    # fully value-oracled via tools/check_oracles.py sweeps.
     "acf_events",
     "changepoint_events",
     "theil_sen_events",
@@ -13720,7 +13798,6 @@ _WINDOW_FRONT = [
     "rank_family_orders",
     "decision_stump_orders",
     "ams_f2_lineitem",
-    # double-output retrieval / graph / ER scores
     "collocations_docs",
     "lsh_recall_docs",
     "hits_supplier_part",
@@ -13729,7 +13806,6 @@ _WINDOW_FRONT = [
     "hard_negatives_embeddings",
     "phrase_search_docs",
     "sorted_neighborhood_parts",
-    # governance batch (new r09 shapes, count/report relations)
     "governance_report",
     "k_anonymity_customers",
     "kanon_release_customers",
@@ -13737,13 +13813,11 @@ _WINDOW_FRONT = [
     "ri_audit_tpch",
     "pseudonymize_customers",
     "fd_violations_events",
-    # multimodal / text-prep
     "image_neardup_docs",
     "audio_segments_docs",
     "span_corruption_docs",
     "hashed_features_docs",
     "source_gate_docs",
-    # event-analytics holdovers (r08 additions, portable-hash kernels)
     "funnel_report_events",
     "activity_cohorts_events",
     "category_drift_orders",
@@ -13756,13 +13830,10 @@ _WINDOW_FRONT = [
     "active_streaks_events",
     "join_view_delta_orders",
     "pareto_class_customers",
-    # portable-hash samplers / splits
     "weighted_sample_orders",
     "temporal_split_events",
     "negative_sample_orders",
-]
-
-_ROTATED_PAST_WINDOW = [
+    #
     # --- rotated out in round 9 (new this round) ---
     # triangle_count_approx_parts_fast: the deliberately non-DuckDB-
     #   portable xxhash64 fast twin burned an r08 window slot surfacing
