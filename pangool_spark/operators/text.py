@@ -283,10 +283,14 @@ def lm_perplexity(
     map-side: the model is |alphabet|² rows, vanishing next to the corpus)
     build P(c₂|c₁) = cnt(c₁c₂)/cnt(c₁·); the tiny model broadcasts back
     onto the document bigram stream; per-doc avg ln P and its exp(-·)
-    perplexity close the plan. Scores are float aggregates (reduction
-    order nondeterministic) — quality-signal semantics, verified by
-    ordering properties rather than a value oracle, like
-    ``compression_quality``.
+    perplexity close the plan. The per-bigram model log-probs are
+    QUANTIZED (``round(ln(nb/nc)·10⁹)`` BIGINTs — the unigram_kl
+    pattern), so the per-doc sum is an exact order-independent integer
+    and the score a fixed IEEE chain — value-oracle-able cross-engine
+    (round-11; previously float-avg and rows-only). |qlp| ≤ ~2·10¹⁰ and
+    the sum is per-DOC, so the 2⁵³ exactness bound holds for any
+    document under ~4·10⁵ chars — document-length-bounded, not
+    corpus-bounded.
 
     Output: (id, n_bigrams, avg_logprob, perplexity); documents shorter
     than 2 normalized chars are absent.
@@ -315,21 +319,37 @@ def lm_perplexity(
     model = bg_counts.join(
         prefix_counts, F.substring("bigram", 1, 1) == F.col("__c1__")
     ).select(
-        "bigram", (F.log(F.col("__nb__") / F.col("__nc__"))).alias("__lp__")
+        "bigram",
+        F.round(
+            F.log(
+                F.col("__nb__").cast("double") / F.col("__nc__").cast("double")
+            )
+            * F.lit(1.0e9)
+        )
+        .cast("bigint")
+        .alias("__qlp__"),
     )
-    return (
+    per = (
         doc_bg.join(F.broadcast(model), "bigram")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg("__lp__").alias("avg_logprob"),
+            F.sum("__qlp__").alias("__qsum__"),
         )
-        .select(
-            id_col,
-            "n_bigrams",
-            "avg_logprob",
-            F.exp(-F.col("avg_logprob")).alias("perplexity"),
-        )
+    )
+    avg = (
+        F.col("__qsum__").cast("double")
+        / F.lit(1.0e9)
+        / F.col("n_bigrams").cast("double")
+    )
+    return per.select(
+        id_col,
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        # exp is not correctly rounded (Java vs glibc drift by 1 ulp on
+        # ~15% of inputs, measured) — round to 9 decimals, the
+        # mixture_temperature engine-drift convention
+        F.round(F.exp(-avg), 9).alias("perplexity"),
     )
 
 

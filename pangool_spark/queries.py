@@ -3486,19 +3486,50 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diagnose_skew(li, ["l_suppkey"], top=10)
 
 
-# No oracle by design: float aggregates over a nondeterministic reduction
-# order (the model join + per-doc avg) — quality-signal semantics pinned by
-# ordering-property tests instead, same justification class as
-# compression_quality_docs.
-@query("lm_perplexity_docs")
+@query(
+    "lm_perplexity_docs",
+    """
+    WITH n AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, substr(t, CAST(i AS INT), 2) AS bigram
+      FROM n, LATERAL unnest(range(1, length(t))) AS u(i)
+      WHERE length(t) >= 2
+    ), bgc AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1
+    ), pc AS (
+      SELECT substr(bigram, 1, 1) AS c1, CAST(SUM(nb) AS BIGINT) AS nc
+      FROM bgc GROUP BY 1
+    ), model AS (
+      SELECT bigram,
+             CAST(round(ln(CAST(nb AS DOUBLE) / CAST(nc AS DOUBLE))
+                        * 1000000000.0) AS BIGINT) AS qlp
+      FROM bgc JOIN pc ON substr(bigram, 1, 1) = c1
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(qlp) AS BIGINT) AS qsum
+      FROM bg JOIN model USING (bigram) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(qsum AS DOUBLE) / 1000000000.0
+             / CAST(n_bigrams AS DOUBLE) AS avg_logprob,
+           round(exp(-(CAST(qsum AS DOUBLE) / 1000000000.0
+                       / CAST(n_bigrams AS DOUBLE))), 9) AS perplexity
+    FROM per ORDER BY doc_id
+    """,
+)
 def lm_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained character-bigram LM perplexity per document (CCNet-style
     fluency filter): two partial-agg passes build the |alphabet|² model,
-    which broadcasts back onto the bigram stream."""
+    which broadcasts back onto the bigram stream. Value-oracled since
+    round 11: the model's per-bigram ln terms are quantized BIGINTs so
+    the per-doc sum is exact and order-independent (the unigram_kl
+    pattern); exp runs once per output row on an identical double."""
     from pangool_spark.operators.text import lm_perplexity
 
     docs = load_table(spark, sf_dir, "documents")
-    return lm_perplexity(docs)
+    return lm_perplexity(docs).orderBy("doc_id")
 
 
 # No oracle by design: zlib deflate is not expressible in DuckDB SQL. The
@@ -10646,6 +10677,14 @@ def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8,
     )
     zz = li.withColumn("zval", z).withColumn("__one__", F.lit(1).cast("int"))
+    # Materialize the z-keyed relation before the sample-sort: the
+    # prefix-sum machinery makes 4 passes (count, bound sample, bucket
+    # offsets, final agg) and its __bkt__ fold compares zval against
+    # ~n_buckets bound literals — without the checkpoint Catalyst
+    # inlines the whole Morton expression tree into every comparison
+    # and plan compile alone cost ~17s at sf0.1 (measured; 29.3s -> 9s
+    # total with it). One materialization, three cheap column re-reads.
+    zz = zz.localCheckpoint(eager=True)
     ranked = global_running_sum(
         zz, ["zval", "l_orderkey", "l_linenumber"], "__one__", out_col="__rn__"
     )
