@@ -405,11 +405,27 @@ def _bucketed(
     n_buckets: int | None,
     sample_per_bucket: int,
 ) -> DataFrame:
-    """Sample-sort bucketing: deterministic content-hash sample of the
-    first order column → driver-sorted bound literals → ``__bkt__`` as
-    a PURE row function (never an exchange's runtime boundary sampling,
-    which is RDD-id-seeded and not re-execution-stable — measured)."""
-    from pangool_spark.operators.sampling import _BUCKETS, _bucket
+    """Sample-sort bucketing: deterministic content-hash ROW sample →
+    driver-sorted bound literals over the first order column →
+    ``__bkt__`` as a PURE row function (never an exchange's runtime
+    boundary sampling, which is RDD-id-seeded and not re-execution-
+    stable — measured).
+
+    The sample hashes the FULL order-key tuple, not ``keys[0]`` alone
+    (round-11 fix): hashing only the first key selects VALUES, so a
+    low-cardinality leading key defeats the rate arithmetic — at the
+    100× zorder probe, 100 distinct Morton codes × a 69/10⁶ keep-rate
+    meant the sample was EMPTY with p≈0.993, bounds collapsed, every
+    row landed in bucket 0, and Catalyst folded the literal partition
+    key into an UNPARTITIONED window (a single task walking all 60M
+    rows — measured 470s). ``order_by`` is a total order, so the
+    composite hash is row-uniform whatever the leading key's
+    cardinality; bounds stay frequency-weighted quantiles of
+    ``keys[0]``, so bucket assignment remains a contiguous-range
+    function of the total order and downstream prefix sums / row ids
+    are value-identical either way."""
+    from pangool_spark.operators.sampling import _BUCKETS
+    from pangool_spark.operators.dedup import base_hash_31
 
     n = int(n_buckets or df.sparkSession.sparkContext.defaultParallelism)
     if n <= 0:
@@ -418,8 +434,12 @@ def _bucketed(
     total = df.count()
     target = n * sample_per_bucket
     if total > target:
+        row_key = F.concat_ws(
+            "\x1f", *[F.col(k).cast("string") for k in keys]
+        )
         sample = df.filter(
-            _bucket(keys[0]) < int(target / total * _BUCKETS) + 1
+            (base_hash_31(row_key) % _BUCKETS)
+            < int(target / total * _BUCKETS) + 1
         )
     else:
         sample = df

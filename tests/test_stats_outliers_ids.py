@@ -138,3 +138,31 @@ def test_global_running_sum_matches_window(spark):
         global_running_sum(df.withColumn("d", F.lit(1.5)), ["k"], "d")
     with pytest.raises(ValueError, match="already has"):
         global_running_sum(df.withColumn("running_total", F.lit(1)), ["k"], "v")
+
+
+def test_sample_sort_buckets_survive_low_cardinality_leading_key(spark):
+    """Round-11 regression: `_bucketed` must hash-sample the full order
+    tuple, not the leading key's VALUES — with a low-cardinality leading
+    key the old value-hash sample came back empty, bounds collapsed, and
+    the downstream window ran unpartitioned (one task walking the whole
+    relation at the 100x probe)."""
+    from pangool_spark.operators.partitioning import (
+        _bucketed,
+        global_running_sum,
+    )
+    from pyspark.sql import functions as F
+
+    # 200k rows, only 50 distinct leading-key values — the zorder shape
+    df = spark.range(200_000).select(
+        (F.col("id") % 50).alias("z"),
+        F.col("id").alias("rid"),
+        F.lit(1).cast("int").alias("one"),
+    )
+    m = _bucketed(df, ["z", "rid"], 32, 128)
+    n_buckets = m.select("__bkt__").distinct().count()
+    assert n_buckets >= 16, f"bounds collapsed to {n_buckets} bucket(s)"
+    # and the prefix sum over that bucketing is still exactly 1..N
+    out = global_running_sum(df, ["z", "rid"], "one", out_col="rn")
+    assert out.agg(
+        F.min("rn"), F.max("rn"), F.count_distinct("rn")
+    ).first() == (1, 200_000, 200_000)
