@@ -311,10 +311,15 @@ def lm_perplexity(
         .select(F.col(id_col), F.explode(bigram_arr).alias("bigram"))
     )
     bg_counts = doc_bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__nb__"))
+    # |alphabet|² rows — checkpoint so the corpus aggregate doesn't get
+    # re-inlined into every downstream branch (the checkpoint
+    # discipline; prefix counts derive from THIS relation, not a second
+    # corpus pass, so the whole plan reads the corpus exactly twice:
+    # once for the model, once for the scoring join)
+    bg_counts = bg_counts.localCheckpoint(eager=True)
     prefix_counts = (
-        doc_bg.select(F.substring("bigram", 1, 1).alias("__c1__"))
-        .groupBy("__c1__")
-        .agg(F.count(F.lit(1)).alias("__nc__"))
+        bg_counts.groupBy(F.substring("bigram", 1, 1).alias("__c1__"))
+        .agg(F.sum("__nb__").alias("__nc__"))
     )
     model = bg_counts.join(
         prefix_counts, F.substring("bigram", 1, 1) == F.col("__c1__")
