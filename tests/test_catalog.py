@@ -38,7 +38,6 @@ def test_catalog_is_well_formed():
         "approx_distinct_parts",
         "minhash_lsh_dedup_fast",
         "compression_quality_docs",
-        "lm_perplexity_docs",
         # xxhash64 edge sampling is engine-internal; the md5-portable
         # twin (triangle_count_approx_parts) carries the value oracle
         "triangle_count_approx_parts_fast",
