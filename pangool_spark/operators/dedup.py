@@ -1588,36 +1588,56 @@ def hamming_neardup_pairs(
             "for the pigeonhole recall guarantee; raise n_bands or lower "
             "max_dist"
         )
-    band_hex = (bits // n_bands) // 4
-    n_chunks = bits // 16
+    if bits > 64:
+        raise ValueError(
+            f"bits ({bits}) > 64 unsupported: the hash is carried as one"
+            " 64-bit integer end-to-end"
+        )
+    band_bits = bits // n_bands
 
+    # The (id, hash) proxy is consumed FIVE times downstream (distinct
+    # groups, both sides of the id-pair expansion, both sides of the
+    # dist-0 self-join); without materialization Spark re-inlines the
+    # whole upstream subtree — e.g. image_neardup_docs re-ran its
+    # MapInPandas dHash decode 6x and scanned the corpus 12x. One eager
+    # localCheckpoint of the 8-bytes/row proxy collapses that to a single
+    # upstream pass. The hex hash is packed into ONE signed bigint
+    # (conv base 16 -> -10 = two's-complement) so band keys are bit
+    # slices, the Hamming verify is one bit_count(xor), and the band
+    # join shuffles 8-byte ints instead of 16-char strings.
     ids = df.select(
-        F.col(id_col).alias("__id__"), F.lower(F.col(hash_col)).alias("__h__")
-    )
+        F.col(id_col).alias("__id__"),
+        F.conv(F.lower(F.col(hash_col)), 16, -10)
+        .cast("bigint")
+        .alias("__h__"),
+    ).localCheckpoint(eager=True)
     groups = ids.select("__h__").distinct()
 
+    mask = (1 << band_bits) - 1
     bands = groups.select(
         "__h__",
         F.posexplode(
             F.array(
                 *[
-                    F.substring(F.col("__h__"), i * band_hex + 1, band_hex)
+                    F.shiftrightunsigned(
+                        F.col("__h__"), bits - (i + 1) * band_bits
+                    ).bitwiseAND(F.lit(mask))
                     for i in range(n_bands)
                 ]
             )
         ).alias("__band__", "__val__"),
     )
 
-    def _chunk(side: str, i: int) -> Column:
-        return F.conv(
-            F.substring(F.col(side), i * 4 + 1, 4), 16, 10
-        ).cast("int")
-
     a, b = bands.alias("a"), bands.alias("b")
-    dist = sum(
-        F.bit_count(_chunk("__ha__", i).bitwiseXOR(_chunk("__hb__", i)))
-        for i in range(n_chunks)
+    dist = F.bit_count(
+        F.col("__ha__").bitwiseXOR(F.col("__hb__"))
     ).cast("int")
+    # Verify BEFORE deduplicating: bit_count(xor) on the raw band-join
+    # stream is a few cheap vectorized ops per candidate, so filtering to
+    # dist <= max_dist first shrinks the distinct() shuffle from the full
+    # candidate volume (sum of bucket^2 — 9.8M rows at sf0.1) to just the
+    # qualifying near-pairs (hundreds). Previously the whole candidate
+    # set was shuffled through distinct() carrying two 16-char hashes.
     hash_pairs = (
         a.join(
             b,
@@ -1628,9 +1648,9 @@ def hamming_neardup_pairs(
         .select(
             F.col("a.__h__").alias("__ha__"), F.col("b.__h__").alias("__hb__")
         )
-        .distinct()
         .withColumn("dist", dist)
         .filter(F.col("dist") <= max_dist)
+        .distinct()
     )
 
     # id-pair expansion: cross of the two hash groups for dist >= 1 ...

@@ -662,9 +662,6 @@ def lpa_communities(
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "label", F.col("v")
     )
-    w = Window.partitionBy("v").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
         votes = (
             sym.join(labels.withColumnRenamed("v", "a"), "a")
@@ -672,10 +669,16 @@ def lpa_communities(
             .groupBy("v", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "label")
+        # argmax as a hash aggregate with partial/map-side combining
+        # instead of a rank-1 window: min over (-c, label) is "largest
+        # count, then smallest label" — same winner as the former
+        # row_number window without its per-round exchange + full sort
+        # (guide §2.4: window partitioned like the aggregation it
+        # follows is a second pass the agg can absorb).
+        labels = votes.groupBy("v").agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("label")
         )
     return labels
 

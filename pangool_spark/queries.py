@@ -4524,6 +4524,48 @@ def cooccurrence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence_pairs(docs, window=2, min_count=10)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase part edges (src < dst, one edge per co-ordered row
+    pair) shared by the graph-query family. Pairs are generated MAP-SIDE
+    inside each order's collected part list (i < j positions, equal
+    values dropped) — the exact multiset the former lineitem self-join
+    on l_orderkey produced, for ONE exchange (the groupBy) instead of
+    two sorted join exchanges plus a second scan (guide §2.4). Per-order
+    lists are bounded (TPC-H orders hold ≤7 lineitems), so the collected
+    array never skews a task."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Pin the group exchange to the session's shuffle parallelism: the
+    # aggregated (order -> part list) relation is tiny, so AQE would
+    # coalesce it to a few partitions and the explode below would fan
+    # the full edge stream out inside those few tasks, starving every
+    # downstream consumer of parallelism (guide §2.5 input-skew note).
+    # An explicit keyed repartition is exempt from AQE coalescing and is
+    # reused by the groupBy (same key), so this costs no extra exchange.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    grouped = (
+        li.repartition(n_shuffle, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("__ps__"))
+    )
+    ps = F.col("__ps__")
+    pair_arrays = F.flatten(
+        F.transform(
+            ps,
+            lambda t, i: F.transform(
+                F.slice(ps, i + 2, F.size(ps)),
+                lambda u: F.struct(
+                    F.least(t, u).alias("src"), F.greatest(t, u).alias("dst")
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 @query(
     "triangle_count_parts",
     """
@@ -4547,14 +4589,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive three-way join over canonical a<b<c edges."""
     from pangool_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return triangle_count(edges)
 
 
@@ -4718,14 +4753,7 @@ def triangle_count_approx_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 is the oracle-portability tax, not the operator cost."""
     from pangool_spark.operators.graph import triangle_count_approx
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return triangle_count_approx(edges, p=0.5, hash_family="portable")
 
 
@@ -4742,14 +4770,7 @@ def triangle_count_approx_parts_fast(spark: SparkSession, sf_dir: str) -> DataFr
     (one codegen'd JVM hash per edge, no string concat, no md5)."""
     from pangool_spark.operators.graph import triangle_count_approx
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return triangle_count_approx(edges, p=0.5, hash_family="fast")
 
 
@@ -5481,14 +5502,7 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the fixpoint behavior."""
     from pangool_spark.operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return kcore(edges, k=70, max_iter=3)
 
 
@@ -6293,14 +6307,7 @@ def ktruss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's naive 3-way join."""
     from pangool_spark.operators.graph import ktruss
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return ktruss(edges, k=16, max_iter=2)
 
 
@@ -6413,14 +6420,7 @@ def bfs_hops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``graph.bfs_distances``."""
     from pangool_spark.operators.graph import bfs_distances
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 50)
@@ -7246,14 +7246,7 @@ def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exercised. See ``graph.lpa_communities``."""
     from pangool_spark.operators.graph import lpa_communities
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return lpa_communities(edges, rounds=3)
 
 
@@ -7413,14 +7406,7 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph.link_prediction``."""
     from pangool_spark.operators.graph import link_prediction
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     return (
         link_prediction(edges, min_common=3)
         .orderBy(F.col("jaccard").desc(), "u", "v")
@@ -8775,15 +8761,7 @@ def assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph.degree_assortativity``."""
     from pangool_spark.operators.graph import degree_assortativity
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir).distinct()
     return degree_assortativity(edges)
 
 
