@@ -558,11 +558,15 @@ def decision_stump(
                 F.sum("y").alias("pos"),
             )
         )
+        # Materialize the small distinct-values relation once: the
+        # sample-sort machinery below issues several actions (count,
+        # bound sample, offsets collect) that would each re-scan and
+        # re-aggregate the full input otherwise (guide §1.3 rescans).
+        vals = vals.localCheckpoint(eager=True)
+        # Both prefix sums share one bucketing pass (same bounds, exact
+        # integer carries — values identical to two chained calls).
         cum = global_running_sum(
-            global_running_sum(vals, ["v"], "cnt", "n_left"),
-            ["v"],
-            "pos",
-            "pos_left",
+            vals, ["v"], ["cnt", "pos"], ["n_left", "pos_left"]
         )
         tot = vals.agg(
             F.sum("cnt").alias("__n__"), F.sum("pos").alias("__a__")

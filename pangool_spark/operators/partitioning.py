@@ -461,37 +461,46 @@ def _bucketed(
     return df.withColumn("__bkt__", bucket)
 
 
+def _bucket_offsets_multi(m: DataFrame, agg_exprs):
+    """Cumulative EXCLUSIVE per-bucket totals for SEVERAL aggregates in
+    ONE collect (≤ n_buckets driver rows, the bounded-collect contract),
+    each returned as a map-literal lookup COLUMN over ``__bkt__``. A
+    literal expression instead of a broadcast-join relation: one fewer
+    join in every consumer, and no LocalRelation in the plan — joining
+    the offsets relation back in tripped an internal Catalyst binding
+    error (ATTRIBUTE_NOT_FOUND) whenever an unrelated same-named local
+    relation existed in the session (Spark 4.1.2, small-universe path;
+    measured)."""
+    rows = m.groupBy("__bkt__").agg(
+        *[e.alias(f"__s{i}__") for i, e in enumerate(agg_exprs)]
+    ).collect()
+    out = []
+    for i in range(len(agg_exprs)):
+        sums = sorted((r["__bkt__"], r[f"__s{i}__"]) for r in rows)
+        offsets, acc = [], 0
+        for bkt, s in sums:
+            offsets.append((bkt, acc))
+            acc += s if s is not None else 0
+        if not offsets:
+            out.append(F.lit(0).cast("long"))
+            continue
+        lookup = F.map_from_arrays(
+            F.array(*[F.lit(int(b)) for b, _ in offsets]),
+            F.array(*[F.lit(int(o)).cast("long") for _, o in offsets]),
+        )
+        out.append(F.element_at(lookup, F.col("__bkt__")))
+    return out
+
+
 def _bucket_offsets(m: DataFrame, agg_expr):
-    """Cumulative EXCLUSIVE per-bucket totals of ``agg_expr`` as a
-    map-literal lookup COLUMN over ``__bkt__`` (≤ n_buckets driver rows,
-    the bounded-collect contract). A literal expression instead of a
-    broadcast-join relation: one fewer join in every consumer, and no
-    LocalRelation in the plan — joining the offsets relation back in
-    tripped an internal Catalyst binding error (ATTRIBUTE_NOT_FOUND)
-    whenever an unrelated same-named local relation existed in the
-    session (Spark 4.1.2, small-universe path; measured)."""
-    sums = sorted(
-        (r["__bkt__"], r["s"])
-        for r in m.groupBy("__bkt__").agg(agg_expr.alias("s")).collect()
-    )
-    offsets, acc = [], 0
-    for bkt, s in sums:
-        offsets.append((bkt, acc))
-        acc += s if s is not None else 0
-    if not offsets:
-        return F.lit(0).cast("long")
-    lookup = F.map_from_arrays(
-        F.array(*[F.lit(int(b)) for b, _ in offsets]),
-        F.array(*[F.lit(int(o)).cast("long") for _, o in offsets]),
-    )
-    return F.element_at(lookup, F.col("__bkt__"))
+    return _bucket_offsets_multi(m, [agg_expr])[0]
 
 
 def global_running_sum(
     df: DataFrame,
     order_by: Sequence[str],
-    value_col: str,
-    out_col: str = "running_total",
+    value_col: "str | Sequence[str]",
+    out_col: "str | Sequence[str]" = "running_total",
     n_buckets: int | None = None,
     sample_per_bucket: int = 128,
 ) -> DataFrame:
@@ -509,26 +518,47 @@ def global_running_sum(
     depend on the bucketing); NULL values add 0. Deterministic iff
     ``order_by`` is a total order.
 
-    Output: input columns + ``out_col`` (BIGINT).
+    ``value_col``/``out_col`` may be parallel LISTS: every prefix sum
+    then shares ONE bucketing pass and ONE offsets collect (same bucket
+    bounds for all columns — the sums are exact integers, so the output
+    values are identical to n separate calls, at 1/n the action count).
+
+    Output: input columns + each ``out_col`` (BIGINT).
     """
-    keys = _validate_order(df, order_by, out_col, "global_running_sum")
-    vt = dict(df.dtypes).get(value_col)
-    if vt not in ("tinyint", "smallint", "int", "bigint"):
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
         raise ValueError(
-            f"global_running_sum needs an integer value column (exact "
-            f"carry), got {value_col}: {vt} — rescale to cents/micros"
+            f"global_running_sum: {len(vcols)} value columns but "
+            f"{len(ocols)} output names"
         )
+    keys = list(order_by)
+    for oc in ocols:
+        keys = _validate_order(df, order_by, oc, "global_running_sum")
+    types = dict(df.dtypes)
+    for vc in vcols:
+        vt = types.get(vc)
+        if vt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"global_running_sum needs an integer value column (exact "
+                f"carry), got {vc}: {vt} — rescale to cents/micros"
+            )
     m = _bucketed(df, keys, n_buckets, sample_per_bucket)
     from pyspark.sql import Window
 
-    off = _bucket_offsets(m, F.sum(F.col(value_col).cast("bigint")))
+    offs = _bucket_offsets_multi(
+        m, [F.sum(F.col(vc).cast("bigint")) for vc in vcols]
+    )
     w = (
         Window.partitionBy("__bkt__")
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = F.sum(F.coalesce(F.col(value_col).cast("bigint"), F.lit(0))).over(w)
-    return m.select(*df.columns, (off + local).alias(out_col))
+    outs = []
+    for vc, oc, off in zip(vcols, ocols, offs):
+        local = F.sum(F.coalesce(F.col(vc).cast("bigint"), F.lit(0))).over(w)
+        outs.append((off + local).alias(oc))
+    return m.select(*df.columns, *outs)
 
 
 def skyline_2d(

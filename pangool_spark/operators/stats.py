@@ -1050,6 +1050,10 @@ def theil_sen(
         .withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= max_n)
     )
+    # Materialize the capped relation once: the self-join below would
+    # otherwise re-scan and re-window the full input for BOTH sides
+    # (two parquet scans + two WindowGroupLimit passes — measured).
+    capped = capped.localCheckpoint(eager=True)
     a = capped.alias("a")
     b = capped.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
@@ -1070,17 +1074,18 @@ def theil_sen(
             ).alias("__slope__"),
         )
     )
-    ws = Window.partitionBy(*group_cols).orderBy(F.col("__slope__").asc())
-    wc = Window.partitionBy(*group_cols)
-    ranked = slopes.select(
-        *group_cols,
-        "__slope__",
-        F.row_number().over(ws).alias("__sr__"),
-        F.count(F.lit(1)).over(wc).alias("n_pairs"),
+    # Lower median by aggregate instead of a sort+double-window pass:
+    # element ⌈m/2⌉ of the ascending sort — array_sort uses the same
+    # double ordering as the window ORDER BY, and selection at a fixed
+    # rank is tie-insensitive, so the value is identical (pairs per
+    # group are bounded by max_n², so the list is bounded too).
+    return slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.element_at(
+            F.array_sort(F.collect_list("__slope__")),
+            F.ceil(F.count(F.lit(1)) / 2).cast("int"),
+        ).alias("slope"),
     )
-    return ranked.filter(
-        F.col("__sr__") == F.floor((F.col("n_pairs") + 1) / 2)
-    ).select(*group_cols, "n_pairs", F.col("__slope__").alias("slope"))
 
 
 def ks_test(
@@ -1406,10 +1411,17 @@ def poisson_bootstrap_ci(
 
     gcols = list(group_cols)
     rows = df.filter(F.col(value_col).isNotNull())
+    sid = F.col(id_col).cast("string")
+    v = F.col(value_col).cast("bigint")
+    # NOTE (r11): a one-scan wide-aggregate form (80 sum expressions +
+    # array_sort rank selection, no explode/window/join) was measured
+    # 2x SLOWER here — 40 md5 ladders in one expression tree defeat
+    # whole-stage codegen, while this explode form evaluates one small
+    # codegen'd md5 per exploded row. Kept deliberately.
     rep = rows.select(
         *gcols,
-        F.col(value_col).cast("bigint").alias("__v__"),
-        F.col(id_col).cast("string").alias("__id__"),
+        v.alias("__v__"),
+        sid.alias("__id__"),
         F.explode(
             F.sequence(F.lit(0), F.lit(int(replicates) - 1))
         ).alias("__rep__"),
