@@ -916,6 +916,13 @@ def bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Materialize (word, count) once: every round's argmax collect — and
+    # the delimiter guard below — is its own job, and without this each
+    # re-tokenized the whole corpus (n_merges+1 full passes, measured).
+    # |vocab| ≪ corpus, so this is the cheap side of the trade at any
+    # scale, and it is what the docstring's "rounds never rescan
+    # documents" promises.
+    words = words.localCheckpoint(eager=True)
     if words.filter(F.col("w").contains(d)).limit(1).count():
         raise ValueError(
             "corpus contains the \\x01 BPE delimiter — strip control "
@@ -1226,7 +1233,9 @@ def bpe_token_ids(
         F.col(id_col),
         F.posexplode(normalized_tokens(text_col)).alias("__wpos__", "w"),
     )
-    wvocab = words.select("w").distinct()
+    # distinct words materialized once: the delimiter guard is an action
+    # and the merge chain consumer would otherwise re-tokenize the corpus
+    wvocab = words.select("w").distinct().localCheckpoint(eager=True)
     if wvocab.filter(F.col("w").contains(d)).limit(1).count():
         raise ValueError(
             "corpus contains the \\x01 BPE delimiter — strip control "
@@ -1263,7 +1272,17 @@ def bpe_token_ids(
         (F.col("__base__") + F.col("__i__")).cast("int").alias("pos"),
         F.col("token"),
     )
-    tvocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n__"))
+    # Materialize the token stream once: the vocabulary ranking below
+    # (stable_row_ids = count + sample + offsets, three jobs) and the
+    # final join each re-ran the tokenize+join+window+explode pipeline
+    # otherwise (~6 full passes, measured). O(corpus) executor storage
+    # traded against O(n_jobs x corpus) recompute.
+    toks = toks.localCheckpoint(eager=True)
+    tvocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .localCheckpoint(eager=True)
+    )
     ids = stable_row_ids(
         tvocab.withColumn("__negn__", -F.col("__n__")),
         ["__negn__", "token"],
