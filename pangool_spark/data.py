@@ -92,3 +92,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def local_relation(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Driver-local rows as a pure-JVM ``LocalTableScan`` (via the Arrow
+    pandas path), never a Python-RDD scan.
+
+    ``createDataFrame(list_of_tuples)`` plans as ``Scan ExistingRDD``
+    sliced across ``defaultParallelism`` — EVERY downstream action then
+    pays a Python-worker round trip per slice (measured: 6-9 s to write
+    a 4-row relation under local[32] after a coalesce(1)). The pandas
+    path embeds the data in the plan JVM-side. ``dtype=object`` keeps
+    ints exact and ``None`` as NULL; the explicit DDL schema does the
+    typing (positional, like the tuple form).
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame.from_records(rows).astype(object)
+    return spark.createDataFrame(pdf, schema=schema)

@@ -286,7 +286,9 @@ def bloom_prune_join(
         bits[r["__w__"]] = r["__mask__"]
 
     spark = fact.sparkSession
-    bits_df = spark.createDataFrame([(bits,)], "__bloom__ array<bigint>")
+    from pangool_spark.data import local_relation
+
+    bits_df = local_relation(spark, [(bits,)], "__bloom__ array<bigint>")
     probe = " AND ".join(
         f"(element_at(__bloom__, cast({p} div 64 AS int) + 1) "
         f"& shiftleft(1L, cast({p} % 64 AS int))) != 0"

@@ -549,7 +549,9 @@ def _ivf_search(
         for c in order[:n_probe]:
             probe_rows.append((int(r[0]), int(c)))
     spark = assigned.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
+    from pangool_spark.data import local_relation
+
+    probes = local_relation(spark, probe_rows, "query_id LONG, cell INT")
 
     candidates = assigned.join(F.broadcast(probes), "cell").select(
         F.col(id_col), F.col("query_id"), F.col(vec_col).alias("__cvec__")
@@ -703,7 +705,10 @@ def build_ivf_index(
         centroids = kmeans_centroids(corpus, n_cells, vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, out_col="cell")
     assigned.write.mode("error").partitionBy("cell").parquet(f"{path}/vectors")
-    spark.createDataFrame(
+    from pangool_spark.data import local_relation
+
+    local_relation(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("error").parquet(f"{path}/centroids")

@@ -392,7 +392,9 @@ def quantiles_from_bins(spark, bins: DataFrame, bin_width: int, quantiles) -> Da
         .alias("cum"),
         F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
-    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    from pangool_spark.data import local_relation
+
+    qs = local_relation(spark, [(float(q),) for q in quantiles], "q double")
     hit = (
         F.broadcast(qs)
         .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")))

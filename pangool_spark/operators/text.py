@@ -708,8 +708,10 @@ def bm25_score(
     """
     spark = df.sparkSession
     if not isinstance(query_terms, DataFrame):
-        qdf = spark.createDataFrame(
-            [(t,) for t in query_terms], "term STRING"
+        from pangool_spark.data import local_relation
+
+        qdf = local_relation(
+            spark, [(t,) for t in query_terms], "term STRING"
         )
     else:
         qdf = query_terms.select(F.col(query_terms.columns[0]).alias("term"))
@@ -1106,7 +1108,10 @@ def bpe_merges_local(
                     pair_words.setdefault(p, set()).add(wi)
         pair_counts.pop((l, r), None)
 
-    segmented = spark.createDataFrame(
+    from pangool_spark.data import local_relation
+
+    segmented = local_relation(
+        spark,
         [(rows[wi]["w"], freqs[wi], " ".join(segs[wi]))
          for wi in range(len(rows))],
         "w STRING, n BIGINT, segmented STRING",

@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pangool_spark.data import load_table
+from pangool_spark.data import load_table, local_relation
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -4705,7 +4705,8 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pangool_spark.operators.text import bm25_search
 
     docs = load_table(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_relation(
+        spark,
         [
             (1, "hash join table"),
             (2, "filter vector scan"),
@@ -4866,7 +4867,8 @@ def cms_word_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(normalized_tokens("text")).alias("w"))
     sketch = count_min_sketch(toks, "w", width=1024, depth=4, hash_family="portable")
-    probes = spark.createDataFrame(
+    probes = local_relation(
+        spark,
         [("the",), ("hash",), ("join",), ("vector",), ("scan",),
          ("window",), ("xyzzy_absent",)],
         "w STRING",
