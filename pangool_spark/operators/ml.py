@@ -268,13 +268,23 @@ def _quantized(
 def _dist2(qcol, centroid: "list[float]", dim: int):
     """Squared euclidean distance as a FIXED left-associated chain of 2·dim
     exact-rounded double ops — the expression order is the oracle contract
-    (same association in SQL ⇒ bit-identical doubles)."""
-    total = None
-    for d in range(dim):
-        diff = F.get(qcol, d).cast("double") - F.lit(centroid[d])
-        term = diff * diff
-        total = term if total is None else total + term
-    return total
+    (same association in SQL ⇒ bit-identical doubles).
+
+    Implemented as a zip_with + left-fold aggregate over a literal
+    centroid array rather than an unrolled 6·dim-node expression tree:
+    the fold IS the same left-associated chain (the 0.0 seed is exact —
+    every term is a square ≥ +0.0, and +0.0 + t == t bit-for-bit), but
+    the tree is ~dim literal nodes instead of ~6·dim per centroid, which
+    removes the analyze/codegen compile tax that dominated wall time for
+    k·dim chains (measured: the k=4, dim=64 fit spent seconds per round
+    compiling, milliseconds executing)."""
+    carr = F.array(*[F.lit(float(centroid[d])) for d in range(dim)])
+    sq = F.zip_with(
+        qcol,
+        carr,
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t)
 
 
 def _with_assignment(df: DataFrame, centroids: "list[list[float]]", dim: int) -> DataFrame:
@@ -369,7 +379,14 @@ def kmeans_lloyd(
         if row is None:
             raise ValueError("cannot infer dim from an empty DataFrame")
         dim = row["d"]
-    q = _quantized(df, id_col, vec_col, scale, dim)
+    # Materialize the quantized grid once: seed selection, every round's
+    # aggregate, and the final assignment are separate jobs that would
+    # each re-scan and re-quantize the input otherwise. (At 100 TB the
+    # documented path fits on a hash_sample, so this materializes the
+    # sample, not the corpus.)
+    q = _quantized(df, id_col, vec_col, scale, dim).localCheckpoint(
+        eager=True
+    )
     seeds = (
         q.select(
             "__q__", base_hash_31(F.col(id_col).cast("string")).alias("__h__"),
