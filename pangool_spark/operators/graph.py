@@ -305,6 +305,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     shuffles: the wedge self-join on the wedge apex and the closing-edge
     semi-equi-join. Output: one row (n_triangles).
     """
+    # `sym` feeds FOUR plan branches (two degree-union arms, the ranked
+    # join, and the closing-edge probe) and `oriented` two (both wedge
+    # sides). Without materialization Spark re-inlines the whole upstream
+    # edge pipeline per branch — over the co-purchase generator the plan
+    # carried 22 parquet scans and 22 explodes with zero exchange reuse.
+    # The canonical edge set is 16 bytes/row, so two eager localCheckpoints
+    # (the lpa_communities/kcore discipline) collapse that to one upstream
+    # pass each; at 100 TB the edge list is the lightweight proxy relation
+    # (guide §8), never the raw corpus.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -312,6 +321,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         sym.select(F.col("a").alias("v"))
@@ -331,7 +341,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
         .alias("e")
-    ).select("e.u", "e.w")
+    ).select("e.u", "e.w").localCheckpoint(eager=True)
     w1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
     w2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
     wedges = w1.join(w2, "u").filter(F.col("w1") < F.col("w2"))
@@ -592,9 +602,14 @@ def bfs_distances(
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
+    # The adjacency feeds every round's frontier join; un-materialized,
+    # each round (and each settled-set anti-join arm) re-inlines the whole
+    # upstream edge pipeline — the 3-round co-purchase plan carried 192
+    # parquet scans. One eager localCheckpoint (the lpa_communities
+    # discipline) makes every round read the 16-bytes/row edge list.
     sym = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     if seed_col is None:
         seed_col = seeds.columns[0]
     dist = (
@@ -927,6 +942,10 @@ def degree_assortativity(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
+        # feeds both union arms of `both`, which itself feeds the degree
+        # aggregate and both endpoint joins: materialize the 16-bytes/row
+        # canonical edge set once (12 inlined upstream scans otherwise)
+        .localCheckpoint(eager=True)
     )
     both = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))

@@ -196,6 +196,11 @@ def item_cf(
         r = r.withColumn("__ci__", F.count(F.lit(1)).over(w)).filter(
             F.col("__ci__") <= max_user_items
         ).drop("__ci__")
+    # (u, i, r) feeds three branches (norms + both self-join sides);
+    # materialized once, the upstream interaction join + groupBy run once
+    # instead of three times. 24 bytes/row — the rating matrix is the
+    # lightweight proxy here, never the raw interaction log.
+    r = r.localCheckpoint(eager=True)
     norms = r.groupBy("i").agg(F.sum(F.col("r") * F.col("r")).alias("n2"))
     a = r.select(F.col("u"), F.col("i").alias("ia"), F.col("r").alias("ra"))
     b = r.select(F.col("u"), F.col("i").alias("ib"), F.col("r").alias("rb"))
