@@ -310,13 +310,23 @@ def ngram_jaccard_pairs(
     # string path would shuffle corpus text for nothing.
     if shingles_df is not None:
         sh = shingles_df
+        if max_df is not None:
+            sh = _cache(prune_hot_shingles(sh, max_df))
+            sh.count()
+    elif max_df is not None:
+        # Self-built + pruned: the window-strategy prune reads its input
+        # exactly ONCE, so only the PRUNED relation (which feeds three
+        # plan branches — two join sides + sizes) needs a cache; caching
+        # the raw shingle base too was a second materialization barrier
+        # for a relation with a single consumer (the _doc_shingles
+        # single-pass discipline, measured there at 1.1-1.4 s vs
+        # 4.6-9.2 s for cache-base-then-derive).
+        sh = _cache(prune_hot_shingles(
+            shingles(df, id_col, text_col, n, hashed=True), max_df
+        ))
+        sh.count()
     else:
         sh = _cache(shingles(df, id_col, text_col, n, hashed=True))
-        sh.count()
-    if max_df is not None:
-        # cache the pruned relation too: it feeds three plan branches (two
-        # join sides + sizes) and the anti-join would re-run per branch
-        sh = _cache(prune_hot_shingles(sh, max_df))
         sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # Join on a 64-bit hash of the shingle, not the string: the self-join

@@ -1064,13 +1064,24 @@ def embedding_covariance(
     rows = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) >= max(dims))
     )
+    # Project each quantized component ONCE, then aggregate plain column
+    # refs: inlining q(i) into every product re-evaluates the
+    # round/cast chain ~d times per component per row and inflates the
+    # generated aggregate method ~d-fold (compile tax dominates at small
+    # scale; redundant per-row work at large). Same ops per value, so
+    # every sum is bit-identical.
+    rows = rows.select(*[q(i).alias(f"__q{i}__") for i in dims])
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for i in dims:
-        aggs.append(F.sum(q(i)).alias(f"__s{i}__"))
+        aggs.append(F.sum(F.col(f"__q{i}__")).alias(f"__s{i}__"))
     for a in range(len(dims)):
         for b in range(a, len(dims)):
             i, j = dims[a], dims[b]
-            aggs.append(F.sum(q(i) * q(j)).alias(f"__p{i}_{j}__"))
+            aggs.append(
+                F.sum(F.col(f"__q{i}__") * F.col(f"__q{j}__")).alias(
+                    f"__p{i}_{j}__"
+                )
+            )
     wide = rows.agg(*aggs)
 
     n = F.col("__n__").cast("double")
