@@ -308,23 +308,28 @@ def ngram_jaccard_pairs(
     # explode/distinct pipeline. Self-built relations are HASHED (see
     # shingles(hashed=True)) — jaccard only needs key equality, so the
     # string path would shuffle corpus text for nothing.
+    #
+    # Prune strategy (r12): the BASE relation is cached and the prune is
+    # the ``agg`` form — map-side-combined df counts + a broadcast
+    # anti-join over the cache. The window form shuffles every occurrence
+    # of a shingle to ONE task, and the hottest stop-shingles (the exact
+    # keys max_df removes) are unbounded — at 32-way local concurrency
+    # that shuffle, racing the caller's own cache population, was the
+    # r11 curation_pipeline blowup, and at 100 TB it is a straggler/spill
+    # task by construction. The agg form never concentrates a hot key:
+    # both of its input reads hit the cache, the hot list is tiny by
+    # definition (df > max_df), and each downstream branch re-applies a
+    # cheap broadcast probe instead of re-reading a second cached copy.
     if shingles_df is not None:
         sh = shingles_df
         if max_df is not None:
-            sh = _cache(prune_hot_shingles(sh, max_df))
-            sh.count()
+            # caller-shared relations are cached by contract — the agg
+            # prune's two reads both hit that cache, no second cache
+            sh = prune_hot_shingles(sh, max_df, strategy="agg")
     elif max_df is not None:
-        # Self-built + pruned: the window-strategy prune reads its input
-        # exactly ONCE, so only the PRUNED relation (which feeds three
-        # plan branches — two join sides + sizes) needs a cache; caching
-        # the raw shingle base too was a second materialization barrier
-        # for a relation with a single consumer (the _doc_shingles
-        # single-pass discipline, measured there at 1.1-1.4 s vs
-        # 4.6-9.2 s for cache-base-then-derive).
-        sh = _cache(prune_hot_shingles(
-            shingles(df, id_col, text_col, n, hashed=True), max_df
-        ))
-        sh.count()
+        base = _cache(shingles(df, id_col, text_col, n, hashed=True))
+        base.count()
+        sh = prune_hot_shingles(base, max_df, strategy="agg")
     else:
         sh = _cache(shingles(df, id_col, text_col, n, hashed=True))
         sh.count()

@@ -1474,9 +1474,9 @@ def clear_shingle_cache(spark: SparkSession | None = None) -> int:
     from pangool_spark.operators.dedup import release_caches
 
     n = len(_SHINGLE_CACHE)
-    for df in _SHINGLE_CACHE.values():
+    for base, _pruned in _SHINGLE_CACHE.values():
         try:
-            df.unpersist()
+            base.unpersist()
         except Exception:
             pass  # session already stopped; nothing to unpersist
     _SHINGLE_CACHE.clear()
@@ -1495,27 +1495,31 @@ def _doc_shingles(
     from pangool_spark.operators.dedup import prune_hot_shingles, shingles
 
     key = (spark.sparkContext.applicationId, sf_dir, n, max_df, hashed)
-    df = _SHINGLE_CACHE.get(key)
-    if df is None:
+    entry = _SHINGLE_CACHE.get(key)
+    if entry is None:
         docs = load_table(spark, sf_dir, "documents")
         base = shingles(docs, n=n, hashed=hashed)
         if max_df is not None:
-            # Single-pass prune (window count over shingle): one read of the
-            # UNcached base pipeline, so only the pruned relation needs a
-            # cache. Rounds 3/4 tried cache-base-then-derive and
-            # agg+anti-join variants; both pay an extra materialization
-            # barrier after every clearCache (measured 4.6-9.2 s vs 1.1-1.4 s
-            # steady-state at sf0.1 for the windowed form).
-            df = prune_hot_shingles(base, max_df)
+            # The BASE relation is what gets cached; the prune is the agg
+            # form (map-side-combined df counts + broadcast anti-join over
+            # the cache). The r03-r11 windowed prune read the base exactly
+            # once but shuffled EVERY occurrence of a shingle to one task —
+            # the hottest stop-shingles (the keys max_df exists to remove)
+            # are unbounded, which is a straggler/spill task at scale and
+            # was implicated in the r11 curation 32-core blowup. Both agg
+            # reads hit the cache, so the corpus still explodes only once.
+            df = prune_hot_shingles(base, max_df, strategy="agg")
         else:
             df = base
-        _SHINGLE_CACHE[key] = df
-    level = df.storageLevel
+        _SHINGLE_CACHE[key] = (base, df)
+    else:
+        base, df = entry
+    level = base.storageLevel
     if not (level.useMemory or level.useDisk):
         # first call, or an external spark.catalog.clearCache() evicted us
         # (bench.py does between runs): (re-)materialize — the relation feeds
         # several plan branches per query and multiple queries per session.
-        df.cache().count()
+        base.cache().count()
     return df
 
 
