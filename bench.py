@@ -342,6 +342,7 @@ def _run_section(
     names: list[str],
     runs: int = RUNS_PER_QUERY,
     runs_achieved: dict[str, int] | None = None,
+    loadavg_per_query: dict[str, float] | None = None,
 ) -> dict[str, float]:
     from pangool_spark.queries import QUERIES
 
@@ -362,6 +363,14 @@ def _run_section(
         timings[name] = round(best, 3)
         if runs_achieved is not None:
             runs_achieved[name] = achieved
+        if loadavg_per_query is not None:
+            # 1-min loadavg sampled as each query finishes: contamination
+            # arriving MID-run (the r11 artifact's poisoned back half) is
+            # then identifiable in-band instead of inferrable only from
+            # start/end stamps. Note the bench's own 32 worker threads
+            # contribute to this number while stages are in flight — read
+            # it relative to neighboring queries, not as an absolute gate.
+            loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
     return timings
 
@@ -409,7 +418,11 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     runs_achieved: dict[str, int] = {}
-    timings = _run_section(spark, sf_dir, HEADLINE, runs_achieved=runs_achieved)
+    loadavg_per_query: dict[str, float] = {}
+    timings = _run_section(
+        spark, sf_dir, HEADLINE, runs_achieved=runs_achieved,
+        loadavg_per_query=loadavg_per_query,
+    )
     total = round(sum(timings.values()), 3)
 
     # Section boundary: evict the dedup suite's cached shingle relations so
@@ -417,13 +430,17 @@ def main() -> None:
     clear_shingle_cache(spark)
     # the heavy trio gets headline rigor (best-of-3) but stays out of the
     # frozen `value` total, which r01-r06 never included them in
-    heavy = _run_section(spark, sf_dir, HEAVY, runs_achieved=runs_achieved)
+    heavy = _run_section(
+        spark, sf_dir, HEAVY, runs_achieved=runs_achieved,
+        loadavg_per_query=loadavg_per_query,
+    )
     clear_shingle_cache(spark)
     # best-of-2 for the (long) extended section: keeps total bench wall
     # time bounded as the catalog grows; headline stays best-of-3 for
     # round-over-round comparability.
     extended = _run_section(
-        spark, sf_dir, EXTENDED, runs=2, runs_achieved=runs_achieved
+        spark, sf_dir, EXTENDED, runs=2, runs_achieved=runs_achieved,
+        loadavg_per_query=loadavg_per_query,
     )
     clear_shingle_cache(spark)
     # The _fast twins exist purely as a perf claim (xxhash64 vs the
@@ -484,6 +501,11 @@ def main() -> None:
         "runs_heavy": RUNS_PER_QUERY,
         "runs_extended": 2,
         "runs_achieved": runs_achieved,
+        # per-query 1-min loadavg stamps (r12, judge-ordered): full detail
+        # rides in BENCH_LOCAL.json; the compact stdout line carries the
+        # headline+heavy subset so contaminated spans are visible even if
+        # the driver only captures stdout.
+        "loadavg_per_query": loadavg_per_query,
         "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
         # None when the start gate passed (loadavg <= 1.0); otherwise an
@@ -509,7 +531,14 @@ def main() -> None:
     # guaranteed-parseable ~1.5 KB whatever the driver truncates; the
     # full record lives in BENCH_LOCAL.json above.
     compact = {
-        k: v for k, v in payload.items() if k not in ("extended", "runs_achieved")
+        k: v
+        for k, v in payload.items()
+        if k not in ("extended", "runs_achieved", "loadavg_per_query")
+    }
+    compact["loadavg_per_query"] = {
+        name: loadavg_per_query[name]
+        for name in [*HEADLINE, *HEAVY]
+        if name in loadavg_per_query
     }
     compact["extended_count"] = len(extended)
     compact["extended_detail"] = "BENCH_LOCAL.json"

@@ -113,3 +113,41 @@ def local_relation(spark: SparkSession, rows, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     pdf = pd.DataFrame.from_records(rows).astype(object)
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def checkpoint_eager(df: DataFrame, reliable_ok: bool = False) -> DataFrame:
+    """Materialize ``df`` once and truncate its lineage.
+
+    The engine's materialize-once discipline uses ``localCheckpoint``:
+    blocks live in executor storage (memory, spilling to local disk), so
+    LOSING AN EXECUTOR after the checkpoint kills the job instead of
+    recomputing — lineage is gone. That trade is right for the small
+    proxy relations (edge lists, cell aggregates: recompute would be
+    cheap but the plan bloat is not), and knowingly wrong-at-scale for
+    O(corpus) relations like the BPE token stream, where a 100 TB job
+    that dies at hour N because one of 1000 executors was preempted is
+    an operational bug, not a perf trade.
+
+    ``reliable_ok=True`` marks a call site whose relation is big enough
+    to deserve the durable path: when the application has a checkpoint
+    directory configured (``spark.sparkContext.setCheckpointDir`` — on a
+    cluster, an HDFS/object-store path), the relation is written there
+    with a RELIABLE ``checkpoint()`` that survives executor loss. With
+    no directory set (the local/bench default) it falls back to
+    ``localCheckpoint``, so local behavior and bench numbers are
+    unchanged. Sites with ``reliable_ok=False`` (the default) always
+    use ``localCheckpoint`` — durability for a 16-byte/row proxy is not
+    worth a distributed-filesystem round trip.
+
+    Both paths are eager and return a DataFrame whose plan is a flat
+    scan of the materialized blocks/files.
+    """
+    if reliable_ok:
+        sc = df.sparkSession.sparkContext
+        try:
+            has_dir = sc.getCheckpointDir() is not None
+        except Exception:
+            has_dir = False
+        if has_dir:
+            return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -923,8 +923,12 @@ def bpe_merges(
     # re-tokenized the whole corpus (n_merges+1 full passes, measured).
     # |vocab| ≪ corpus, so this is the cheap side of the trade at any
     # scale, and it is what the docstring's "rounds never rescan
-    # documents" promises.
-    words = words.localCheckpoint(eager=True)
+    # documents" promises. reliable_ok: the vocab is rebuilt from a full
+    # corpus pass, so when a checkpoint dir is configured the durable
+    # path is worth it (data.checkpoint_eager).
+    from pangool_spark.data import checkpoint_eager
+
+    words = checkpoint_eager(words, reliable_ok=True)
     if words.filter(F.col("w").contains(d)).limit(1).count():
         raise ValueError(
             "corpus contains the \\x01 BPE delimiter — strip control "
@@ -1281,8 +1285,13 @@ def bpe_token_ids(
     # (stable_row_ids = count + sample + offsets, three jobs) and the
     # final join each re-ran the tokenize+join+window+explode pipeline
     # otherwise (~6 full passes, measured). O(corpus) executor storage
-    # traded against O(n_jobs x corpus) recompute.
-    toks = toks.localCheckpoint(eager=True)
+    # traded against O(n_jobs x corpus) recompute — THE relation whose
+    # localCheckpoint fragility matters at 100 TB, so it takes the
+    # reliable path whenever a checkpoint dir is configured
+    # (data.checkpoint_eager).
+    from pangool_spark.data import checkpoint_eager
+
+    toks = checkpoint_eager(toks, reliable_ok=True)
     tvocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("__n__"))
