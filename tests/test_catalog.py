@@ -45,22 +45,34 @@ def test_catalog_is_well_formed():
 
 
 def test_every_query_analyzes_and_matches_oracle_columns(spark, sf_dir, duck):
-    problems = []
-    for name, fn in QUERIES.items():
+    # Two speed disciplines keep this (281-query) sweep test-suite-sized:
+    # DESCRIBE plans each oracle and yields its column list WITHOUT
+    # executing it (executing all 277 — several are O(n²) self-joins /
+    # recursive CTEs — made this one test ~4 min of the suite; values are
+    # the driver's check_oracles sweep, not this test's job), and query
+    # construction runs on a small thread pool so the eager-checkpoint
+    # jobs many operators launch at build time overlap instead of
+    # serializing (guide §2.6). DuckDB work stays on per-thread cursors.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
         try:
             df = fn(spark, sf_dir)
             scols = sorted(df.columns)
         except Exception as exc:  # noqa: BLE001 — collect every failure
-            problems.append(f"{name}: spark analysis failed: {exc!r:.150}")
-            continue
+            return f"{name}: spark analysis failed: {exc!r:.150}"
         if name not in ORACLES:
-            continue
+            return None
         try:
-            rel = duck.execute(ORACLES[name])
-            dcols = sorted(d[0] for d in rel.description)
+            rel = duck.cursor().execute(f"DESCRIBE {ORACLES[name]}")
+            dcols = sorted(r[0] for r in rel.fetchall())
         except Exception as exc:  # noqa: BLE001
-            problems.append(f"{name}: oracle SQL failed: {exc!r:.150}")
-            continue
+            return f"{name}: oracle SQL failed: {exc!r:.150}"
         if scols != dcols:
-            problems.append(f"{name}: columns spark={scols} oracle={dcols}")
+            return f"{name}: columns spark={scols} oracle={dcols}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        problems = [p for p in pool.map(check, QUERIES.items()) if p]
     assert not problems, "\n".join(problems)
