@@ -133,8 +133,22 @@ def _jaccard_pairs(
             "__r__"
         ),
     )
-    rec_a = _records(toks_a, ranked)
-    rec_b = _records(toks_b, ranked) if cross else rec_a
+    # The record-array relation feeds FOUR plan branches in the self-join
+    # (both prefix streams + both verify sides) and two per side in the
+    # cross form; without materialization Catalyst re-inlines the whole
+    # tokenize→distinct→freq→collect pipeline per branch (measured: 16-24
+    # parquet scans, 46-54 Exchanges in one plan). One eager checkpoint
+    # per side collapses that to one upstream pass (guide §1.3/§5); the
+    # relation is the verify-side sorted hash arrays — O(corpus tokens),
+    # so it takes the durable path when a checkpoint dir is configured.
+    from pangool_spark.data import checkpoint_eager
+
+    rec_a = checkpoint_eager(_records(toks_a, ranked), reliable_ok=True)
+    rec_b = (
+        checkpoint_eager(_records(toks_b, ranked), reliable_ok=True)
+        if cross
+        else rec_a
+    )
 
     pa = _prefixes(rec_a, t).select(
         F.col("__id__").alias("id_a"),
@@ -334,8 +348,13 @@ def containment_join(
             "__r__"
         ),
     )
-    rec_a = _records(toks_a, ranked)
-    rec_b = _records(toks_b, ranked)
+    # materialize-once: same re-inlining bill as _jaccard_pairs (the probe
+    # records feed prefix + verify, the corpus records verify + the full
+    # posting probe side reads toks_b separately)
+    from pangool_spark.data import checkpoint_eager
+
+    rec_a = checkpoint_eager(_records(toks_a, ranked), reliable_ok=True)
+    rec_b = checkpoint_eager(_records(toks_b, ranked), reliable_ok=True)
 
     pa = _prefixes(rec_a, t).select(
         F.col("__id__").alias("id_a"),
